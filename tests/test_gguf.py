@@ -1,0 +1,134 @@
+"""GGUF reader/writer round-trip tests (reference analogs: the GGUF loading
+paths exercised by test-ml.cpp and the converter contract in SURVEY.md R3/R4)."""
+
+import numpy as np
+import pytest
+
+from vision_tpu.core.gguf import (
+    GGMLType,
+    GGUFFile,
+    GGUFWriter,
+    bf16_to_f32,
+    f32_to_bf16,
+)
+from vision_tpu.core.params import Params
+from vision_tpu.core.weights import load_weights, unpermute_cwhn
+
+
+def test_roundtrip_metadata_and_tensors(tmp_path, rng):
+    path = tmp_path / "model.gguf"
+    w = GGUFWriter(path, "esrgan")
+    w.add("general.file_type", 0)
+    w.add("esrgan.scale", 4)
+    w.add("esrgan.block_count", 23)
+    w.add("esrgan.tensor_data_layout", "whcn")
+    w.add("esrgan.conv2d_weights", [0, 2])
+    w.add("some.string", "hello world")
+    w.add("some.float", 1.5)
+    w.add("some.strings", ["a", "bb", "ccc"])
+    t0 = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)
+    t1 = rng.standard_normal((16, 8)).astype(np.float32)
+    t2 = rng.standard_normal((8, 1, 3, 3)).astype(np.float32)
+    t3 = rng.integers(0, 100, (5, 2)).astype(np.int32)
+    w.add_tensor("conv.weight", t0)
+    w.add_tensor("linear.weight", t1)
+    w.add_tensor("dw.weight", t2)
+    w.add_tensor("idx", t3)
+    w.write()
+
+    f = GGUFFile(path)
+    assert f.arch == "esrgan"
+    assert f.get_int("esrgan.scale") == 4
+    assert f.get_int("esrgan.block_count") == 23
+    assert f.tensor_layout == "whcn"
+    assert f.conv2d_weight_indices() == [0, 2]
+    assert f.get_string("some.string") == "hello world"
+    assert f.get_float("some.float") == 1.5
+    assert f.get_array("some.strings") == ["a", "bb", "ccc"]
+    np.testing.assert_array_equal(f.tensor("conv.weight"), t0)
+    np.testing.assert_array_equal(f.tensor("linear.weight"), t1)
+    np.testing.assert_array_equal(f.tensor("dw.weight"), t2)
+    np.testing.assert_array_equal(f.tensor("idx"), t3)
+
+
+def test_f16_storage(tmp_path, rng):
+    path = tmp_path / "f16.gguf"
+    w = GGUFWriter(path, "test")
+    t = rng.standard_normal((4, 4)).astype(np.float32)
+    w.add_tensor("t", t, GGMLType.F16)
+    w.write()
+    f = GGUFFile(path)
+    assert f.tensors["t"].ggml_type == GGMLType.F16
+    np.testing.assert_allclose(f.tensor("t", np.float32), t, atol=1e-3)
+
+
+def test_bf16_storage(tmp_path, rng):
+    path = tmp_path / "bf16.gguf"
+    w = GGUFWriter(path, "test")
+    t = rng.standard_normal((4, 4)).astype(np.float32)
+    w.add_tensor("t", t, GGMLType.BF16)
+    w.write()
+    f = GGUFFile(path)
+    np.testing.assert_allclose(f.tensor("t"), t, atol=0.02, rtol=0.01)
+
+
+def test_bf16_conversion_exact():
+    x = np.array([1.0, -2.5, 3.14159, 1e-20, 65504.0], np.float32)
+    rt = bf16_to_f32(f32_to_bf16(x))
+    np.testing.assert_allclose(rt, x, rtol=0.008)
+
+
+def test_unpermute_cwhn():
+    # normal conv stored (O,H,W,I) -> torch (O,I,H,W)
+    a = np.arange(2 * 3 * 3 * 5, dtype=np.float32).reshape(2, 3, 3, 5)
+    back = unpermute_cwhn("m.weight", a)
+    assert back.shape == (2, 5, 3, 3)
+    # depthwise stored (H,W,1,C) -> torch (C,1,H,W)
+    d = np.arange(3 * 3 * 1 * 7, dtype=np.float32).reshape(3, 3, 1, 7)
+    backd = unpermute_cwhn("m.weight", d)
+    assert backd.shape == (7, 1, 3, 3)
+    # non-conv 4D passes through
+    nb = np.zeros((2, 5, 6, 9), np.float32)
+    assert unpermute_cwhn("m.weight", nb).shape == (2, 5, 6, 9)
+
+
+def test_load_weights_layout_conversion(tmp_path, rng):
+    """Type + layout conversion on transfer (reference test-ml.cpp:18-103)."""
+    torch_kernel = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)
+    # cwhn file: kernel pre-permuted by converter
+    path = tmp_path / "cwhn.gguf"
+    w = GGUFWriter(path, "test")
+    w.add("test.tensor_data_layout", "cwhn")
+    w.add_tensor("conv.weight", np.ascontiguousarray(torch_kernel.transpose(0, 2, 3, 1)))
+    w.write()
+    params = load_weights(GGUFFile(path), as_numpy=True)
+    np.testing.assert_array_equal(params["conv.weight"], torch_kernel)
+
+    # whcn file: kernel in torch layout already
+    path2 = tmp_path / "whcn.gguf"
+    w2 = GGUFWriter(path2, "test")
+    w2.add("test.tensor_data_layout", "whcn")
+    w2.add_tensor("conv.weight", torch_kernel, GGMLType.F16)
+    w2.write()
+    params2 = load_weights(GGUFFile(path2), as_numpy=True)
+    np.testing.assert_allclose(params2["conv.weight"], torch_kernel, atol=1e-3)
+
+
+def test_params_prefix_chaining():
+    store = {
+        "enc.blocks.0.attn.qkv.weight": 1,
+        "enc.blocks.0.attn.qkv.bias": 2,
+        "enc.blocks.1.attn.qkv.weight": 3,
+        "dec.head.weight": 4,
+    }
+    p = Params(store)
+    enc = p["enc"]
+    b0 = enc["blocks"][0]
+    assert b0["attn"]["qkv"].weight("weight") == 1
+    assert b0["attn"]["qkv"].weight("bias") == 2
+    assert enc["blocks"][1].weight("attn.qkv.weight") == 3
+    assert p["dec"].find("head.weight") == 4
+    assert p.find("missing") is None
+    assert enc.child_count("blocks") == 2
+    with pytest.raises(Exception):
+        p.weight("nope")

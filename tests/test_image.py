@@ -1,0 +1,237 @@
+"""Image layer tests — ports of the reference's pure C++ unit tests
+(tests/test-image.cpp: format math, conversions, scale, composite, tiling)."""
+
+import numpy as np
+import pytest
+
+from vision_tpu.image import (
+    Image,
+    ImageFormat,
+    TileLayout,
+    image_alloc,
+    image_alpha_composite,
+    image_blur,
+    image_difference_rms,
+    image_erosion,
+    image_estimate_foreground,
+    image_f32_to_u8,
+    image_load,
+    image_load_array,
+    image_normalize,
+    image_save,
+    image_scale,
+    image_set_alpha,
+    image_to_mask,
+    image_u8_to_f32,
+    n_channels,
+    tile_merge,
+    tile_scale,
+)
+
+
+def test_format_helpers():
+    assert n_channels(ImageFormat.rgba_u8) == 4
+    assert n_channels(ImageFormat.rgb_f32) == 3
+    assert n_channels(ImageFormat.alpha_u8) == 1
+
+
+def test_load_save_roundtrip(tmp_path, rng):
+    a = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+    img = image_load_array(a)
+    p = tmp_path / "img.png"
+    image_save(img, p)
+    back = image_load(p)
+    np.testing.assert_array_equal(back.data, a)
+    assert back.format == ImageFormat.rgb_u8
+
+
+def test_u8_to_f32_basic():
+    a = np.array([[[0, 128, 255]]], np.uint8)
+    out = image_u8_to_f32(image_load_array(a), ImageFormat.rgb_f32)
+    np.testing.assert_allclose(out.data[0, 0], [0.0, 128 / 255, 1.0], atol=1e-6)
+
+
+def test_u8_to_f32_offset_scale():
+    """ImageNet-style normalize: (v/255 + offset) * scale."""
+    a = np.full((2, 2, 3), 255, np.uint8)
+    out = image_u8_to_f32(
+        image_load_array(a),
+        ImageFormat.rgb_f32,
+        offset=(-0.485, -0.456, -0.406, 0.0),
+        scale=(1 / 0.229, 1 / 0.224, 1 / 0.225, 1.0),
+    )
+    exp = [(1 - 0.485) / 0.229, (1 - 0.456) / 0.224, (1 - 0.406) / 0.225]
+    np.testing.assert_allclose(out.data[0, 0], exp, rtol=1e-5)
+
+
+def test_u8_to_f32_tile_offset_and_pad():
+    """Tiled reads clamp-replicate beyond the source (image.cpp:219-226)."""
+    src = image_load_array(np.arange(16, dtype=np.uint8).reshape(4, 4, 1))
+    out = image_u8_to_f32(src, ImageFormat.alpha_f32, tile_offset=(2, 2), dst_extent=(4, 4))
+    expected = np.array(
+        [[10, 11, 11, 11], [14, 15, 15, 15], [14, 15, 15, 15], [14, 15, 15, 15]], np.float32
+    ) / 255.0
+    np.testing.assert_allclose(out.data[:, :, 0], expected, atol=1e-6)
+
+
+def test_u8_to_f32_bgra_channel_map():
+    a = np.zeros((1, 1, 4), np.uint8)
+    a[0, 0] = [10, 20, 30, 40]  # B G R A in bgra format
+    img = image_load_array(a, ImageFormat.bgra_u8)
+    out = image_u8_to_f32(img, ImageFormat.rgba_f32)
+    np.testing.assert_allclose(out.data[0, 0] * 255, [30, 20, 10, 40], atol=1e-4)
+
+
+def test_f32_to_u8_clamp_truncate():
+    a = np.array([[[-0.5, 0.5, 1.5]]], np.float32)
+    out = image_f32_to_u8(image_load_array(a, ImageFormat.rgb_f32), ImageFormat.rgb_u8)
+    np.testing.assert_array_equal(out.data[0, 0], [0, 127, 255])
+
+
+def test_to_mask_and_set_alpha():
+    a = np.zeros((2, 2, 4), np.uint8)
+    a[:, :, 0] = 77
+    mask = image_to_mask(image_load_array(a))
+    assert mask.format == ImageFormat.alpha_u8
+    assert (mask.data == 77).all()
+    img = image_load_array(np.full((2, 2, 4), 10, np.uint8))
+    image_set_alpha(img, mask)
+    assert (img.data[:, :, 3] == 77).all()
+    assert (img.data[:, :, :3] == 10).all()
+
+
+def test_scale_f32():
+    a = np.zeros((2, 2, 1), np.float32)
+    a[0, 0, 0] = 1.0
+    out = image_scale(image_load_array(a, ImageFormat.alpha_f32), (4, 4))
+    assert out.extent == (4, 4)
+    assert out.data[0, 0, 0] == pytest.approx(1.0, abs=1e-5)
+    assert out.data.mean() == pytest.approx(0.25, abs=0.05)
+
+
+def test_scale_u8_identity():
+    a = np.random.default_rng(0).integers(0, 255, (8, 8, 3)).astype(np.uint8)
+    out = image_scale(image_load_array(a), (8, 8))
+    np.testing.assert_array_equal(out.data, a)
+
+
+def test_blur_constant_preserved():
+    a = np.full((16, 16, 1), 0.7, np.float32)
+    out = image_blur(image_load_array(a, ImageFormat.alpha_f32), radius=3)
+    np.testing.assert_allclose(out.data, 0.7, atol=1e-5)
+
+
+def test_blur_matches_naive():
+    rng = np.random.default_rng(1)
+    a = rng.random((9, 11, 1)).astype(np.float32)
+    r = 2
+    out = image_blur(image_load_array(a, ImageFormat.alpha_f32), radius=r)
+    # naive: box filter over edge-replicated signal
+    pad = np.pad(a, ((r, r), (r, r), (0, 0)), mode="edge")
+    naive = np.zeros_like(a)
+    for y in range(a.shape[0]):
+        for x in range(a.shape[1]):
+            naive[y, x, 0] = pad[y : y + 2 * r + 1, x : x + 2 * r + 1, 0].mean()
+    np.testing.assert_allclose(out.data, naive, atol=1e-4)
+
+
+def test_erosion():
+    a = np.ones((5, 5, 1), np.float32)
+    a[2, 2, 0] = 0.0
+    out = image_erosion(image_load_array(a, ImageFormat.alpha_f32), radius=1)
+    assert out.data[1:4, 1:4].max() == 0.0
+    assert out.data[0, 0, 0] == 1.0
+
+
+def test_normalize():
+    a = np.array([[[2.0], [4.0]], [[6.0], [10.0]]], np.float32)
+    out = image_normalize(image_load_array(a, ImageFormat.alpha_f32), 0.0, 1.0)
+    np.testing.assert_allclose(out.data[:, :, 0], [[0.0, 0.25], [0.5, 1.0]], atol=1e-6)
+
+
+def test_difference_rms():
+    a = image_load_array(np.zeros((4, 4, 3), np.uint8))
+    b = image_load_array(np.full((4, 4, 3), 255, np.uint8))
+    # per-pixel lanes {r,g,b,1}: diff = {1,1,1,0} -> dot 3 -> rms sqrt(3)
+    assert image_difference_rms(a, b) == pytest.approx(np.sqrt(3.0), abs=1e-5)
+    assert image_difference_rms(a, a) == 0.0
+
+
+def test_alpha_composite():
+    fg = image_load_array(np.full((2, 2, 4), 200, np.uint8))
+    bg = image_load_array(np.full((2, 2, 3), 100, np.uint8))
+    mask = image_load_array(np.full((2, 2, 1), 255, np.uint8), ImageFormat.alpha_u8)
+    out = image_alpha_composite(fg, bg, mask)
+    assert (out.data[:, :, :3] == 200).all()
+    mask0 = image_load_array(np.zeros((2, 2, 1), np.uint8), ImageFormat.alpha_u8)
+    out0 = image_alpha_composite(fg, bg, mask0)
+    assert (out0.data[:, :, :3] == 100).all()
+    assert (out0.data[:, :, 3] == 255).all()
+
+
+def test_estimate_foreground_shape():
+    rng = np.random.default_rng(3)
+    img = image_load_array(rng.random((64, 64, 4)).astype(np.float32), ImageFormat.rgba_f32)
+    mask = image_load_array((rng.random((64, 64, 1)) > 0.5).astype(np.float32), ImageFormat.alpha_f32)
+    fg = image_estimate_foreground(img, mask, radius=8)
+    assert fg.format == ImageFormat.rgba_f32
+    assert fg.extent == (64, 64)
+    np.testing.assert_allclose(fg.data[:, :, 3], mask.data[:, :, 0], atol=1e-6)
+
+
+# -- tiling (reference test-image.cpp tiling cases + image.cpp:609-693) --
+
+
+def test_tile_layout_basic():
+    lay = TileLayout((512, 512), 224, overlap=16, align=16)
+    assert lay.n_tiles == (3, 3)
+    # tile size is ceil-aligned to 16
+    assert lay.tile_size[0] % 16 == 0
+    # tiles cover the image
+    last = (lay.n_tiles[0] - 1, lay.n_tiles[1] - 1)
+    assert lay.end(last) == (512, 512)
+    assert lay.start((0, 0)) == (0, 0)
+
+
+def test_tile_layout_single_tile():
+    lay = TileLayout((100, 100), 224, overlap=16, align=16)
+    assert lay.n_tiles == (1, 1)
+    assert lay.end((0, 0)) == (100, 100)
+
+
+def test_tile_scale():
+    lay = TileLayout((512, 512), 224, overlap=16, align=16)
+    s = tile_scale(lay, 4)
+    assert s.image_extent == (2048, 2048)
+    assert s.overlap == (64, 64)
+    assert s.tile_size == (lay.tile_size[0] * 4, lay.tile_size[1] * 4)
+
+
+def test_tile_merge_blends_to_one():
+    """Merging constant-1 tiles must reconstruct constant 1 everywhere."""
+    lay = TileLayout((300, 200), 128, overlap=16, align=16)
+    dst = image_alloc((300, 200), ImageFormat.rgb_f32)
+    for i in range(lay.total()):
+        c = lay.coord(i)
+        tw, th = lay.tile_size
+        tile = image_load_array(np.ones((th, tw, 3), np.float32), ImageFormat.rgb_f32)
+        tile_merge(tile, dst, c, lay)
+    np.testing.assert_allclose(dst.data, 1.0, atol=1e-5)
+
+
+def test_tile_merge_reconstructs_image():
+    """Cutting an image into overlapping tiles then merging reproduces it."""
+    rng = np.random.default_rng(7)
+    src = rng.random((200, 300, 3)).astype(np.float32)
+    lay = TileLayout((300, 200), 128, overlap=16, align=16)
+    dst = image_alloc((300, 200), ImageFormat.rgb_f32)
+    for i in range(lay.total()):
+        c = lay.coord(i)
+        sx, sy = lay.start(c)
+        tw, th = lay.tile_size
+        # crop with replicate padding (like image_u8_to_f32 tiled read)
+        ys = np.minimum(np.arange(sy, sy + th), 199)
+        xs = np.minimum(np.arange(sx, sx + tw), 299)
+        tile = image_load_array(src[np.ix_(ys, xs)], ImageFormat.rgb_f32)
+        tile_merge(tile, dst, c, lay)
+    np.testing.assert_allclose(dst.data, src, atol=1e-5)

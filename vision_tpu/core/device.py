@@ -1,0 +1,155 @@
+"""Backend device policy — TPU-native equivalent of the reference backend layer.
+
+Reference (src/visp/ml.cpp:16-201, include/visp/ml.h:30-80) enumerates ggml
+backends, picks the "best", and exposes per-backend policy: preferred float
+type (F32 cpu / F16 gpu), preferred memory layout (CWHN cpu / keep-model
+layout gpu), max allocation size, thread count, and a set of build flags that
+alter graph construction (flash attention, fused concat, window partition...).
+
+TPU-native redesign:
+  * devices come from ``jax.devices()``; "best" = TPU > GPU > CPU.
+  * preferred float type is **bfloat16** on TPU (MXU-native), float32 on CPU.
+  * there is exactly ONE activation layout: **NHWC** (TPU/XLA-native for
+    convolutions). The reference's WHCN/CWHN dual-layout machinery collapses
+    away; GGUF files that store WHCN conv weights are permuted at load time
+    (see core/weights.py), mirroring ml.cpp:459-502.
+  * ``max_alloc`` becomes an HBM-size query used for dynamic-resolution
+    clamping (BiRefNet), replacing the reference's Vulkan 4 GiB heuristic.
+  * build flags survive as jit options: flash vs naive attention (env
+    ``VISP_FLASH_ATTENTION`` kept, ml.cpp:167-175), pallas kernel toggles.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+from enum import Flag, auto
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "BackendType",
+    "BuildFlag",
+    "Device",
+    "backend_init",
+    "backend_is_available",
+]
+
+
+class BackendType(Flag):
+    cpu = auto()
+    tpu = auto()
+    gpu = auto()
+
+
+class BuildFlag(Flag):
+    """Graph-construction options (reference model_build_flag, ml.h:69-76)."""
+
+    none = 0
+    flash_attention = auto()  # use fused (pallas) attention kernel
+    pallas = auto()  # enable custom pallas kernels on the hot path
+    donate_input = auto()  # donate input buffers to jit
+
+
+def _flag_env(flags: BuildFlag) -> BuildFlag:
+    """Apply env overrides, mirroring VISP_FLASH_ATTENTION (ml.cpp:167-175)."""
+    v = os.environ.get("VISP_FLASH_ATTENTION")
+    if v is not None:
+        if v not in ("", "0", "off", "false"):
+            flags |= BuildFlag.flash_attention
+        else:
+            flags &= ~BuildFlag.flash_attention
+    v = os.environ.get("VISP_PALLAS")
+    if v is not None:
+        if v not in ("", "0", "off", "false"):
+            flags |= BuildFlag.pallas
+        else:
+            flags &= ~BuildFlag.pallas
+    return flags
+
+
+def backend_default_flags(btype: BackendType) -> BuildFlag:
+    if btype & BackendType.tpu:
+        return _flag_env(BuildFlag.flash_attention | BuildFlag.pallas)
+    return _flag_env(BuildFlag.none)
+
+
+@dataclass(frozen=True)
+class Device:
+    """Compute device + dtype policy (reference backend_device, ml.h:44-55)."""
+
+    jax_device: jax.Device
+    type: BackendType
+    flags: BuildFlag = BuildFlag.none
+
+    @property
+    def preferred_float_type(self) -> jnp.dtype:
+        # bf16 on TPU/GPU accelerators (MXU-native), f32 on CPU — mirrors the
+        # reference's F16-on-GPU / F32-on-CPU policy (ml.cpp:97-109).
+        if self.type & (BackendType.tpu | BackendType.gpu):
+            return jnp.bfloat16
+        return jnp.float32
+
+    @property
+    def total_memory(self) -> int:
+        stats = getattr(self.jax_device, "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+        # CPU host: treat as effectively unbounded (64 GiB placeholder).
+        return 64 << 30
+
+    @property
+    def max_alloc(self) -> int:
+        """Largest single allocation we plan for — used by dynamic-resolution
+        clamping (reference birefnet.cpp:288-305 uses Vulkan max_alloc)."""
+        return self.total_memory // 4
+
+    def with_flags(self, flags: BuildFlag) -> "Device":
+        return replace(self, flags=flags)
+
+
+def backend_is_available(btype: BackendType) -> bool:
+    try:
+        return any(_classify(d) & btype for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+def _classify(d: jax.Device) -> BackendType:
+    p = d.platform.lower()
+    if p == "tpu" or "tpu" in str(getattr(d, "device_kind", "")).lower():
+        return BackendType.tpu
+    if p in ("gpu", "cuda", "rocm"):
+        return BackendType.gpu
+    return BackendType.cpu
+
+
+@lru_cache(maxsize=None)
+def _all_devices():
+    return tuple(jax.devices())
+
+
+def backend_init(btype: BackendType | None = None) -> Device:
+    """Pick the best available device (reference backend_init, ml.cpp:59-95).
+
+    Order of preference: TPU > GPU > CPU, or the first device matching
+    ``btype`` when given.
+    """
+    devices = _all_devices()
+    classified = [(d, _classify(d)) for d in devices]
+    if btype is not None:
+        for d, t in classified:
+            if t & btype:
+                return Device(d, t, backend_default_flags(t))
+        from .errors import raise_error
+
+        raise_error("no backend device available for type {}", btype)
+    for want in (BackendType.tpu, BackendType.gpu, BackendType.cpu):
+        for d, t in classified:
+            if t & want:
+                return Device(d, t, backend_default_flags(t))
+    from .errors import raise_error
+
+    raise_error("no jax devices available")

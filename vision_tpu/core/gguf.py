@@ -1,0 +1,414 @@
+"""GGUF file reader/writer in pure Python + numpy.
+
+TPU-native replacement for the reference's gguf/ggml-backed model_file
+(reference: src/visp/ml.cpp:203-281, include/visp/ml.h:83-103). The loader
+must consume the exact .gguf files produced by the reference's
+scripts/convert.py — including per-arch metadata KVs (``{arch}.image_size``
+etc.), ``{arch}.tensor_data_layout``, the ``{arch}.conv2d_weights`` index
+list, and string-array KVs (SAM3 tokenizer vocab/merges).
+
+Format (GGUF v3): magic 'GGUF', version u32, n_tensors u64, n_kv u64,
+KV pairs, tensor infos, alignment padding, tensor data blob. Tensor dims are
+stored in ggml order: ne[0] is the fastest-varying dimension, so a C-order
+numpy array's shape is ``reversed(ne)`` — we return arrays in that "torch
+shape" convention, matching what the converter wrote.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from enum import IntEnum
+from pathlib import Path
+from typing import Any, BinaryIO, Iterable, Mapping, Sequence
+
+import numpy as np
+
+from .errors import raise_error
+
+__all__ = [
+    "GGMLType",
+    "GGUFValueType",
+    "GGUFFile",
+    "GGUFWriter",
+    "model_load",
+    "GGUF_MAGIC",
+]
+
+GGUF_MAGIC = b"GGUF"
+GGUF_DEFAULT_ALIGNMENT = 32
+
+
+class GGUFValueType(IntEnum):
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+class GGMLType(IntEnum):
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
+    Q8_0 = 8
+    Q8_1 = 9
+    I8 = 24
+    I16 = 25
+    I32 = 26
+    I64 = 27
+    F64 = 28
+    BF16 = 30
+
+
+_SCALAR_FMT = {
+    GGUFValueType.UINT8: "<B",
+    GGUFValueType.INT8: "<b",
+    GGUFValueType.UINT16: "<H",
+    GGUFValueType.INT16: "<h",
+    GGUFValueType.UINT32: "<I",
+    GGUFValueType.INT32: "<i",
+    GGUFValueType.FLOAT32: "<f",
+    GGUFValueType.BOOL: "<?",
+    GGUFValueType.UINT64: "<Q",
+    GGUFValueType.INT64: "<q",
+    GGUFValueType.FLOAT64: "<d",
+}
+
+_GGML_NP_DTYPE = {
+    GGMLType.F32: np.dtype(np.float32),
+    GGMLType.F16: np.dtype(np.float16),
+    GGMLType.I8: np.dtype(np.int8),
+    GGMLType.I16: np.dtype(np.int16),
+    GGMLType.I32: np.dtype(np.int32),
+    GGMLType.I64: np.dtype(np.int64),
+    GGMLType.F64: np.dtype(np.float64),
+    # BF16 has no numpy dtype: stored as uint16, expanded on read.
+    GGMLType.BF16: np.dtype(np.uint16),
+}
+
+
+def ggml_type_of(a: np.ndarray) -> GGMLType:
+    m = {
+        np.dtype(np.float32): GGMLType.F32,
+        np.dtype(np.float16): GGMLType.F16,
+        np.dtype(np.int8): GGMLType.I8,
+        np.dtype(np.int16): GGMLType.I16,
+        np.dtype(np.int32): GGMLType.I32,
+        np.dtype(np.int64): GGMLType.I64,
+        np.dtype(np.float64): GGMLType.F64,
+    }
+    dt = np.dtype(a.dtype)
+    if str(dt) == "bfloat16":
+        return GGMLType.BF16
+    if dt not in m:
+        raise_error("unsupported numpy dtype for gguf: {}", dt)
+    return m[dt]
+
+
+def bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
+    return (raw_u16.astype(np.uint32) << 16).view(np.float32)
+
+
+def f32_to_bf16(x: np.ndarray) -> np.ndarray:
+    """Round-to-nearest-even f32 -> bf16 (stored as uint16)."""
+    u = np.asarray(x, np.float32).view(np.uint32)
+    rounding = 0x7FFF + ((u >> 16) & 1)
+    return ((u + rounding) >> 16).astype(np.uint16)
+
+
+def dequantize_q8_0(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q8_0: blocks of 32 int8 values with one f16 scale (34 bytes/block)."""
+    n_blocks = n_elements // 32
+    buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 34).reshape(n_blocks, 34)
+    scales = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    q = buf[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (q * scales).reshape(-1)
+
+
+@dataclass
+class TensorInfo:
+    name: str
+    shape: tuple[int, ...]  # torch/C-order shape (reversed ne)
+    ggml_type: GGMLType
+    offset: int  # relative to data section start
+
+    @property
+    def n_elements(self) -> int:
+        n = 1
+        for d in self.shape:
+            n *= d
+        return n
+
+    @property
+    def n_bytes(self) -> int:
+        if self.ggml_type == GGMLType.Q8_0:
+            return (self.n_elements // 32) * 34
+        return self.n_elements * _GGML_NP_DTYPE[self.ggml_type].itemsize
+
+
+def _read_string(f: BinaryIO) -> str:
+    (n,) = struct.unpack("<Q", f.read(8))
+    return f.read(n).decode("utf-8")
+
+
+def _read_value(f: BinaryIO, vtype: GGUFValueType) -> Any:
+    if vtype == GGUFValueType.STRING:
+        return _read_string(f)
+    if vtype == GGUFValueType.ARRAY:
+        etype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
+        (count,) = struct.unpack("<Q", f.read(8))
+        if etype in _SCALAR_FMT and etype != GGUFValueType.BOOL:
+            fmt = _SCALAR_FMT[etype]
+            size = struct.calcsize(fmt)
+            data = f.read(size * count)
+            return list(struct.unpack(f"<{count}{fmt[-1]}", data)) if count else []
+        return [_read_value(f, etype) for _ in range(count)]
+    fmt = _SCALAR_FMT[vtype]
+    (v,) = struct.unpack(fmt, f.read(struct.calcsize(fmt)))
+    return v
+
+
+class GGUFFile:
+    """Parsed GGUF file: metadata KV dict + lazily-readable tensors.
+
+    Mirrors the reference model_file API (ml.h:85-100): ``arch()``,
+    ``float_type()``, ``tensor_layout()``, typed KV getters.
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = str(path)
+        self.metadata: dict[str, Any] = {}
+        self.tensors: dict[str, TensorInfo] = {}
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic != GGUF_MAGIC:
+                raise_error("{}: not a GGUF file (bad magic)", self.path)
+            (self.version,) = struct.unpack("<I", f.read(4))
+            if self.version < 2:
+                raise_error("{}: unsupported GGUF version {}", self.path, self.version)
+            n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+            for _ in range(n_kv):
+                key = _read_string(f)
+                vtype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
+                self.metadata[key] = _read_value(f, vtype)
+            infos = []
+            for _ in range(n_tensors):
+                name = _read_string(f)
+                (n_dims,) = struct.unpack("<I", f.read(4))
+                ne = struct.unpack(f"<{n_dims}Q", f.read(8 * n_dims))
+                ggml_type = GGMLType(struct.unpack("<I", f.read(4))[0])
+                (offset,) = struct.unpack("<Q", f.read(8))
+                infos.append(TensorInfo(name, tuple(reversed(ne)), ggml_type, offset))
+            self.alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+            pos = f.tell()
+            self.data_offset = (pos + self.alignment - 1) // self.alignment * self.alignment
+        for info in infos:
+            self.tensors[info.name] = info
+        # Memory-map the data section once; individual tensors are zero-copy
+        # views (cast/permute happens at device transfer, see weights.py).
+        self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r", offset=self.data_offset)
+
+    # -- metadata accessors (reference ml.cpp:219-281) --
+
+    @property
+    def arch(self) -> str:
+        return str(self.metadata.get("general.architecture", ""))
+
+    @property
+    def float_type(self) -> GGMLType:
+        # general.file_type: 0 = f32, 1 = f16 (gguf convention)
+        ft = self.metadata.get("general.file_type", 0)
+        return {0: GGMLType.F32, 1: GGMLType.F16, 32: GGMLType.BF16}.get(int(ft), GGMLType.F32)
+
+    @property
+    def tensor_layout(self) -> str:
+        return str(self.metadata.get(f"{self.arch}.tensor_data_layout", ""))
+
+    def conv2d_weight_indices(self) -> list[int]:
+        """Indices (into tensor order) of conv weights needing layout permute
+        (reference find_conv2d_weight_indices, ml.cpp:435-445)."""
+        return [int(i) for i in self.metadata.get(f"{self.arch}.conv2d_weights", [])]
+
+    def get_int(self, key: str, default: int | None = None) -> int:
+        if key not in self.metadata:
+            if default is not None:
+                return default
+            raise_error("{}: missing metadata key '{}'", self.path, key)
+        return int(self.metadata[key])
+
+    def get_float(self, key: str, default: float | None = None) -> float:
+        if key not in self.metadata:
+            if default is not None:
+                return default
+            raise_error("{}: missing metadata key '{}'", self.path, key)
+        return float(self.metadata[key])
+
+    def get_string(self, key: str, default: str | None = None) -> str:
+        if key not in self.metadata:
+            if default is not None:
+                return default
+            raise_error("{}: missing metadata key '{}'", self.path, key)
+        return str(self.metadata[key])
+
+    def get_array(self, key: str) -> list:
+        v = self.metadata.get(key, [])
+        if not isinstance(v, list):
+            raise_error("{}: metadata key '{}' is not an array", self.path, key)
+        return v
+
+    # -- tensor access --
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tensors
+
+    def tensor_names(self) -> list[str]:
+        return list(self.tensors.keys())
+
+    def raw(self, name: str) -> np.ndarray:
+        info = self.tensors[name]
+        return self._mmap[info.offset : info.offset + info.n_bytes]
+
+    def tensor(self, name: str, dtype: np.dtype | None = None) -> np.ndarray:
+        """Read one tensor as numpy in C-order (torch) shape.
+
+        BF16 and Q8_0 are expanded to f32; ``dtype`` casts on top.
+        """
+        if name not in self.tensors:
+            raise_error("{}: no tensor named '{}'", self.path, name)
+        info = self.tensors[name]
+        raw = self.raw(name)
+        if info.ggml_type == GGMLType.Q8_0:
+            arr = dequantize_q8_0(raw.tobytes(), info.n_elements).reshape(info.shape)
+        elif info.ggml_type == GGMLType.BF16:
+            arr = bf16_to_f32(raw.view(np.uint16)).reshape(info.shape)
+        else:
+            arr = raw.view(_GGML_NP_DTYPE[info.ggml_type]).reshape(info.shape)
+        if dtype is not None and arr.dtype != dtype:
+            arr = arr.astype(dtype)
+        return arr
+
+    def load_all(self, dtype: np.dtype | None = None) -> dict[str, np.ndarray]:
+        return {name: self.tensor(name, dtype) for name in self.tensors}
+
+
+def model_load(path: str | Path) -> GGUFFile:
+    """Open a .gguf file (reference model_load, ml.cpp:206-217)."""
+    return GGUFFile(path)
+
+
+# ---------------------------------------------------------------------------
+# Writer — used by the converter (convert/convert.py) and round-trip tests.
+# ---------------------------------------------------------------------------
+
+
+def _value_type_of(v: Any) -> GGUFValueType:
+    if isinstance(v, bool):
+        return GGUFValueType.BOOL
+    if isinstance(v, int):
+        return GGUFValueType.INT64 if (v < 0 or v >= 2**32) else GGUFValueType.UINT32
+    if isinstance(v, float):
+        return GGUFValueType.FLOAT32
+    if isinstance(v, str):
+        return GGUFValueType.STRING
+    raise_error("unsupported gguf metadata value: {!r}", v)
+
+
+def _write_string(f: BinaryIO, s: str) -> None:
+    b = s.encode("utf-8")
+    f.write(struct.pack("<Q", len(b)))
+    f.write(b)
+
+
+def _write_value(f: BinaryIO, v: Any, vtype: GGUFValueType | None = None) -> None:
+    if vtype is None:
+        vtype = _value_type_of(v) if not isinstance(v, (list, tuple, np.ndarray)) else GGUFValueType.ARRAY
+    f.write(struct.pack("<I", int(vtype)))
+    if vtype == GGUFValueType.STRING:
+        _write_string(f, v)
+    elif vtype == GGUFValueType.ARRAY:
+        seq = list(v)
+        etype = _value_type_of(seq[0]) if seq else GGUFValueType.INT32
+        if seq and all(isinstance(x, int) for x in seq):
+            etype = GGUFValueType.INT32 if all(-(2**31) <= x < 2**31 for x in seq) else GGUFValueType.INT64
+        f.write(struct.pack("<I", int(etype)))
+        f.write(struct.pack("<Q", len(seq)))
+        for x in seq:
+            if etype == GGUFValueType.STRING:
+                _write_string(f, x)
+            else:
+                f.write(struct.pack(_SCALAR_FMT[etype], x))
+    else:
+        f.write(struct.pack(_SCALAR_FMT[vtype], v))
+
+
+class GGUFWriter:
+    """Minimal GGUF v3 writer, format-compatible with gguf-py output."""
+
+    def __init__(self, path: str | Path, arch: str):
+        self.path = str(path)
+        self.kv: dict[str, Any] = {"general.architecture": arch}
+        self._tensors: list[tuple[str, np.ndarray, GGMLType]] = []
+        self.alignment = GGUF_DEFAULT_ALIGNMENT
+
+    def add(self, key: str, value: Any) -> None:
+        self.kv[key] = value
+
+    def add_tensor(self, name: str, array: np.ndarray, ggml_type: GGMLType | None = None) -> None:
+        if len(name.encode()) >= 64:
+            raise_error("tensor name too long for GGUF (>=64 chars): {}", name)
+        a = np.ascontiguousarray(array)
+        if ggml_type is None:
+            ggml_type = ggml_type_of(a)
+        self._tensors.append((name, a, ggml_type))
+
+    def write(self) -> None:
+        with open(self.path, "wb") as f:
+            f.write(GGUF_MAGIC)
+            f.write(struct.pack("<I", 3))
+            f.write(struct.pack("<QQ", len(self._tensors), len(self.kv)))
+            for k, v in self.kv.items():
+                _write_string(f, k)
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    _write_value(f, v, GGUFValueType.ARRAY)
+                else:
+                    _write_value(f, v)
+            blobs: list[bytes] = []
+            offset = 0
+            for name, a, gt in self._tensors:
+                if gt == GGMLType.BF16 and a.dtype != np.uint16:
+                    blob = f32_to_bf16(a.astype(np.float32)).tobytes()
+                elif gt == GGMLType.F16:
+                    blob = a.astype(np.float16).tobytes()
+                elif gt == GGMLType.F32:
+                    blob = a.astype(np.float32).tobytes()
+                else:
+                    blob = a.tobytes()
+                _write_string(f, name)
+                ne = tuple(reversed(a.shape)) if a.ndim > 0 else (1,)
+                f.write(struct.pack("<I", len(ne)))
+                f.write(struct.pack(f"<{len(ne)}Q", *ne))
+                f.write(struct.pack("<I", int(gt)))
+                f.write(struct.pack("<Q", offset))
+                blobs.append(blob)
+                offset += len(blob)
+                offset = (offset + self.alignment - 1) // self.alignment * self.alignment
+            pos = f.tell()
+            pad = (pos + self.alignment - 1) // self.alignment * self.alignment - pos
+            f.write(b"\x00" * pad)
+            for i, blob in enumerate(blobs):
+                f.write(blob)
+                if i != len(blobs) - 1:
+                    pad = (len(blob) + self.alignment - 1) // self.alignment * self.alignment - len(blob)
+                    f.write(b"\x00" * pad)

@@ -1,0 +1,62 @@
+"""Compute-graph cache — jitted programs keyed on shape buckets.
+
+The reference wraps a ggml_cgraph + allocator in ``compute_graph`` and
+rebuilds it lazily whenever the input extent changes (src/visp/ml.cpp:528-641;
+rebuild-on-extent-change at src/visp/vision.cpp:110-122). Under XLA the graph
+IS the jitted function: tracing+compilation happens per static shape, and
+XLA's own jit cache keys on shapes. This module adds the framework-level
+policy around that:
+
+  * ``GraphCache`` — explicit per-model cache of compiled executables keyed by
+    a user-provided key (typically the padded shape bucket), so models can
+    report/limit recompiles like the reference does graph rebuilds.
+  * ``shape_bucket`` — snap a dynamic extent to a multiple (BiRefNet's 128,
+    Depth-Anything's 14) so nearby resolutions share one executable
+    (reference: birefnet.cpp:288-305, depth-anything.cpp:112-117).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Hashable
+
+import jax
+
+__all__ = ["GraphCache", "shape_bucket", "snap_to_multiple"]
+
+
+def snap_to_multiple(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def shape_bucket(extent: tuple[int, int], multiple: int, max_extent: int | None = None) -> tuple[int, int]:
+    """Snap (width, height) up to `multiple`, optionally clamped."""
+    w = snap_to_multiple(extent[0], multiple)
+    h = snap_to_multiple(extent[1], multiple)
+    if max_extent is not None:
+        w, h = min(w, max_extent), min(h, max_extent)
+    return (w, h)
+
+
+class GraphCache:
+    """Lazily-compiled executables per shape key (reference compute_graph +
+    the per-model 'rebuild if extent changed' logic in vision.cpp)."""
+
+    def __init__(self, build: Callable[..., Callable], max_entries: int = 8):
+        self._build = build
+        self._cache: dict[Hashable, Callable] = {}
+        self._max = max_entries
+
+    def get(self, key: Hashable, *build_args, **build_kwargs) -> Callable:
+        fn = self._cache.get(key)
+        if fn is None:
+            if len(self._cache) >= self._max:
+                self._cache.pop(next(iter(self._cache)))
+            fn = self._build(*build_args, **build_kwargs)
+            self._cache[key] = fn
+        return fn
+
+    def clear(self) -> None:
+        self._cache.clear()
+
+    def __len__(self) -> int:
+        return len(self._cache)

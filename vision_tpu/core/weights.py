@@ -1,0 +1,103 @@
+"""GGUF -> device weights with on-the-fly conversion.
+
+TPU-native equivalent of the reference's model_weights + model_transfer
+(src/visp/ml.cpp:283-526): the reference casts F16<->F32 through a tiny ggml
+cast graph and permutes WHCN->CWHN conv weights driven by the
+``{arch}.conv2d_weights`` GGUF index list. Here:
+
+  * all tensors are returned in **torch-canonical shapes** — conv (O,I,H,W),
+    depthwise (C,1,H,W), conv-transpose (I,O,H,W), linear (O,I) — keyed by
+    their dotted GGUF names. Files written with ``tensor_data_layout=cwhn``
+    (kernels pre-permuted by the reference's scripts/convert.py:117-129) are
+    un-permuted back at load so model code sees one layout.
+  * float tensors are cast to the device float policy (bf16 on TPU);
+    integer tensors (index tables) stay as-is.
+  * ``jax.device_put`` uploads everything in one batch (the H2D boundary of
+    reference ml.cpp:449-503); an optional ``jax.sharding.NamedSharding`` per
+    tensor supports multi-chip replication/sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device import Device
+from .gguf import GGUFFile
+
+__all__ = ["load_weights", "is_conv_2d_name", "unpermute_cwhn"]
+
+_CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)
+
+
+def is_conv_2d_name(name: str, shape: tuple[int, ...]) -> bool:
+    """Heuristic matching the reference converter's is_conv_2d
+    (scripts/convert.py:110-117): 4D, square small kernel, '.weight' name."""
+    return (
+        len(shape) == 4
+        and shape[2] == shape[3]
+        and shape[2] in _CONV_KERNEL_SIZES
+        and name.endswith("weight")
+    )
+
+
+def unpermute_cwhn(name: str, a: np.ndarray) -> np.ndarray:
+    """Invert the converter's conv_2d_to_nhwc permute for 'cwhn' files.
+
+    Stored normal conv: (O,H,W,I) -> torch (O,I,H,W).
+    Stored depthwise:   (H,W,1,C) -> torch (C,1,H,W).
+    Non-conv 4D tensors pass through unchanged.
+    """
+    if a.ndim != 4 or not name.endswith("weight"):
+        return a
+    s = a.shape
+    # depthwise candidate: (H,W,1,C) with square small H==W
+    if s[2] == 1 and s[0] == s[1] and s[0] in _CONV_KERNEL_SIZES:
+        return np.ascontiguousarray(a.transpose(3, 2, 0, 1))
+    # normal candidate: (O,H,W,I) with square small H==W
+    if s[1] == s[2] and s[1] in _CONV_KERNEL_SIZES:
+        return np.ascontiguousarray(a.transpose(0, 3, 1, 2))
+    return a
+
+
+def load_weights(
+    file: GGUFFile,
+    device: Device | None = None,
+    float_dtype: Any | None = None,
+    shardings: Mapping[str, jax.sharding.Sharding] | None = None,
+    as_numpy: bool = False,
+) -> dict[str, Any]:
+    """Read all tensors, normalize layout, cast floats, upload to device.
+
+    Mirrors reference model_transfer (ml.cpp:449-516) in one pass.
+    """
+    if float_dtype is None:
+        float_dtype = device.preferred_float_type if device is not None else jnp.float32
+    layout = file.tensor_layout
+    out: dict[str, Any] = {}
+    for name in file.tensor_names():
+        a = file.tensor(name)
+        if layout == "cwhn":
+            a = unpermute_cwhn(name, a)
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(np.dtype(float_dtype)) if np.dtype(float_dtype) != np.dtype("bfloat16") else a.astype(np.float32)
+        out[name] = a
+    if as_numpy:
+        if np.dtype(float_dtype) == np.dtype("bfloat16"):
+            # numpy has no bf16; deliver f32 host-side.
+            return out
+        return out
+    dev = device.jax_device if device is not None else None
+    result: dict[str, Any] = {}
+    for name, a in out.items():
+        target = shardings.get(name) if shardings else None
+        if target is None and dev is not None:
+            target = dev
+        arr = jax.device_put(a, target) if target is not None else jnp.asarray(a)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) and np.dtype(float_dtype) == np.dtype("bfloat16"):
+            arr = arr.astype(jnp.bfloat16)
+        result[name] = arr
+    return result
