@@ -8,10 +8,19 @@ use float32 on CPU; TPU bf16 behavior is covered by tolerance budgets.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment preselects the TPU (JAX_PLATFORMS=axon
+# is baked into the env and jax may already be imported by sitecustomize, so
+# we must go through jax.config, not os.environ): parity tests need
+# deterministic f32; TPU numerics are covered by tolerance budgets in the
+# golden/bench tier.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,304 @@
+"""NN building blocks — TPU-native re-provision of the reference nn layer
+(src/visp/nn.{h,cpp}, SURVEY.md N1-N11).
+
+Design contract:
+  * activations are NHWC (N, H, W, C) or sequence-major (N, T, C); there is
+    no WHCN/CWHN dual-layout machinery — the reference's layout converters
+    (nn.cpp:21-60) collapse away because TPU/XLA convs are NHWC-native.
+  * weights keep **torch-canonical shapes** straight from the GGUF loader:
+    linear (O, I), conv (O, I, kH, kW), depthwise (C, 1, kH, kW),
+    conv-transpose (I, O, kH, kW). Kernels are permuted to HWIO inside the
+    op (bytes are tiny; XLA folds the transpose into the conv's layout
+    assignment).
+  * matmuls/convs run with f32 accumulation (`preferred_element_type`) so
+    bf16 weights keep MXU-native speed without losing the reference's
+    F32-accumulate semantics (nn.cpp:226-227).
+  * ops take a `Params` view positioned at the module (reference model_ref),
+    so call sites mirror the C++ (`linear(p["qkv"], x)`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import Params
+
+__all__ = [
+    "linear",
+    "layer_norm",
+    "layer_norm_direct",
+    "conv_2d",
+    "conv_2d_depthwise",
+    "conv_transpose_2d",
+    "batch_norm_2d",
+    "patch_embed",
+    "split_qkv",
+    "attention",
+    "gelu",
+    "gelu_tanh",
+    "silu",
+    "leaky_relu",
+    "sigmoid",
+    "relu",
+    "max_pool_2d",
+    "avg_pool_2d",
+    "pad_nhwc",
+]
+
+# ---------------------------------------------------------------------------
+# activations (reference: ggml_gelu/silu/sigmoid/leaky_relu used across archs)
+# ---------------------------------------------------------------------------
+
+gelu = jax.nn.gelu  # exact erf form (torch nn.GELU default)
+
+
+def gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+silu = jax.nn.silu
+sigmoid = jax.nn.sigmoid
+relu = jax.nn.relu
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+# ---------------------------------------------------------------------------
+# N1 linear, N2 layer_norm, N8 batch_norm
+# ---------------------------------------------------------------------------
+
+
+def linear(p: Params, x):
+    """y = x @ W^T + b (reference nn.cpp:6-12). W is (O, I)."""
+    w = p.weight("weight")
+    y = jnp.matmul(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    b = p.find("bias")
+    if b is not None:
+        y = y + b
+    return y
+
+
+def layer_norm_direct(x, weight, bias, eps: float = 1e-5):
+    """Normalize over the last axis with f32 statistics."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(p: Params, x, eps: float = 1e-5):
+    """Reference nn.cpp:14-19 (ggml_norm + scale + shift)."""
+    return layer_norm_direct(x, p.weight("weight"), p.weight("bias"), eps)
+
+
+def batch_norm_2d(p: Params, x):
+    """BN must be fused to mul+add at conversion (reference nn.cpp:150-164)."""
+    assert p.find("running_mean") is None, "Batch norm was not fused"
+    assert p.find("running_var") is None, "Batch norm was not fused"
+    return x * p.weight("weight") + p.weight("bias")
+
+
+# ---------------------------------------------------------------------------
+# N4-N6 convolutions (NHWC, HWIO kernels)
+# ---------------------------------------------------------------------------
+
+
+def _conv_nhwc(x, kernel_hwio, stride, padding, feature_group_count=1, lhs_dilation=None):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel_hwio,
+        window_strides=(stride, stride) if isinstance(stride, int) else stride,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv_2d(p: Params, x, stride: int = 1, pad: int = 0):
+    """2D conv, torch-canonical (O,I,kH,kW) weight (reference nn.cpp:72-100).
+
+    The reference's three CWHN strategies (1x1-as-matmul, direct, im2col)
+    collapse into one lax.conv — XLA lowers 1x1 convs to matmuls on the MXU
+    itself.
+    """
+    w = p.weight("weight")  # (O, I, kH, kW)
+    k = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
+    y = _conv_nhwc(x, k, stride, [(pad, pad), (pad, pad)]).astype(x.dtype)
+    b = p.find("bias")
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_2d_depthwise(p: Params, x, stride: int = 1, pad: int = 0):
+    """Depthwise conv, torch (C,1,kH,kW) weight (reference nn.cpp:102-115)."""
+    w = p.weight("weight")
+    c = w.shape[0]
+    k = jnp.transpose(w, (2, 3, 1, 0))  # (kH, kW, 1, C)
+    y = _conv_nhwc(x, k, stride, [(pad, pad), (pad, pad)], feature_group_count=c).astype(x.dtype)
+    b = p.find("bias")
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose_2d(p: Params, x, stride: int = 1):
+    """Transposed conv, pad 0, torch (I,O,kH,kW) weight (nn.cpp:117-129;
+    ggml_conv_transpose_2d_p0). Expressed as an input-dilated conv with a
+    spatially-flipped kernel — the standard XLA lowering."""
+    w = p.weight("weight")  # (I, O, kH, kW)
+    kh, kw = w.shape[2], w.shape[3]
+    k = jnp.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))  # (kH, kW, I, O)
+    y = _conv_nhwc(
+        x,
+        k,
+        stride=1,
+        padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
+        lhs_dilation=(stride, stride),
+    ).astype(x.dtype)
+    b = p.find("bias")
+    if b is not None:
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------
+# N9 patch embed
+# ---------------------------------------------------------------------------
+
+
+def patch_embed(p: Params, x, patch_size: int):
+    """Patch-size conv + optional LN (reference nn.cpp:166-180).
+    x: (N, H, W, C) with H, W divisible by patch_size -> (N, H/p, W/p, C')."""
+    assert x.shape[1] % patch_size == 0 and x.shape[2] % patch_size == 0
+    proj = "proj" if p.has("proj.weight") else "projection"
+    x = conv_2d(p[proj], x, stride=patch_size)
+    if p.has("norm.weight"):
+        x = layer_norm(p["norm"], x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# N10 split_qkv, N11 attention
+# ---------------------------------------------------------------------------
+
+
+def split_qkv(p: Params, x, n_heads: int, split_dim: int):
+    """Fused qkv linear -> (q, k, v) each (B, heads, T, head_dim)
+    (reference nn.cpp:182-208). split_dim selects the fused layout:
+      1 -> per-head [q|k|v] interleaving (TinyViT style)
+      2 -> global [q..|k..|v..] ordering (torch nn.Linear(3*dim) style)
+    """
+    b, t, c3 = x.shape[0], x.shape[1], None
+    qkv = linear(p, x)  # (B, T, 3C)
+    c3 = qkv.shape[-1]
+    c = c3 // 3
+    hd = c // n_heads
+    if split_dim == 1:
+        qkv = qkv.reshape(b, t, n_heads, 3, hd)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (B,T,H,hd)
+    elif split_dim == 2:
+        qkv = qkv.reshape(b, t, 3, n_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,T,H,hd)
+    else:
+        raise ValueError("Unsupported split_dim")
+    to_bhtd = lambda z: jnp.transpose(z, (0, 2, 1, 3))
+    return to_bhtd(q), to_bhtd(k), to_bhtd(v)
+
+
+def attention_core(q, k, v, mask=None, scale: float | None = None, flash: bool = False):
+    """softmax(q k^T * scale + mask) v with f32 accumulation
+    (reference nn.cpp:210-237). q,k,v: (B, H, T, hd); mask broadcastable to
+    (B, H, Tq, Tk). The `flash` flag routes to the fused attention path
+    (XLA/pallas) — numerics match to bf16 tolerance."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if flash:
+        # jax.nn.dot_product_attention expects (B, T, H, D)
+        bias = None
+        if mask is not None:
+            bias = jnp.broadcast_to(mask, (*mask.shape[:-2], q.shape[2], k.shape[2])).astype(q.dtype)
+            while bias.ndim < 4:
+                bias = bias[None]
+        out = jax.nn.dot_product_attention(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            bias=bias,
+            scale=scale,
+        )
+        return jnp.transpose(out, (0, 2, 1, 3))
+    attn = jnp.matmul(q, jnp.swapaxes(k, -1, -2), preferred_element_type=jnp.float32)
+    attn = attn * scale
+    if mask is not None:
+        attn = attn + mask.astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    return jnp.matmul(attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def attention(p_out: Params, q, k, v, mask=None, scale: float | None = None, flash: bool = False):
+    """Full shared attention incl. fused output projection (nn.cpp:210-244).
+    Returns (B, T, C)."""
+    x = attention_core(q, k, v, mask, scale, flash)
+    b, h, t, hd = x.shape
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, h * hd)
+    return linear(p_out, x)
+
+
+# ---------------------------------------------------------------------------
+# pooling & padding (ggml_pool_2d, ggml_pad — yolo/sppelan etc.)
+# ---------------------------------------------------------------------------
+
+
+def max_pool_2d(x, kernel: int, stride: int | None = None, pad: int = 0):
+    stride = stride or kernel
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+
+
+def avg_pool_2d(x, kernel: int, stride: int | None = None, pad: int = 0, count_include_pad: bool = True):
+    stride = stride or kernel
+    xf = x.astype(jnp.float32)
+    summed = jax.lax.reduce_window(
+        xf,
+        0.0,
+        jax.lax.add,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+    if count_include_pad or pad == 0:
+        out = summed / (kernel * kernel)
+    else:
+        ones = jnp.ones(x.shape[:3] + (1,), jnp.float32)
+        counts = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add,
+            (1, kernel, kernel, 1), (1, stride, stride, 1),
+            [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+        )
+        out = summed / counts
+    return out.astype(x.dtype)
+
+
+def pad_nhwc(x, pad_h: tuple[int, int], pad_w: tuple[int, int], value: float = 0.0):
+    return jnp.pad(
+        x, ((0, 0), pad_h, pad_w, (0, 0)), mode="constant", constant_values=value
+    )

@@ -1,0 +1,110 @@
+"""Interpolation / resize ops for NHWC tensors.
+
+Re-provides the reference's resize family with exact-match semantics
+(SURVEY.md 'hard part' #2): ggml_interpolate bilinear/bicubic with and
+without align_corners (reference ml.cpp:782-788, dino.cpp:26) and nearest
+upscale (ggml_upscale). Semantics follow torch.nn.functional.interpolate,
+which is what the reference models were converted from and parity-tested
+against.
+
+TPU-first design: separable interpolation is expressed as two dense
+weight-matrix contractions (out = Wy @ x @ Wx^T per channel) built with
+numpy at trace time. Matmuls run on the MXU and XLA fuses the pair; no
+gathers on the hot path. Nearest uses take() (pure relayout).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize_nhwc", "interpolate", "resize_matrix"]
+
+
+@lru_cache(maxsize=256)
+def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix for one axis (torch semantics)."""
+    if method == "nearest":
+        # torch 'nearest': src = floor(dst * n_in / n_out)
+        src = np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int64)
+        src = np.clip(src, 0, n_in - 1)
+        w = np.zeros((n_out, n_in), np.float32)
+        w[np.arange(n_out), src] = 1.0
+        return w
+
+    if align_corners and n_out > 1:
+        x = np.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    else:
+        x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+
+    w = np.zeros((n_out, n_in), np.float32)
+    if method == "bilinear":
+        x0 = np.floor(x).astype(np.int64)
+        f = (x - x0).astype(np.float64)
+        for tap, tw in ((x0, 1.0 - f), (x0 + 1, f)):
+            idx = np.clip(tap, 0, n_in - 1)
+            np.add.at(w, (np.arange(n_out), idx), tw)
+    elif method == "bicubic":
+        # Keys cubic kernel, A = -0.75 (torch/OpenCV convention)
+        A = -0.75
+
+        def k(t):
+            t = np.abs(t)
+            return np.where(
+                t <= 1,
+                ((A + 2) * t - (A + 3)) * t * t + 1,
+                np.where(t < 2, ((A * t - 5 * A) * t + 8 * A) * t - 4 * A, 0.0),
+            )
+
+        x0 = np.floor(x).astype(np.int64)
+        f = x - x0
+        for j in range(-1, 3):
+            tap = x0 + j
+            tw = k(j - f)
+            idx = np.clip(tap, 0, n_in - 1)
+            np.add.at(w, (np.arange(n_out), idx), tw)
+    else:
+        raise ValueError(f"unknown resize method: {method}")
+    return w
+
+
+def resize_matrix(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
+    return _axis_weights(n_in, n_out, method, align_corners)
+
+
+def resize_nhwc(
+    x: jnp.ndarray,
+    size: tuple[int, int],
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Resize (N, H, W, C) [or (H, W, C)] to spatial ``size`` = (H_out, W_out)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    h_out, w_out = size
+    if (h, w) == (h_out, w_out):
+        return x[0] if squeeze else x
+    dt = x.dtype
+    if method == "nearest":
+        ys = np.clip(np.floor(np.arange(h_out) * (h / h_out)).astype(np.int64), 0, h - 1)
+        xs = np.clip(np.floor(np.arange(w_out) * (w / w_out)).astype(np.int64), 0, w - 1)
+        out = x[:, ys][:, :, xs]
+        return out[0] if squeeze else out
+    wy = jnp.asarray(_axis_weights(h, h_out, method, align_corners))
+    wx = jnp.asarray(_axis_weights(w, w_out, method, align_corners))
+    xf = x.astype(jnp.float32)
+    # contract H: (h_out,h) x (n,h,w,c) -> (n,h_out,w,c)
+    out = jnp.einsum("oh,nhwc->nowc", wy, xf, preferred_element_type=jnp.float32)
+    # contract W: (o,w) x (n,h_out,w,c) -> (n,h_out,o,c)
+    out = jnp.einsum("ow,nhwc->nhoc", wx, out, preferred_element_type=jnp.float32)
+    out = out.astype(dt)
+    return out[0] if squeeze else out
+
+
+def interpolate(x, size, mode: str = "bilinear", align_corners: bool = False):
+    """Alias mirroring the reference's `interpolate` sugar (ml.cpp:782-788)."""
+    return resize_nhwc(x, size, mode, align_corners)
