@@ -45,7 +45,7 @@ from .image import (
     is_float,
     n_channels,
 )
-from .tiling import TileLayout, tile_merge, tile_scale
+from .tiling import TileLayout, tile_merge, tile_scale, tile_weights
 
 __all__ = [
     "Image",
@@ -73,4 +73,5 @@ __all__ = [
     "TileLayout",
     "tile_merge",
     "tile_scale",
+    "tile_weights",
 ]

@@ -1,0 +1,212 @@
+"""Real-ESRGAN super-resolution (RRDBNet).
+
+TPU-native re-design of the reference implementation
+(src/visp/arch/esrgan.{cpp,h}, tiled pipeline in src/visp/vision.cpp:205-253):
+
+  * graph builder `esrgan_generate` mirrors esrgan.cpp:55-83 — conv stem,
+    n_blocks x RRDB (3x residual-dense-blocks of 5 convs with dense channel
+    concats, 0.2 residual scaling, esrgan.cpp:27-51), trunk conv + skip,
+    log2(scale) x (nearest 2x upsample + conv + lrelu, esrgan.cpp:13-19),
+    2 final convs. Weight names are the GGUF/torch "old-arch" names
+    (`model.0`, `model.1.sub.N.RDBk.convj.0`, ...), addressed through Params.
+  * tiled inference (reference: sequential per-tile H2D/compute/D2H loop,
+    vision.cpp:240-251) becomes **batched tiles in one jitted program**:
+    all tiles are stacked on the batch axis and executed in fixed-size
+    chunks, so the MXU sees large batched convs and each request crosses
+    the host<->device boundary once per chunk instead of 3x per tile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.device import Device, backend_init
+from ..core.errors import raise_error
+from ..core.gguf import GGUFFile, model_load
+from ..core.params import Params
+from ..core.weights import load_weights
+from ..image import (
+    Image,
+    ImageFormat,
+    TileLayout,
+    image_alloc,
+    image_f32_to_u8,
+    tile_scale,
+    tile_weights,
+)
+from ..ops import conv_2d, leaky_relu, resize_nhwc
+
+__all__ = [
+    "EsrganParams",
+    "esrgan_detect_params",
+    "esrgan_generate",
+    "EsrganModel",
+    "esrgan_load_model",
+    "esrgan_compute",
+]
+
+ESRGAN_DEFAULT_TILE_SIZE = 224
+ESRGAN_TILE_OVERLAP = 16
+
+
+@dataclass(frozen=True)
+class EsrganParams:
+    scale: int = 4
+    n_blocks: int = 23
+
+
+def esrgan_detect_params(file: GGUFFile) -> EsrganParams:
+    """Reference esrgan_detect_params (esrgan.cpp:85-96)."""
+    if file.arch != "esrgan":
+        raise_error("Architecture expected to be 'esrgan', but was '{}' ({})", file.arch, file.path)
+    scale = file.get_int("esrgan.scale")
+    n_blocks = file.get_int("esrgan.block_count")
+    if not (1 <= scale <= 8):
+        raise_error("ESRGAN: unsupported scale: {}", scale)
+    if not (1 <= n_blocks <= 23):
+        raise_error("ESRGAN: invalid number of blocks: {}", n_blocks)
+    return EsrganParams(scale, n_blocks)
+
+
+def _conv_block(p: Params, x):
+    """conv 3x3 + leaky relu 0.2 (reference esrgan.cpp:21-25)."""
+    return leaky_relu(conv_2d(p[0], x, 1, 1), 0.2)
+
+
+def residual_dense_block(p: Params, x):
+    """5-conv dense block, 0.2 residual (reference esrgan.cpp:27-41)."""
+    x1 = _conv_block(p["conv1"], x)
+    c1 = jnp.concatenate([x, x1], axis=-1)
+    x2 = _conv_block(p["conv2"], c1)
+    c2 = jnp.concatenate([c1, x2], axis=-1)
+    x3 = _conv_block(p["conv3"], c2)
+    c3 = jnp.concatenate([c2, x3], axis=-1)
+    x4 = _conv_block(p["conv4"], c3)
+    c4 = jnp.concatenate([c3, x4], axis=-1)
+    x5 = conv_2d(p["conv5"][0], c4, 1, 1)
+    return x + 0.2 * x5
+
+
+def rrdb(p: Params, x):
+    """Residual-in-residual dense block (reference esrgan.cpp:43-51)."""
+    y = residual_dense_block(p["RDB1"], x)
+    y = residual_dense_block(p["RDB2"], y)
+    y = residual_dense_block(p["RDB3"], y)
+    return x + 0.2 * y
+
+
+def _upsample(p: Params, x):
+    """nearest 2x + conv + lrelu (reference esrgan.cpp:13-19)."""
+    n, h, w, c = x.shape
+    x = resize_nhwc(x, (h * 2, w * 2), "nearest")
+    x = conv_2d(p, x, 1, 1)
+    return leaky_relu(x, 0.2)
+
+
+def esrgan_generate(params: Params, x, p: EsrganParams):
+    """RRDBNet forward, NHWC (reference esrgan_generate, esrgan.cpp:55-83).
+    x: (N, H, W, 3) in [0,1] -> (N, H*scale, W*scale, 3)."""
+    m = params["model"]
+    x = conv_2d(m[0], x, 1, 1)
+    sub = x
+    block = m[1]["sub"]
+    for i in range(p.n_blocks):
+        sub = rrdb(block[i], sub)
+    sub = conv_2d(block[p.n_blocks], sub, 1, 1)
+    x = x + sub
+    seq = 2
+    for _ in range(int(np.log2(p.scale))):
+        x = _upsample(m[seq + 1], x)
+        seq += 3
+    x = conv_2d(m[seq], x, 1, 1)
+    x = leaky_relu(x, 0.2)
+    x = conv_2d(m[seq + 2], x, 1, 1)
+    return x
+
+
+class EsrganModel:
+    """High-level model handle (reference esrgan_model, vision.h + the
+    esrgan_load_model/esrgan_compute pair in vision.cpp:209-253)."""
+
+    def __init__(self, params: dict, p: EsrganParams, device: Device):
+        self.params = params
+        self.p = p
+        self.device = device
+        self._jit = {}
+
+    def _fn(self, batch: int, tile: tuple[int, int]):
+        key = (batch, tile)
+        if key not in self._jit:
+            p = self.p
+
+            @partial(jax.jit)
+            def run(weights, x):
+                return esrgan_generate(Params(weights), x, p)
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    def compute(self, image: Image, tile_size: int = ESRGAN_DEFAULT_TILE_SIZE, batch: int = 4) -> Image:
+        """Tiled super-resolution (reference esrgan_compute, vision.cpp:220-253).
+        All tiles are batched device-side; merge happens on host."""
+        tiles = TileLayout(image.extent, tile_size, ESRGAN_TILE_OVERLAP)
+        tiles_out = tile_scale(tiles, self.p.scale)
+        tw, th = tiles.tile_size
+        n = tiles.total()
+
+        # gather tiles with replicate padding (reference image_u8_to_f32
+        # tiled reads, image.cpp:219-226) — vectorized host-side
+        src = image.data.astype(np.float32)
+        if image.channels == 4:
+            src = src[:, :, :3]
+        elif image.channels == 1:
+            src = np.repeat(src, 3, axis=2)
+        if not np.issubdtype(image.data.dtype, np.floating):
+            src = src / 255.0
+        h, w = src.shape[:2]
+        stack = np.empty((n, th, tw, 3), np.float32)
+        for t in range(n):
+            cx, cy = tiles.coord(t)
+            sx, sy = tiles.start((cx, cy))
+            ys = np.minimum(np.arange(sy, sy + th), h - 1)
+            xs = np.minimum(np.arange(sx, sx + tw), w - 1)
+            stack[t] = src[np.ix_(ys, xs)]
+
+        fn = self._fn(batch, (tw, th))
+        dtype = self.device.preferred_float_type
+        out_tiles = np.empty((n, th * self.p.scale, tw * self.p.scale, 3), np.float32)
+        for i in range(0, n, batch):
+            chunk = stack[i : i + batch]
+            pad = batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, th, tw, 3), np.float32)], 0)
+            y = fn(self.params, jnp.asarray(chunk, dtype))
+            out_tiles[i : i + batch] = np.asarray(y.astype(jnp.float32))[: batch - pad if pad else batch]
+
+        # overlap blend (reference tile_merge, image.cpp:655-693)
+        out = image_alloc(tiles_out.image_extent, ImageFormat.rgb_f32)
+        for t in range(n):
+            c = tiles_out.coord(t)
+            beg = tiles_out.start(c)
+            end = tiles_out.end(c)
+            blend = tile_weights(tiles_out, c)[:, :, None]
+            region = out_tiles[t][: end[1] - beg[1], : end[0] - beg[0]]
+            out.data[beg[1]:end[1], beg[0]:end[0]] += blend * region
+        return image_f32_to_u8(out, ImageFormat.rgba_u8)
+
+
+def esrgan_load_model(filepath: str, device: Device | None = None) -> EsrganModel:
+    device = device or backend_init()
+    file = model_load(filepath)
+    p = esrgan_detect_params(file)
+    params = load_weights(file, device)
+    return EsrganModel(params, p, device)
+
+
+def esrgan_compute(model: EsrganModel, image: Image) -> Image:
+    return model.compute(image)
