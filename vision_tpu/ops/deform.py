@@ -1,0 +1,89 @@
+"""Deformable convolution v2 (offset + modulation mask).
+
+Re-provides the reference's fork-only `ggml_conv_2d_deform` (used by
+BiRefNet's deformable ASPP, src/visp/nn.cpp:131-148, birefnet.cpp:83-91) —
+SURVEY.md's "hard part #1": there is no lax primitive for it.
+
+Semantics follow torchvision.ops.deform_conv2d (what BiRefNet trains with):
+for each output position p0 and kernel tap k, sample the input bilinearly at
+``p0*stride - pad + k + offset_k``, scale by the modulation mask, then apply
+the conv weight. Offsets are per-output-pixel (y, x) pairs laid out
+[2*K*K] with tap-major (dy0, dx0, dy1, dx1, ...); out-of-bounds samples are
+zero.
+
+TPU-first formulation: one flat gather per (tap, corner) — 4*K*K gathers of
+the (B, H*W, C) map via `jnp.take_along_axis` — followed by K*K channel
+matmuls that run on the MXU. Gathers are the unavoidable data-dependent
+part; everything else stays dense. K is static so the loop unrolls at trace
+time.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["deform_conv_2d"]
+
+
+def _gather_pixels(x_flat, iy, ix, w, h):
+    """Bilinear-corner gather with zero padding outside.
+
+    x_flat: (B, H*W, C); iy/ix: (B, Ho, Wo) int32 (may be out of range).
+    Returns (B, Ho, Wo, C)."""
+    b, hw, c = x_flat.shape
+    inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    iyc = jnp.clip(iy, 0, h - 1)
+    ixc = jnp.clip(ix, 0, w - 1)
+    idx = (iyc * w + ixc).reshape(b, -1, 1)  # (B, Ho*Wo, 1)
+    g = jnp.take_along_axis(x_flat, idx, axis=1)  # (B, Ho*Wo, C)
+    g = g.reshape(b, iy.shape[1], iy.shape[2], c)
+    return g * inb[..., None].astype(g.dtype)
+
+
+def deform_conv_2d(x, weight, offset, mask=None, stride: int = 1, pad: int = 0):
+    """Deformable conv v2.
+
+    x:      (B, H, W, Cin)   NHWC input
+    weight: (Cout, Cin, kH, kW)  torch-canonical kernel
+    offset: (B, Ho, Wo, 2*kH*kW) per-pixel (dy, dx) pairs, tap-major
+    mask:   (B, Ho, Wo, kH*kW) modulation (already sigmoid*2 scaled) or None
+    Returns (B, Ho, Wo, Cout).
+    """
+    b, h, w, cin = x.shape
+    cout, cin_w, kh, kw = weight.shape
+    assert cin_w == cin
+    ho, wo = offset.shape[1], offset.shape[2]
+
+    f32 = jnp.float32
+    x_flat = x.reshape(b, h * w, cin)
+    off = offset.astype(f32)
+
+    # static base grid of output positions
+    oy = (np.arange(ho) * stride - pad).reshape(1, ho, 1)
+    ox = (np.arange(wo) * stride - pad).reshape(1, 1, wo)
+
+    out = jnp.zeros((b, ho, wo, cout), f32)
+    for k in range(kh * kw):
+        ky, kx = divmod(k, kw)
+        dy = off[..., 2 * k]
+        dx = off[..., 2 * k + 1]
+        py = jnp.asarray(oy + ky, f32) + dy  # (B, Ho, Wo)
+        px = jnp.asarray(ox + kx, f32) + dx
+        y0 = jnp.floor(py).astype(jnp.int32)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        fy = py - y0
+        fx = px - x0
+        # 4-corner bilinear blend
+        s = (
+            _gather_pixels(x_flat, y0, x0, w, h) * ((1 - fy) * (1 - fx))[..., None]
+            + _gather_pixels(x_flat, y0, x0 + 1, w, h) * ((1 - fy) * fx)[..., None]
+            + _gather_pixels(x_flat, y0 + 1, x0, w, h) * (fy * (1 - fx))[..., None]
+            + _gather_pixels(x_flat, y0 + 1, x0 + 1, w, h) * (fy * fx)[..., None]
+        )
+        if mask is not None:
+            s = s * mask[..., k, None].astype(s.dtype)
+        wk = weight[:, :, ky, kx].astype(f32)  # (Cout, Cin)
+        out = out + jnp.matmul(s.astype(f32), wk.T, preferred_element_type=f32)
+    return out.astype(x.dtype)
