@@ -1,0 +1,401 @@
+"""SAM3 (work-in-progress parity with the reference's WIP scope:
+CLIP BPE tokenizer + 24-layer CLIP text encoder + RoPE-ViT vision encoder +
+FPN neck; no decoder yet).
+
+TPU-native re-provision of src/visp/arch/sam3.h:
+
+  * tokenizer: lowercase + regex pre-tokenization, char split with </w>
+    end-of-word marker, rank-ordered BPE merges, padding-aware causal mask
+    (sam3.h:80-216); vocab/merges come from GGUF string-array metadata.
+  * text encoder: token+position embeddings, 24 pre-LN blocks, 16 heads,
+    final layer norm, optional text projection (sam3.h:219-288).
+  * vision encoder: 1008px/patch14 ViT, 32 layers with window attention
+    (24) and 4 global layers, tiled absolute position embeddings, and 2D
+    RoPE — x-positions rotate the first half of head_dim, y-positions the
+    second half (sam3.h:291-515). RoPE tables are trace-time numpy
+    constants (the reference uploads host-computed index buffers).
+  * FPN neck: 4 scale branches (x4 / x2 / x1 / x0.5) with 1x1+3x3
+    projections and host-precomputed sine position embeddings
+    (sam3.h:517-613).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.gguf import GGUFFile
+from ..core.params import Params
+from ..image import Image, ImageFormat, image_scale, image_u8_to_f32
+from ..ops import (
+    attention,
+    conv_2d,
+    conv_transpose_2d,
+    gelu,
+    layer_norm,
+    linear,
+    max_pool_2d,
+)
+
+__all__ = [
+    "ClipTokenizer",
+    "clip_tokenizer_init",
+    "clip_encode_text",
+    "encode_text",
+    "Sam3VitParams",
+    "vision_transformer",
+    "encode_vision",
+    "sam3_process_input",
+    "sine_position_embedding",
+]
+
+NEG_INF = float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# CLIP BPE tokenizer (reference sam3.h:80-216)
+# ---------------------------------------------------------------------------
+
+_PRETOKENIZE = re.compile(r"[a-zA-Z]+|[0-9]|[^\s\da-zA-Z]+")
+
+
+class ClipTextTokens(NamedTuple):
+    token_ids: np.ndarray  # (max_tokens,) int32
+    attention_mask: np.ndarray  # (max_tokens, max_tokens) float32 0/-inf
+
+
+@dataclass
+class ClipTokenizer:
+    vocab: dict[str, int]
+    bpe_rank: dict[tuple[str, str], int]
+    bos_token_id: int = 49406
+    eos_token_id: int = 49407
+    pad_token_id: int = 49407
+    unk_token_id: int = 49407
+
+    def apply_bpe(self, tokens: list[str]) -> list[str]:
+        """Greedy lowest-rank merge loop (reference sam3.h:117-144)."""
+        while len(tokens) > 1:
+            best_rank, best_idx = None, -1
+            for i in range(len(tokens) - 1):
+                r = self.bpe_rank.get((tokens[i], tokens[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_idx = r, i
+            if best_idx < 0:
+                break
+            tokens = (
+                tokens[:best_idx]
+                + [tokens[best_idx] + tokens[best_idx + 1]]
+                + tokens[best_idx + 2 :]
+            )
+        return tokens
+
+    def tokenize(self, text: str, max_tokens: int) -> ClipTextTokens:
+        """(reference clip_tokenizer::tokenize, sam3.h:146-192)."""
+        ids = np.full(max_tokens, self.pad_token_id, np.int32)
+        mask = np.full((max_tokens, max_tokens), NEG_INF, np.float32)
+
+        def fill(row, cols=None):
+            cols = row + 1 if cols is None else cols
+            mask[row, :cols] = 0.0
+
+        i = 0
+        ids[i] = self.bos_token_id
+        fill(i)
+        i += 1
+        if text:
+            for word in _PRETOKENIZE.findall(text.lower()):
+                chars = [c for c in word[:-1]] + [word[-1] + "</w>"]
+                for tok in self.apply_bpe(chars):
+                    ids[i] = self.vocab.get(tok, self.unk_token_id)
+                    fill(i)
+                    i += 1
+                    if i >= max_tokens - 1:
+                        break
+                if i >= max_tokens - 1:
+                    break
+        ids[i] = self.eos_token_id
+        fill(i)
+        for row in range(i + 1, max_tokens):
+            fill(row, i + 1)
+        return ClipTextTokens(ids, mask)
+
+
+def clip_tokenizer_init(file: GGUFFile) -> ClipTokenizer:
+    """(reference clip_tokenizer_init, sam3.h:195-216)."""
+    tokens = file.get_array("tokenizer.ggml.tokens")
+    merges = file.get_array("tokenizer.ggml.merges")
+    vocab = {t: i for i, t in enumerate(tokens)}
+    rank = {}
+    for i, m in enumerate(merges):
+        a, _, b = m.partition(" ")
+        rank[(a, b)] = i
+    return ClipTokenizer(
+        vocab=vocab,
+        bpe_rank=rank,
+        bos_token_id=file.get_int("tokenizer.ggml.bos_token_id", 49406),
+        eos_token_id=file.get_int("tokenizer.ggml.eos_token_id", 49407),
+        pad_token_id=file.get_int("tokenizer.ggml.padding_token_id", 49407),
+        unk_token_id=file.get_int("tokenizer.ggml.unknown_token_id", 49407),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (reference sam3.h:219-288)
+# ---------------------------------------------------------------------------
+
+
+def clip_text_embed(p: Params, ids):
+    tok = p.weight("token_embedding.weight")[ids]
+    pos = p.weight("position_embedding.weight")[: ids.shape[-1]]
+    return tok + pos
+
+
+def clip_attention(p: Params, x, mask, n_heads: int = 16):
+    b, t, c = x.shape
+    hd = c // n_heads
+
+    def proj(pp):
+        return jnp.transpose(linear(pp, x).reshape(b, t, n_heads, hd), (0, 2, 1, 3))
+
+    q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
+    return attention(p["out_proj"], q, k, v, mask, 1.0 / math.sqrt(hd))
+
+
+def clip_mlp(p: Params, x):
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def clip_encoder_layer(p: Params, x, mask):
+    x = x + clip_attention(p["self_attn"], layer_norm(p["layer_norm1"], x), mask)
+    x = x + clip_mlp(p["mlp"], layer_norm(p["layer_norm2"], x))
+    return x
+
+
+def clip_encode_text(p: Params, ids, mask, n_layers: int = 24):
+    """(reference clip_encode_text, sam3.h:277-282). ids: (B, T)."""
+    x = clip_text_embed(p["embeddings"], ids)
+    for i in range(n_layers):
+        x = clip_encoder_layer(p["encoder"]["layers"][i], x, mask)
+    return layer_norm(p["final_layer_norm"], x)
+
+
+def encode_text(p: Params, ids, mask, n_layers: int = 24):
+    """(reference encode_text, sam3.h:284-288). Text projection is optional
+    (the converter skips it, convert.py convert_sam3)."""
+    x = clip_encode_text(p["te.text_model"], ids, mask, n_layers)
+    if p.has("text_projection.weight"):
+        x = linear(p["text_projection"], x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Vision encoder (reference sam3.h:291-515)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Sam3VitParams:
+    image_size: int = 1008
+    patch_size: int = 14
+    window_size: int = 24
+    n_layers: int = 32
+    n_heads: int = 16
+    global_attn_indexes: tuple[int, ...] = (7, 15, 23, 31)
+    scale_factors: tuple[float, ...] = (4.0, 2.0, 1.0, 0.5)
+
+
+def vision_embed(p: Params, image, patch_size: int):
+    """Patch conv + tiled abs position embeddings (sam3.h:313-338).
+    image: (B, H, W, 3) -> (B, hp, wp, C)."""
+    x = conv_2d(p["patch_embeddings.projection"], image, patch_size)
+    b, hp, wp, c = x.shape
+    pos = p.weight("position_embeddings")  # (1, n, C) or (n, C)
+    pos = pos.reshape(-1, pos.shape[-1])
+    pre = int(math.sqrt(pos.shape[0]) + 0.5)
+    if (wp, hp) == (pre, pre):
+        grid = pos.reshape(pre, pre, c)
+    else:
+        grid = pos.reshape(pre, pre, c)
+        grid = jnp.tile(grid, ((hp + pre - 1) // pre, (wp + pre - 1) // pre, 1))[:hp, :wp]
+    return x + grid[None].astype(x.dtype)
+
+
+@lru_cache(maxsize=32)
+def _rope_tables(n_pos: int, n_rows: int, head_dim: int, scale: float):
+    """cos/sin tables for 2D RoPE: x positions for the first half of
+    head_dim, y positions for the second half (sam3.h:391-438)."""
+    base = 10000.0
+    d2 = head_dim // 2  # per-axis rotary dims
+    pos = np.arange(n_pos)
+    px = (pos % n_rows).astype(np.float64) * scale
+    py = (pos // n_rows).astype(np.float64) * scale
+    freqs = base ** (-np.arange(0, d2, 2, dtype=np.float64) / d2)  # (d2/2,)
+    ang_x = px[:, None] * freqs[None, :]
+    ang_y = py[:, None] * freqs[None, :]
+    return (
+        np.cos(ang_x).astype(np.float32),
+        np.sin(ang_x).astype(np.float32),
+        np.cos(ang_y).astype(np.float32),
+        np.sin(ang_y).astype(np.float32),
+    )
+
+
+def _rotate_pairs(x, cos, sin):
+    """Rotate adjacent pairs (ggml ROPE_TYPE_NORMAL). x: (..., T, d)."""
+    x0 = x[..., 0::2]
+    x1 = x[..., 1::2]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    return jnp.stack([r0, r1], axis=-1).reshape(x.shape)
+
+
+def apply_rope_2d(x, n_rows: int, scale: float = 1.0):
+    """x: (B, heads, T, head_dim)."""
+    t, hd = x.shape[-2], x.shape[-1]
+    cx, sx, cy, sy = _rope_tables(t, n_rows, hd, scale)
+    cx, sx, cy, sy = (jnp.asarray(a).astype(x.dtype) for a in (cx, sx, cy, sy))
+    first = _rotate_pairs(x[..., : hd // 2], cx, sx)
+    second = _rotate_pairs(x[..., hd // 2 :], cy, sy)
+    return jnp.concatenate([first, second], axis=-1)
+
+
+def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float):
+    """(reference rope_attention, sam3.h:440-455). x: (B, T, C)."""
+    b, t, c = x.shape
+    hd = c // n_heads
+
+    def proj(pp):
+        return jnp.transpose(linear(pp, x).reshape(b, t, n_heads, hd), (0, 2, 1, 3))
+
+    q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
+    q = apply_rope_2d(q, n_rows, scale)
+    k = apply_rope_2d(k, n_rows, scale)
+    return attention(p["o_proj"], q, k, v, None, 1.0 / math.sqrt(hd))
+
+
+def vision_mlp(p: Params, x):
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def _window_partition(x, window: int):
+    from .mobile_sam import window_partition
+
+    return window_partition(x, window)
+
+
+def _window_reverse(x, w, h, window):
+    from .mobile_sam import window_reverse
+
+    return window_reverse(x, w, h, window)
+
+
+def vision_layer(p: Params, x, window_size: int, n_heads: int, n_rows: int, rope_scale: float):
+    """(reference vision_layer, sam3.h:457-483). x: (B, h, w, C)."""
+    b, h, w, c = x.shape
+    res = x
+    y = layer_norm(p["layer_norm1"], x)
+    if window_size > 0:
+        y = _window_partition(y, window_size)
+    else:
+        y = y.reshape(b, h * w, c)
+    y = rope_attention(p["attention"], y, n_heads, n_rows, rope_scale)
+    if window_size > 0:
+        y = _window_reverse(y, w, h, window_size)
+    else:
+        y = y.reshape(b, h, w, c)
+    x = res + y
+    return x + vision_mlp(p["mlp"], layer_norm(p["layer_norm2"], x))
+
+
+def vision_transformer(p: Params, image, vp: Sam3VitParams):
+    """(reference vision_transformer, sam3.h:485-515).
+    image: (B, H, W, 3) -> (B, hp, wp, C)."""
+    x = vision_embed(p["embeddings"], image, vp.patch_size)
+    x = layer_norm(p["layer_norm"], x)
+    n_rows_global = image.shape[2] // vp.patch_size
+    scale_global = float(vp.window_size) / float(vp.image_size // vp.patch_size)
+    for i in range(vp.n_layers):
+        is_global = i in vp.global_attn_indexes
+        window = 0 if is_global else vp.window_size
+        n_rows = n_rows_global if is_global else vp.window_size
+        scale = scale_global if is_global else 1.0
+        x = vision_layer(p["layers"][i], x, window, vp.n_heads, n_rows, scale)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# FPN neck (reference sam3.h:517-613)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def sine_position_embedding(width: int, height: int, n_pos_feats: int, normalize: bool = True):
+    """(reference sine_position_embedding, sam3.h:524-563).
+    Returns (height, width, 2*n_pos_feats) f32: y features then x features."""
+    temperature, scale, eps = 10000.0, 2.0 * math.pi, 1e-6
+    k = np.arange(n_pos_feats)
+    dim_t = temperature ** (2.0 * (k // 2) / n_pos_feats)
+    y = np.arange(1, height + 1, dtype=np.float64)
+    x = np.arange(1, width + 1, dtype=np.float64)
+    if normalize:
+        y = y / (height + eps) * scale
+        x = x / (width + eps) * scale
+    yv = y[:, None] / dim_t[None, :]  # (H, F)
+    xv = x[:, None] / dim_t[None, :]  # (W, F)
+    y_feat = np.where(k % 2 == 0, np.sin(yv), np.cos(yv))  # (H, F)
+    x_feat = np.where(k % 2 == 0, np.sin(xv), np.cos(xv))  # (W, F)
+    out = np.empty((height, width, 2 * n_pos_feats), np.float32)
+    out[:, :, :n_pos_feats] = y_feat[:, None, :]
+    out[:, :, n_pos_feats:] = x_feat[None, :, :]
+    return out
+
+
+def fpn_layer(p: Params, x, index: int):
+    """(reference fpn_layer, sam3.h:566-587)."""
+    if index == 0:
+        x = conv_transpose_2d(p["scale_layers"][0], x, 2)
+        x = gelu(x)
+        x = conv_transpose_2d(p["scale_layers"][2], x, 2)
+    elif index == 1:
+        x = conv_transpose_2d(p["scale_layers"][0], x, 2)
+    elif index == 3:
+        x = max_pool_2d(x, 2, 2)
+    x = conv_2d(p["proj1"], x, 1, 0)
+    x = conv_2d(p["proj2"], x, 1, 1)
+    return x
+
+
+class VisionOutput(NamedTuple):
+    fpn_hidden_states: list
+    fpn_position_encoding: list
+
+
+def vision_neck(p: Params, x) -> VisionOutput:
+    """(reference vision_neck, sam3.h:589-602). x: (B, h, w, C)."""
+    hidden, pe = [], []
+    for i in range(4):
+        h = fpn_layer(p["fpn_layers"][i], x, i)
+        hidden.append(h)
+        pe.append(jnp.asarray(sine_position_embedding(h.shape[2], h.shape[1], h.shape[3] // 2)))
+    return VisionOutput(hidden, pe)
+
+
+def encode_vision(p: Params, image, vp: Sam3VitParams = Sam3VitParams()) -> VisionOutput:
+    """(reference encode_vision, sam3.h:604-613)."""
+    x = vision_transformer(p["backbone"], image, vp)
+    return vision_neck(p["neck"], x)
+
+
+def sam3_process_input(img: Image) -> np.ndarray:
+    """Resize to 1008 square, map to [-1, 1] (reference sam3.h:619-622)."""
+    resized = image_scale(img, (1008, 1008))
+    out = image_u8_to_f32(resized, ImageFormat.rgb_f32, offset=(-0.5,) * 4, scale=(2.0,) * 4)
+    return out.data
