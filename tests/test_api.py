@@ -1,0 +1,128 @@
+"""High-level API, converter, and CLI tests (reference analogs: A1-A6 of
+SURVEY.md §2.6 and the converter contract T1)."""
+
+import numpy as np
+import pytest
+import torch
+
+from vision_tpu.api import ModelFamily, load_model, model_detect_family
+from vision_tpu.convert.convert import build_attention_bias_indices, convert_model
+from vision_tpu.core.gguf import GGUFFile, GGUFWriter
+from vision_tpu.image import ImageFormat, image_load_array, image_save
+
+from workbench import randomize
+
+
+def _write_min_gguf(path, arch):
+    w = GGUFWriter(path, arch)
+    w.add(f"{arch}.dummy", 1)
+    w.write()
+    return str(path)
+
+
+def test_model_detect_family(tmp_path):
+    assert model_detect_family(_write_min_gguf(tmp_path / "a.gguf", "mobile-sam")) == ModelFamily.sam
+    assert model_detect_family(_write_min_gguf(tmp_path / "b.gguf", "birefnet")) == ModelFamily.birefnet
+    assert model_detect_family(_write_min_gguf(tmp_path / "c.gguf", "esrgan")) == ModelFamily.esrgan
+    assert model_detect_family(_write_min_gguf(tmp_path / "d.gguf", "depthanything")) == ModelFamily.depth_anything
+    with pytest.raises(Exception):
+        model_detect_family(_write_min_gguf(tmp_path / "e.gguf", "unknown-arch"))
+
+
+def test_convert_esrgan_and_load(tmp_path):
+    """torch checkpoint -> convert_model -> generic load_model -> compute."""
+    from test_esrgan import RRDBNet
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    ckpt = tmp_path / "esrgan.pth"
+    torch.save(t.state_dict(), ckpt)
+    out = convert_model("esrgan", ckpt, tmp_path / "esrgan.gguf")
+    f = GGUFFile(out)
+    assert f.arch == "esrgan"
+    assert f.get_int("esrgan.scale") == 4
+    assert f.get_int("esrgan.block_count") == 1
+    assert f.tensor_layout == "whcn"
+    assert len(f.conv2d_weight_indices()) > 0
+
+    from vision_tpu.core.device import BackendType, backend_init
+
+    model = load_model(str(out), backend_init(BackendType.cpu))
+    img = image_load_array(np.random.default_rng(0).integers(0, 256, (24, 32, 3)).astype(np.uint8))
+    result = model.compute(img, tile_size=32, batch=1)
+    assert result.extent == (128, 96)
+
+
+def test_convert_f16(tmp_path):
+    from test_esrgan import RRDBNet
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    ckpt = tmp_path / "e.pth"
+    torch.save(t.state_dict(), ckpt)
+    out = convert_model("esrgan", ckpt, tmp_path / "e16.gguf", float_type="f16")
+    f = GGUFFile(out)
+    from vision_tpu.core.gguf import GGMLType
+
+    assert f.tensors["model.0.weight"].ggml_type == GGMLType.F16
+    assert f.metadata["general.file_type"] == 1
+
+
+def test_convert_sam_special_tensors(tmp_path):
+    """attention_biases indexing, BN fusion, dense PE baking."""
+    sd = {}
+    g = torch.Generator().manual_seed(0)
+    # a Conv2d_BN pair
+    sd["image_encoder.patch_embed.seq.0.c.weight"] = torch.randn(8, 3, 3, 3, generator=g)
+    sd["image_encoder.patch_embed.seq.0.bn.weight"] = torch.rand(8, generator=g) + 0.5
+    sd["image_encoder.patch_embed.seq.0.bn.bias"] = torch.randn(8, generator=g)
+    sd["image_encoder.patch_embed.seq.0.bn.running_mean"] = torch.randn(8, generator=g)
+    sd["image_encoder.patch_embed.seq.0.bn.running_var"] = torch.rand(8, generator=g) + 0.5
+    # attention biases with 4 heads -> resolution 7
+    sd["image_encoder.layers.1.blocks.0.attn.attention_biases"] = torch.randn(4, 25 * 7 - 126 + 28, generator=g)
+    # gaussian matrix
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = torch.randn(2, 16, generator=g)
+    ckpt = tmp_path / "sam.pth"
+    torch.save(sd, ckpt)
+    out = convert_model("sam", ckpt, tmp_path / "sam.gguf")
+    f = GGUFFile(out)
+    names = f.tensor_names()
+    assert "enc.patch_embed.seq.0.c.weight" in names
+    assert "enc.patch_embed.seq.0.c.bias" in names
+    assert not any("bn" in n for n in names)
+    biased = f.tensor("enc.layers.1.blocks.0.attn.attention_biases_indexed")
+    assert biased.shape == (4, 49, 49)
+    pe = f.tensor("dec.dense_positional_embedding")
+    assert pe.shape == (64, 64, 32)
+    # fused conv matches manual fusion
+    w = f.tensor("enc.patch_embed.seq.0.c.weight")
+    scale = (sd["image_encoder.patch_embed.seq.0.bn.weight"] /
+             torch.sqrt(sd["image_encoder.patch_embed.seq.0.bn.running_var"] + 1e-5))
+    expected = sd["image_encoder.patch_embed.seq.0.c.weight"] * scale[:, None, None, None]
+    np.testing.assert_allclose(w, expected.numpy(), atol=1e-6)
+
+
+def test_cli_esrgan(tmp_path, monkeypatch):
+    """CLI end-to-end smoke test (reference A5)."""
+    from test_esrgan import RRDBNet, _write_gguf
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    model_path = _write_gguf(tmp_path / "esrgan.gguf", t, 4, 1)
+    img = image_load_array(np.random.default_rng(0).integers(0, 256, (20, 24, 3)).astype(np.uint8))
+    inp = tmp_path / "in.png"
+    image_save(img, inp)
+    outp = tmp_path / "out.png"
+
+    from vision_tpu.cli import main
+
+    rc = main(["esrgan", "-m", str(model_path), "-i", str(inp), "-o", str(outp), "-b", "cpu", "--tile", "32"])
+    assert rc == 0
+    from vision_tpu.image import image_load
+
+    out = image_load(outp)
+    assert out.extent == (96, 80)
+
+
+def test_cli_missing_model(tmp_path):
+    from vision_tpu.cli import main
+
+    rc = main(["esrgan", "-m", "nonexistent.gguf", "-i", "x.png", "-b", "cpu"])
+    assert rc == 1

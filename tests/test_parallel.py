@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §2.8: the distributed axis is TPU-native dp/tp sharding)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vision_tpu.core.params import Params
+from vision_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    shard_params,
+    sharded_forward,
+    training_step,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, tp=2)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    mesh1 = make_mesh(8, tp=1)
+    assert dict(mesh1.shape) == {"dp": 8, "tp": 1}
+
+
+def test_shard_params_rules():
+    mesh = make_mesh(8, tp=2)
+    params = {
+        "blocks.0.attn.qkv.weight": np.zeros((96, 32), np.float32),
+        "blocks.0.mlp.fc1.weight": np.zeros((128, 32), np.float32),
+        "blocks.0.mlp.fc2.weight": np.zeros((32, 128), np.float32),
+        "blocks.0.norm.weight": np.zeros(32, np.float32),
+        "odd.qkv.weight": np.zeros((7, 5), np.float32),  # not divisible -> replicated
+    }
+    sharded = shard_params(params, mesh)
+    specs = {k: v.sharding.spec for k, v in sharded.items()}
+    assert specs["blocks.0.attn.qkv.weight"] == P("tp", None)
+    assert specs["blocks.0.mlp.fc1.weight"] == P("tp", None)
+    assert specs["blocks.0.mlp.fc2.weight"] == P(None, "tp")
+    assert specs["blocks.0.norm.weight"] == P()
+    assert specs["odd.qkv.weight"] == P()
+
+
+def test_sharded_forward_matches_single_device():
+    """dp-sharded execution must be numerically identical to single-device."""
+    from vision_tpu.ops import linear
+
+    mesh = make_mesh(8, tp=2)
+    rng = np.random.default_rng(0)
+    params = {
+        "qkv.weight": rng.standard_normal((64, 32)).astype(np.float32),
+        "qkv.bias": rng.standard_normal(64).astype(np.float32),
+    }
+
+    def fn(weights, x):
+        return linear(Params(weights)["qkv"], x)
+
+    x = rng.standard_normal((16, 32)).astype(np.float32)
+    expected = fn(params, x)
+    sharded = shard_params(params, mesh)
+    out = sharded_forward(fn, mesh)(sharded, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_training_step_runs_and_updates():
+    mesh = make_mesh(8, tp=2)
+    rng = np.random.default_rng(1)
+    params = {"qkv.weight": rng.standard_normal((64, 32)).astype(np.float32)}
+
+    def loss_fn(weights, batch):
+        y = batch @ weights["qkv.weight"].T
+        return jnp.mean(y**2)
+
+    step = training_step(loss_fn, mesh, lr=0.1)
+    sharded = shard_params(params, mesh)
+    batch = rng.standard_normal((16, 32)).astype(np.float32)
+    with mesh:
+        loss, new_params = step(sharded, jnp.asarray(batch))
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(new_params["qkv.weight"]).sum()) != pytest.approx(
+        float(np.abs(params["qkv.weight"]).sum())
+    )
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

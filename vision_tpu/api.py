@@ -1,0 +1,81 @@
+"""High-level model API — load/compute for every architecture.
+
+Re-provision of the reference's vision.h/vision.cpp surface (SURVEY.md A1/A2):
+per-arch ``*_load_model`` / ``*_compute`` pairs plus ``model_detect_family``
+that maps a GGUF's ``general.architecture`` string to the right family
+(reference src/visp/vision.cpp:7-21).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from .core.device import Device, backend_init
+from .core.errors import raise_error
+from .core.gguf import GGUFFile, model_load
+
+__all__ = ["ModelFamily", "model_detect_family", "load_model"]
+
+
+class ModelFamily(Enum):
+    sam = "sam"
+    birefnet = "birefnet"
+    depth_anything = "depth_anything"
+    migan = "migan"
+    esrgan = "esrgan"
+    yolov9t = "yolov9t"
+    sam3 = "sam3"
+
+
+_ARCH_TO_FAMILY = {
+    "mobile-sam": ModelFamily.sam,
+    "sam": ModelFamily.sam,
+    "birefnet": ModelFamily.birefnet,
+    "depthanything": ModelFamily.depth_anything,
+    "depth-anything": ModelFamily.depth_anything,
+    "migan": ModelFamily.migan,
+    "esrgan": ModelFamily.esrgan,
+    "yolov9t": ModelFamily.yolov9t,
+    "sam3": ModelFamily.sam3,
+}
+
+
+def model_detect_family(file: GGUFFile | str) -> ModelFamily:
+    """(reference model_detect_family, vision.cpp:7-21)."""
+    if isinstance(file, str):
+        file = model_load(file)
+    fam = _ARCH_TO_FAMILY.get(file.arch)
+    if fam is None:
+        raise_error("Unknown model architecture: '{}' ({})", file.arch, file.path)
+    return fam
+
+
+def load_model(filepath: str, device: Device | None = None):
+    """Generic loader: detect the family and dispatch to the arch loader."""
+    device = device or backend_init()
+    family = model_detect_family(filepath)
+    if family == ModelFamily.sam:
+        from .models.mobile_sam import sam_load_model
+
+        return sam_load_model(filepath, device)
+    if family == ModelFamily.birefnet:
+        from .models.birefnet import birefnet_load_model
+
+        return birefnet_load_model(filepath, device)
+    if family == ModelFamily.depth_anything:
+        from .models.depth_anything import depthany_load_model
+
+        return depthany_load_model(filepath, device)
+    if family == ModelFamily.migan:
+        from .models.migan import migan_load_model
+
+        return migan_load_model(filepath, device)
+    if family == ModelFamily.esrgan:
+        from .models.esrgan import esrgan_load_model
+
+        return esrgan_load_model(filepath, device)
+    if family == ModelFamily.yolov9t:
+        from .models.yolov9t import yolov9t_load_model
+
+        return yolov9t_load_model(filepath, device)
+    raise_error("No high-level loader for family {}", family)

@@ -1,0 +1,216 @@
+"""Command-line interface.
+
+Re-provision of the reference CLI (src/cli/cli.cpp + the separate YOLO CLI
+src/cli/inference_yolov9t.cpp, SURVEY.md A5/A6):
+
+    vision-cli <sam|birefnet|depthany|migan|esrgan|yolov9t> [options]
+
+with the reference's options (-i/-o/-m/-p, --composite, --tile), model
+search paths (./models, $VISION_MODEL_DIR, XDG data dirs —
+reference cli.cpp:248-282), and per-phase timing printouts
+(cli.cpp:203-216,320-325).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+from .core.device import BackendType, backend_init
+from .core.errors import VispError
+
+USAGE_COMMANDS = {
+    "sam": "MobileSAM image segmentation",
+    "birefnet": "BirefNet background removal",
+    "depthany": "Depth-Anything depth estimation",
+    "migan": "MI-GAN inpainting",
+    "esrgan": "ESRGAN/Real-ESRGAN upscaling",
+    "yolov9t": "YOLOv9t object detection",
+}
+
+
+class _Timer:
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        print(f"{self.label}... ", end="", flush=True)
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            print(f"done ({time.perf_counter() - self.t0:.2f}s)")
+
+
+def find_model(name_or_path: str) -> str:
+    """Model search paths (reference find_model, cli.cpp:248-282)."""
+    p = Path(name_or_path)
+    if p.exists():
+        return str(p)
+    candidates = [Path("models")]
+    if env := os.environ.get("VISION_MODEL_DIR"):
+        candidates.append(Path(env))
+    xdg = os.environ.get("XDG_DATA_HOME") or (Path.home() / ".local" / "share")
+    candidates.append(Path(xdg) / "vision_tpu" / "models")
+    for c in candidates:
+        if (c / name_or_path).exists():
+            return str(c / name_or_path)
+    raise VispError(f"Model file not found: {name_or_path}")
+
+
+def _composite(image, mask, output_path):
+    """--composite via foreground estimation (reference cli.cpp:327-347)."""
+    from .image import (
+        ImageFormat,
+        image_estimate_foreground,
+        image_f32_to_u8,
+        image_save,
+        image_u8_to_f32,
+    )
+
+    img_f = image_u8_to_f32(image, ImageFormat.rgba_f32)
+    mask_f = image_u8_to_f32(mask, ImageFormat.alpha_f32)
+    fg = image_estimate_foreground(img_f, mask_f)
+    out = image_f32_to_u8(fg, ImageFormat.rgba_u8)
+    image_save(out, output_path)
+    print(f"-> image composited and saved to {output_path}")
+
+
+def _device(args):
+    btype = None
+    if args.backend == "cpu":
+        btype = BackendType.cpu
+    elif args.backend in ("gpu", "tpu"):
+        btype = BackendType.tpu | BackendType.gpu
+    dev = backend_init(btype)
+    print(f"Using device: {dev.jax_device} ({dev.type.name}, {dev.preferred_float_type.__name__})")
+    return dev
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="vision-cli", description="TPU-native vision model inference"
+    )
+    parser.add_argument("command", choices=list(USAGE_COMMANDS.keys()), help="model to run")
+    parser.add_argument("-i", "--input", nargs="+", required=True, help="input image(s)")
+    parser.add_argument("-o", "--output", default="output.png", help="output file")
+    parser.add_argument("-m", "--model", default=None, help="model file (.gguf)")
+    parser.add_argument("-p", "--prompt", nargs="+", type=int, default=None, help="prompt coords")
+    parser.add_argument("-b", "--backend", default=None, choices=["cpu", "gpu", "tpu"])
+    parser.add_argument("--composite", default=None, help="composite input image with mask")
+    parser.add_argument("--tile", type=int, default=-1, help="tile size for large images")
+    parser.add_argument("--conf", type=float, default=0.25, help="yolo confidence threshold")
+    parser.add_argument("--iou", type=float, default=0.45, help="yolo IoU threshold")
+    args = parser.parse_args(argv)
+
+    from .image import image_load, image_save
+
+    try:
+        dev = _device(args)
+        model_path = find_model(args.model) if args.model else None
+        if model_path is None:
+            raise VispError("No model specified (-m). ")
+
+        if args.command == "sam":
+            from .models.mobile_sam import sam_load_model
+
+            with _Timer("Loading model weights"):
+                model = sam_load_model(model_path, dev)
+            image = image_load(args.input[0])
+            with _Timer("Encoding image"):
+                model.encode(image)
+            prompt = args.prompt or [image.width // 2, image.height // 2]
+            with _Timer("Predicting mask"):
+                if len(prompt) >= 4:
+                    mask = model.compute(box=((prompt[0], prompt[1]), (prompt[2], prompt[3])))
+                else:
+                    mask = model.compute(point=(prompt[0], prompt[1]))
+            image_save(mask, args.output)
+            print(f"-> mask saved to {args.output}")
+            if args.composite:
+                _composite(image, mask, args.composite)
+
+        elif args.command == "birefnet":
+            from .models.birefnet import birefnet_load_model
+
+            with _Timer("Loading model weights"):
+                model = birefnet_load_model(model_path, dev)
+            image = image_load(args.input[0])
+            with _Timer("Running inference"):
+                mask = model.compute(image)
+            image_save(mask, args.output)
+            print(f"-> mask saved to {args.output}")
+            if args.composite:
+                _composite(image, mask, args.composite)
+
+        elif args.command == "depthany":
+            from .image import ImageFormat, image_f32_to_u8
+            from .models.depth_anything import depthany_load_model
+
+            with _Timer("Loading model weights"):
+                model = depthany_load_model(model_path, dev)
+            image = image_load(args.input[0])
+            with _Timer("Running inference"):
+                depth = model.compute(image)
+            image_save(image_f32_to_u8(depth, ImageFormat.alpha_u8), args.output)
+            print(f"-> depth map saved to {args.output}")
+
+        elif args.command == "migan":
+            from .models.migan import migan_load_model
+
+            if len(args.input) != 2:
+                raise VispError("migan expects -i <image> <mask>")
+            with _Timer("Loading model weights"):
+                model = migan_load_model(model_path, dev)
+            image = image_load(args.input[0])
+            mask = image_load(args.input[1])
+            with _Timer("Running inference"):
+                out = model.compute(image, mask)
+            image_save(out, args.output)
+            print(f"-> inpainted image saved to {args.output}")
+
+        elif args.command == "esrgan":
+            from .models.esrgan import ESRGAN_DEFAULT_TILE_SIZE, esrgan_load_model
+
+            with _Timer("Loading model weights"):
+                model = esrgan_load_model(model_path, dev)
+            image = image_load(args.input[0])
+            tile = args.tile if args.tile > 0 else ESRGAN_DEFAULT_TILE_SIZE
+            with _Timer("Running inference"):
+                out = model.compute(image, tile_size=tile)
+            image_save(out, args.output)
+            print(f"-> upscaled image saved to {args.output}")
+
+        elif args.command == "yolov9t":
+            from .models.yolov9t import COCO_CLASS_NAMES, yolov9t_load_model
+
+            with _Timer("Loading model weights"):
+                model = yolov9t_load_model(model_path, dev)
+            image = image_load(args.input[0])
+            with _Timer("Running inference"):
+                dets = model.compute(image, args.conf, args.iou)
+            print(f"Found {len(dets)} objects:")
+            for d in dets:
+                name = COCO_CLASS_NAMES[d.class_id] if d.class_id < len(COCO_CLASS_NAMES) else str(d.class_id)
+                print(
+                    f"  {name:>14s} {d.confidence:.2f} "
+                    f"[{d.x1:.0f}, {d.y1:.0f}, {d.x2:.0f}, {d.y2:.0f}]"
+                )
+            from .models.yolov9t import draw_detections
+
+            out = draw_detections(image, dets)
+            image_save(out, args.output)
+            print(f"-> annotated image saved to {args.output}")
+
+        return 0
+    except VispError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

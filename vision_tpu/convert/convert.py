@@ -1,0 +1,408 @@
+"""Model weight conversion: torch checkpoints (.pt/.pth/.safetensors) -> GGUF.
+
+Re-provision of the reference's scripts/convert.py with identical output
+semantics so the produced files interoperate with both frameworks:
+
+  * per-arch tensor renames (image_encoder->enc, mask_decoder->dec, ...)
+  * conv+BN fusion into a single conv with bias (convert.py:157-197) and
+    standalone BN->mul/add fusion (convert.py:133-154)
+  * SAM attention-bias index tables and dense positional embeddings baked
+    at conversion (convert.py:250-282)
+  * per-arch metadata KVs ({arch}.image_size, swin.embed_dim, dino.*, ...)
+  * layout: torch NCHW ("whcn") by default with a `{arch}.conv2d_weights`
+    index list, or pre-permuted "cwhn" on request
+
+Usage: python -m vision_tpu.convert.convert <arch> model.pth -o out.gguf
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import math
+from pathlib import Path
+
+import numpy as np
+
+from ..core.errors import raise_error
+from ..core.gguf import GGMLType, GGUFWriter
+
+__all__ = ["convert_model"]
+
+BN_EPS = 1e-5
+CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)
+
+
+def _load_checkpoint(path: Path) -> dict[str, np.ndarray]:
+    import torch
+
+    if path.suffix in (".safetensors", ".safetensor"):
+        try:
+            from safetensors import safe_open
+        except ImportError:
+            raise_error("safetensors is not available in this environment")
+        with safe_open(str(path), "pt") as f:
+            return {k: f.get_tensor(k).float().numpy() for k in f.keys()}
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def is_conv_2d(name: str, t: np.ndarray) -> bool:
+    return (
+        t.ndim == 4
+        and t.shape[2] == t.shape[3]
+        and t.shape[2] in CONV_KERNEL_SIZES
+        and name.endswith("weight")
+    )
+
+
+def conv_2d_to_nhwc(k: np.ndarray) -> np.ndarray:
+    if k.shape[1] == 1:  # depthwise
+        return np.ascontiguousarray(k.transpose(2, 3, 1, 0))
+    return np.ascontiguousarray(k.transpose(0, 2, 3, 1))
+
+
+class Writer:
+    """GGUFWriter wrapper tracking layout + conv2d index list
+    (reference convert.py Writer, :45-97)."""
+
+    def __init__(self, path, arch, float_type=None):
+        self.w = GGUFWriter(path, arch)
+        self.arch = arch
+        self.float_type = float_type
+        self.layout = "unknown"
+        self.conv2d_weights: list[int] = []
+        self._index = 0
+
+    def add(self, key, value):
+        self.w.add(key, value)
+
+    def set_layout_default(self, layout):
+        if self.layout == "unknown":
+            self.layout = layout
+            self.w.add(f"{self.arch}.tensor_data_layout", layout)
+
+    def add_tensor(self, name, t: np.ndarray, float_type=None):
+        ft = float_type or self.float_type
+        gt = None
+        if ft == "f16" and t.dtype == np.float32:
+            gt = GGMLType.F16
+        if ft == "f32":
+            gt = GGMLType.F32
+        self.w.add_tensor(name, t, gt)
+        self._index += 1
+
+    def convert_tensor_2d(self, t: np.ndarray) -> np.ndarray:
+        if self.layout == "cwhn":
+            return conv_2d_to_nhwc(t)
+        self.conv2d_weights.append(self._index)
+        return t
+
+    def finish(self):
+        if self.conv2d_weights:
+            self.w.add(f"{self.arch}.conv2d_weights", self.conv2d_weights)
+        self.w.add("general.file_type", 1 if self.float_type == "f16" else 0)
+        self.w.write()
+
+
+def fuse_batch_norm(model: dict, key: str, key_bn: str):
+    """Standalone BN -> mul/add (reference convert.py:133-154).
+    Returns None if the tensor is consumed (running stats)."""
+    sw, sb = f"{key_bn}.weight", f"{key_bn}.bias"
+    if key.endswith(sw):
+        base = key[: -len(sw)]
+        var = model[f"{base}{key_bn}.running_var"]
+        return model[key] / np.sqrt(var + BN_EPS)
+    if key.endswith(sb):
+        base = key[: -len(sb)]
+        w = model[f"{base}{key_bn}.weight"]
+        mean = model[f"{base}{key_bn}.running_mean"]
+        var = model[f"{base}{key_bn}.running_var"]
+        return model[key] - mean * w / np.sqrt(var + BN_EPS)
+    if key.endswith(f"{key_bn}.running_mean") or key.endswith(f"{key_bn}.running_var"):
+        return None
+    return model[key]
+
+
+def fuse_conv_2d_batch_norm(model, key, name, key_module, key_conv, key_norm, writer: Writer):
+    """Conv+BN fusion (reference convert.py:157-197). Returns True when the
+    key was handled (fused or skipped)."""
+    suffix_conv = f"{key_module}{key_conv}.weight"
+    suffix_bias = f"{key_module}{key_conv}.bias"
+    suffix_norm = f"{key_module}{key_norm}."
+
+    if key.endswith(suffix_conv):
+        base = key[: -len(suffix_conv)]
+        bn_w = model.get(f"{base}{suffix_norm}weight")
+        if bn_w is None:
+            return False
+        bn_b = model[f"{base}{suffix_norm}bias"]
+        bn_mean = model[f"{base}{suffix_norm}running_mean"]
+        bn_var = model[f"{base}{suffix_norm}running_var"]
+        conv_b = model.get(f"{base}{suffix_bias}", np.zeros_like(bn_b))
+        scale = bn_w / np.sqrt(bn_var + BN_EPS)
+        fused_w = model[key] * scale[:, None, None, None]
+        fused_b = (conv_b - bn_mean) * scale + bn_b
+        fused_w = writer.convert_tensor_2d(fused_w)
+        writer.add_tensor(name, fused_w)
+        writer.add_tensor(name.replace("weight", "bias"), fused_b)
+        return True
+    if key.endswith(suffix_bias):
+        base = key[: -len(suffix_bias)]
+        return f"{base}{suffix_norm}weight" in model
+    if suffix_norm in key:
+        return True
+    return False
+
+
+def build_attention_bias_indices(resolution: int) -> np.ndarray:
+    points = list(itertools.product(range(resolution), range(resolution)))
+    offsets, idxs = {}, []
+    for p1 in points:
+        for p2 in points:
+            off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+            offsets.setdefault(off, len(offsets))
+            idxs.append(offsets[off])
+    n = len(points)
+    return np.asarray(idxs, np.int64).reshape(n, n)
+
+
+def build_dense_positional_embeddings(gaussian: np.ndarray, size: int = 64) -> np.ndarray:
+    """(reference convert.py:265-282)."""
+    ye = (np.cumsum(np.ones((size, size)), 0) - 0.5) / size
+    xe = (np.cumsum(np.ones((size, size)), 1) - 0.5) / size
+    coords = np.stack([xe, ye], -1)
+    proj = (2 * coords - 1) @ gaussian * (2 * np.pi)
+    return np.concatenate([np.sin(proj), np.cos(proj)], -1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# per-arch converters
+# ---------------------------------------------------------------------------
+
+
+def convert_sam(model: dict, w: Writer):
+    """(reference convert_sam, convert.py:220-262)."""
+    w.set_layout_default("whcn")
+    for key, t in model.items():
+        name = (
+            key.replace("image_encoder.", "enc.")
+            .replace("mask_decoder.", "dec.")
+            .replace("_image_to_token.", "_i2t.")
+            .replace("_token_to_image.", "_t2i.")
+        )
+        if name.endswith("attention_biases"):
+            heads = t.shape[0]
+            resolution = {4: 7, 5: 14, 10: 7}[heads]
+            idxs = build_attention_bias_indices(resolution)
+            w.add_tensor(name + "_indexed", t[:, idxs])
+            continue
+        if "local_conv" in key:
+            old = w.layout
+            w.layout = "cwhn"
+            handled = fuse_conv_2d_batch_norm(model, key, name, "", "c", "bn", w)
+            w.layout = old
+            if handled:
+                continue
+        if fuse_conv_2d_batch_norm(model, key, name, "", "c", "bn", w):
+            continue
+        if name.endswith("neck.0.weight") or name.endswith("neck.2.weight"):
+            t = w.convert_tensor_2d(t)
+        if key == "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            w.add_tensor("dec.dense_positional_embedding", build_dense_positional_embeddings(t), "f32")
+        if name in ("dec.iou_token.weight", "dec.mask_tokens.weight"):
+            w.add_tensor(name, t, "f32")
+            continue
+        w.add_tensor(name, t)
+
+
+def convert_birefnet(model: dict, w: Writer, filename: str):
+    """(reference convert_birefnet, convert.py convert_birefnet)."""
+    w.set_layout_default("whcn")
+    x = model["bb.layers.0.blocks.0.attn.proj.bias"]
+    if x.shape[0] == 96:
+        w.add("swin.config", "tiny")
+        w.add("swin.embed_dim", 96)
+    elif x.shape[0] == 192:
+        w.add("swin.config", "large")
+        w.add("swin.embed_dim", 192)
+    else:
+        raise_error("Unsupported Swin Transformer embed dim: {}", x.shape[0])
+    image_size = 1024
+    if "HR" in filename or "2K" in filename:
+        image_size = 2048
+    elif "dynamic" in filename:
+        image_size = -1
+    w.add("birefnet.image_size", image_size)
+    w.add("birefnet.image_multiple", 128)
+    for key, t in model.items():
+        name = (
+            key.replace("decoder_block", "block")
+            .replace("atrous_conv", "conv")
+            .replace("modulator_conv", "modulator")
+            .replace("offset_conv", "offset")
+            .replace("regular_conv", "conv")
+        )
+        if name.endswith("relative_position_index"):
+            continue
+        if fuse_conv_2d_batch_norm(model, key, name, "global_avg_pool.", "1", "2", w):
+            continue
+        if fuse_conv_2d_batch_norm(model, key, name, "dec_att.", "conv1", "bn1", w):
+            continue
+        if fuse_conv_2d_batch_norm(model, key, name, "", "conv_in", "bn_in", w):
+            continue
+        if fuse_conv_2d_batch_norm(model, key, name, "", "conv_out", "bn_out", w):
+            continue
+        handled = False
+        for i in (2, 3, 4):
+            if fuse_conv_2d_batch_norm(model, key, name, f"gdt_convs_{i}.", "0", "1", w):
+                handled = True
+                break
+        if handled:
+            continue
+        t = fuse_batch_norm(model, key, "bn")
+        if t is None:
+            continue
+        if is_conv_2d(name, t):
+            if "patch_embed" in name:
+                t = conv_2d_to_nhwc(t)
+            else:
+                t = w.convert_tensor_2d(t)
+        w.add_tensor(name, t)
+
+
+def convert_depth_anything(model: dict, w: Writer):
+    """(reference convert_depth_anything)."""
+    w.set_layout_default("whcn")
+    shape = model["backbone.embeddings.patch_embeddings.projection.weight"].shape
+    w.add("dino.patch_size", int(shape[2]))
+    w.add("dino.embed_dim", int(shape[0]))
+    w.add("depthanything.image_size", 518)
+    heads_layers = {384: (6, 12, [2, 5, 8, 11]), 768: (12, 12, [2, 5, 8, 11]), 1024: (16, 24, [4, 11, 17, 23])}
+    nh, nl, fl = heads_layers[shape[0]]
+    w.add("dino.n_heads", nh)
+    w.add("dino.n_layers", nl)
+    w.add("depthanything.feature_layers", fl)
+    for key, t in model.items():
+        name = key
+        if is_conv_2d(name, t):
+            if "patch_embeddings" in name or ("projection" in name and "fusion" not in name):
+                t = conv_2d_to_nhwc(t)
+            elif "0.resize" in name or "1.resize" in name:
+                pass
+            else:
+                t = w.convert_tensor_2d(t)
+        if "position_embeddings" in name or "cls_token" in name:
+            w.add_tensor(name, t, "f32")
+            continue
+        w.add_tensor(name, t)
+
+
+def convert_migan(model: dict, w: Writer):
+    w.set_layout_default("whcn")
+    if "encoder.b512.fromrgb.weight" in model:
+        w.add("migan.image_size", 512)
+    elif "encoder.b256.fromrgb.weight" in model:
+        w.add("migan.image_size", 256)
+    for name, t in model.items():
+        if is_conv_2d(name, t):
+            t = w.convert_tensor_2d(t)
+        w.add_tensor(name, t)
+
+
+def convert_esrgan(model: dict, w: Writer, scale: int = 4, n_blocks: int | None = None):
+    """Old-arch ESRGAN state dicts (the reference goes through spandrel;
+    here `model.N...` naming is expected directly)."""
+    w.set_layout_default("whcn")
+    if n_blocks is None:
+        n_blocks = 0
+        for k in model:
+            parts = k.split(".")
+            if len(parts) > 3 and parts[0] == "model" and parts[1] == "1" and parts[2] == "sub":
+                if parts[3].isdigit() and "RDB" in k:
+                    n_blocks = max(n_blocks, int(parts[3]) + 1)
+    w.add("esrgan.scale", scale)
+    w.add("esrgan.block_count", n_blocks)
+    for name, t in model.items():
+        if is_conv_2d(name, t):
+            t = w.convert_tensor_2d(t)
+        w.add_tensor(name, t)
+
+
+def convert_yolov9t(model: dict, w: Writer):
+    """YOLOv9t with BN fused to mul/add (reference scripts/yolov9t.py flow)."""
+    w.set_layout_default("whcn")
+    for key, t in model.items():
+        out = fuse_batch_norm(model, key, "bn")
+        if out is None:
+            continue
+        if is_conv_2d(key, out):
+            out = w.convert_tensor_2d(out)
+        if key.endswith("bn.num_batches_tracked"):
+            continue
+        w.add_tensor(key, out)
+
+
+ARCH_NAMES = {
+    "sam": "mobile-sam",
+    "birefnet": "birefnet",
+    "depth-anything": "depthanything",
+    "migan": "migan",
+    "esrgan": "esrgan",
+    "yolov9t": "yolov9t",
+}
+
+
+def convert_model(
+    arch: str,
+    input_path: str | Path,
+    output_path: str | Path,
+    float_type: str | None = None,
+    layout: str | None = None,
+    esrgan_scale: int = 4,
+) -> Path:
+    input_path, output_path = Path(input_path), Path(output_path)
+    model = _load_checkpoint(input_path)
+    w = Writer(output_path, ARCH_NAMES.get(arch, arch), float_type)
+    if layout:
+        w.layout = layout
+        w.add(f"{w.arch}.tensor_data_layout", layout)
+    if arch == "sam":
+        convert_sam(model, w)
+    elif arch == "birefnet":
+        convert_birefnet(model, w, input_path.name)
+    elif arch in ("depth-anything", "depthany"):
+        convert_depth_anything(model, w)
+    elif arch == "migan":
+        convert_migan(model, w)
+    elif arch == "esrgan":
+        convert_esrgan(model, w, scale=esrgan_scale)
+    elif arch == "yolov9t":
+        convert_yolov9t(model, w)
+    else:
+        raise_error("Unknown architecture: {}", arch)
+    w.finish()
+    return output_path
+
+
+def main():
+    p = argparse.ArgumentParser(description="Convert model weights to GGUF")
+    p.add_argument("arch", choices=list(ARCH_NAMES.keys()))
+    p.add_argument("input")
+    p.add_argument("--output", "-o", default="models")
+    p.add_argument("--quantize", "-q", choices=["f16"], default=None)
+    p.add_argument("--layout", "-l", choices=["whcn", "cwhn"], default=None)
+    p.add_argument("--esrgan-scale", type=int, default=4)
+    args = p.parse_args()
+    out = Path(args.output)
+    if out.is_dir() or out.suffix != ".gguf":
+        suffix = f"-{args.quantize.upper()}" if args.quantize else ""
+        out = out / f"{Path(args.input).stem}{suffix}.gguf"
+    result = convert_model(args.arch, args.input, out, args.quantize, args.layout, args.esrgan_scale)
+    print(f"-> {result}")
+
+
+if __name__ == "__main__":
+    main()

@@ -370,6 +370,41 @@ def yolov9t_load_model(filepath: str, device: Device | None = None) -> Yolov9tMo
     return Yolov9tModel(params, p, device)
 
 
+def get_class_color(class_id: int) -> tuple[int, int, int]:
+    """HSV-derived per-class color (reference get_class_color,
+    yolov9t.cpp:1420-1442)."""
+    h = (class_id * 137) % 360
+    s, v = 0.8, 0.95
+    c = v * s
+    x = c * (1 - abs((h / 60.0) % 2 - 1))
+    m = v - c
+    r1, g1, b1 = [
+        (c, x, 0), (x, c, 0), (0, c, x), (0, x, c), (x, 0, c), (c, 0, x),
+    ][int(h // 60) % 6]
+    return (int((r1 + m) * 255), int((g1 + m) * 255), int((b1 + m) * 255))
+
+
+def draw_detections(image: Image, detections: list[Detection], thickness: int = 2) -> Image:
+    """Draw boxes + labels (reference draw_detections, yolov9t.cpp:1444-1546;
+    PIL replaces the hand-rolled 5x7 font rasterizer)."""
+    from PIL import Image as PILImage, ImageDraw
+
+    a = image.data
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    pil = PILImage.fromarray(a[:, :, :3])
+    draw = ImageDraw.Draw(pil)
+    for d in detections:
+        color = get_class_color(d.class_id)
+        name = COCO_CLASS_NAMES[d.class_id] if d.class_id < len(COCO_CLASS_NAMES) else str(d.class_id)
+        draw.rectangle([d.x1, d.y1, d.x2, d.y2], outline=color, width=thickness)
+        label = f"{name} {d.confidence:.2f}"
+        tw = draw.textlength(label)
+        draw.rectangle([d.x1, max(0, d.y1 - 12), d.x1 + tw + 4, d.y1], fill=color)
+        draw.text((d.x1 + 2, max(0, d.y1 - 12)), label, fill=(0, 0, 0))
+    return image_load_array(np.asarray(pil), ImageFormat.rgb_u8)
+
+
 COCO_CLASS_NAMES = [
     "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train", "truck", "boat",
     "traffic light", "fire hydrant", "stop sign", "parking meter", "bench", "bird", "cat",

@@ -1,0 +1,126 @@
+"""Multi-chip scaling via jax.sharding over a device mesh.
+
+The reference is a single-process, single-device engine (SURVEY.md §2.8 —
+no NCCL/MPI/DP/TP anywhere); the distributed axis of this framework is
+defined TPU-natively: shard the batch (images / tiles) over a ``dp`` mesh
+axis and optionally shard wide weights over a ``tp`` axis, and let XLA
+insert the collectives (psum for dp gradient/activation reductions,
+all-gather for tp outputs) over ICI.
+
+Design:
+  * ``make_mesh(n, tp)`` — (dp, tp) mesh over the available devices.
+  * ``shard_params`` — apply name-pattern rules mapping dotted GGUF names
+    to PartitionSpecs; everything else is replicated. The default rules
+    shard the big attention/MLP projection matrices over ``tp``.
+  * ``sharded_forward`` / ``training_step`` — jit with explicit
+    in/out shardings; the training step (forward + grad + SGD update)
+    exists to validate the full collective pattern (dp grad psum + tp
+    weight updates) end-to-end, and doubles as the multi-chip dry-run
+    entrypoint.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "batch_sharding",
+    "shard_params",
+    "sharded_forward",
+    "training_step",
+]
+
+# Default tensor-parallel rules: dotted-name regex -> PartitionSpec.
+# Linear weights are torch-canonical (out, in): column-parallel shards dim 0,
+# row-parallel shards dim 1.
+DEFAULT_TP_RULES: tuple[tuple[str, P], ...] = (
+    (r".*\bqkv\.weight$", P("tp", None)),
+    (r".*\bqkv\.bias$", P("tp")),
+    (r".*\b(fc1|lin1)\.weight$", P("tp", None)),
+    (r".*\b(fc1|lin1)\.bias$", P("tp")),
+    (r".*\b(fc2|lin2)\.weight$", P(None, "tp")),
+    (r".*\bproj\.weight$", P(None, "tp")),
+)
+
+
+def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, tp) mesh. dp = n_devices // tp."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices]).reshape(n_devices // tp, tp)
+    return Mesh(devices, ("dp", "tp"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_params(
+    params: Mapping[str, Any],
+    mesh: Mesh,
+    rules: Sequence[tuple[str, P]] = DEFAULT_TP_RULES,
+) -> dict[str, jax.Array]:
+    """Place parameters on the mesh: rule-matched tensors are tp-sharded
+    (when divisible), the rest replicated."""
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+    tp_size = mesh.shape["tp"]
+    out = {}
+    for name, value in params.items():
+        spec = P()
+        if tp_size > 1:
+            for pat, s in compiled:
+                if pat.match(name):
+                    # only shard when the dimension divides evenly
+                    dims = np.shape(value)
+                    ok = all(
+                        ax is None or (i < len(dims) and dims[i] % tp_size == 0)
+                        for i, ax in enumerate(s)
+                    )
+                    if ok:
+                        spec = s
+                    break
+        out[name] = jax.device_put(value, NamedSharding(mesh, spec))
+    return out
+
+
+def sharded_forward(fn: Callable, mesh: Mesh) -> Callable:
+    """jit ``fn(params, x)`` with batch sharded over dp; params keep their
+    placement (replicated or tp-sharded)."""
+    return jax.jit(fn, in_shardings=(None, batch_sharding(mesh)), out_shardings=batch_sharding(mesh))
+
+
+def training_step(loss_fn: Callable, mesh: Mesh, lr: float = 1e-3) -> Callable:
+    """Build a jitted SGD step: grads of ``loss_fn(params, batch)`` w.r.t.
+    params, dp-mean'd by XLA (psum over the dp axis happens automatically
+    from the batch sharding), applied in-place.
+
+    Used by the multi-chip dry-run to validate that the full dp x tp
+    collective pattern compiles and executes.
+    """
+
+    def step(params, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: (p - lr * g.astype(p.dtype)) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+            grads,
+        )
+        return loss, new_params
+
+    return jax.jit(step, in_shardings=(None, batch_sharding(mesh)), donate_argnums=(0,))
