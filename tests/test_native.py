@@ -1,0 +1,93 @@
+"""Native C++ host-ops library tests: build it, then check exact agreement
+with the numpy reference implementations (the reference's pure C++ unit
+tests tier, SURVEY.md §4.1)."""
+
+import numpy as np
+import pytest
+
+from vision_tpu import native
+from vision_tpu.image import Image, ImageFormat, image_blur, image_erosion, image_load_array
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+def test_version_and_error():
+    lib = native.lib()
+    assert lib.visp_version() == 100
+    lib.visp_set_last_error(b"boom")
+    assert lib.visp_get_last_error() == b"boom"
+
+
+def test_box_blur_matches_numpy(rng):
+    from vision_tpu.image.image import _box_blur_axis
+
+    a = rng.random((17, 23, 4)).astype(np.float32)
+    for radius in (1, 3, 7):
+        expected = _box_blur_axis(_box_blur_axis(a, radius, axis=1), radius, axis=0)
+        actual = native.box_blur_native(a, radius)
+        np.testing.assert_allclose(actual, expected, atol=1e-5)
+
+
+def test_blur_through_image_layer(rng):
+    a = rng.random((16, 16, 1)).astype(np.float32)
+    out = image_blur(image_load_array(a, ImageFormat.alpha_f32), 2)
+    assert out.data.shape == (16, 16, 1)
+    np.testing.assert_allclose(
+        image_blur(image_load_array(np.full((8, 8, 1), 0.5, np.float32), ImageFormat.alpha_f32), 2).data,
+        0.5,
+        atol=1e-6,
+    )
+
+
+def test_erosion_matches_numpy(rng):
+    a = rng.random((12, 15)).astype(np.float32)
+    expected = image_erosion(image_load_array(a[:, :, None], ImageFormat.alpha_f32), 2).data[:, :, 0]
+    actual = native.erosion_native(a, 2)
+    np.testing.assert_allclose(actual, expected, atol=1e-7)
+
+
+def test_nms_matches_python(rng):
+    n = 200
+    boxes = rng.random((n, 4)).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + rng.random((n, 2)).astype(np.float32) * 50 + 1
+    scores = rng.random(n).astype(np.float32)
+    cls = rng.integers(0, 5, n).astype(np.int32)
+
+    kept = native.nms_native(boxes, scores, cls, 0.45)
+
+    # python reference (same algorithm as models/yolov9t.py fallback)
+    order = np.argsort(-scores, kind="stable")
+    alive = np.ones(n, bool)
+    expected = []
+    for ii, i in enumerate(order):
+        if not alive[i]:
+            continue
+        expected.append(int(i))
+        ci = cls[i] * 7680
+        b1 = [boxes[i][0] + ci, boxes[i][1], boxes[i][2] + ci, boxes[i][3]]
+        a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+        for j in order[ii + 1 :]:
+            if not alive[j]:
+                continue
+            cj = cls[j] * 7680
+            b2 = [boxes[j][0] + cj, boxes[j][1], boxes[j][2] + cj, boxes[j][3]]
+            ix = max(0.0, min(b1[2], b2[2]) - max(b1[0], b2[0]))
+            iy = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
+            inter = ix * iy
+            a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+            if inter / (a1 + a2 - inter + 1e-9) > 0.45:
+                alive[j] = False
+    assert kept == expected[:300]
+
+
+def test_yolo_nms_uses_native(rng):
+    """End-to-end: non_max_suppression picks the native path and agrees with
+    the python fallback."""
+    from vision_tpu.models import yolov9t as y
+
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32)
+    scores = np.zeros((3, 2), np.float32)
+    scores[0, 0], scores[1, 0], scores[2, 1] = 0.9, 0.8, 0.7
+    dets = y.non_max_suppression(boxes, scores, 0.25, 0.45)
+    assert len(dets) == 2
+    assert {d.class_id for d in dets} == {0, 1}

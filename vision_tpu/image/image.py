@@ -343,11 +343,17 @@ def _box_blur_axis(a: np.ndarray, radius: int, axis: int) -> np.ndarray:
 
 
 def image_blur(src: Image, radius: int) -> Image:
-    """Separable box blur, f32 formats only (reference image.cpp:410-419)."""
+    """Separable box blur, f32 formats only (reference image.cpp:410-419).
+    Uses the native C++ sliding-window kernel when built."""
     if src.format not in (ImageFormat.alpha_f32, ImageFormat.rgba_f32):
         raise_error("Unsupported image format for blur operation")
     if radius <= 0:
         raise_error("blur radius must be > 0")
+    from ..native import box_blur_native
+
+    native = box_blur_native(src.data, radius)
+    if native is not None:
+        return Image(native, src.format)
     a = _box_blur_axis(src.data, radius, axis=1)  # horizontal
     a = _box_blur_axis(a, radius, axis=0)  # vertical
     return Image(np.ascontiguousarray(a), src.format)

@@ -257,10 +257,13 @@ class BirefnetModel:
 
     def _fn(self, extent):
         if extent not in self._jit:
-            p = self.p
+            p, dtype = self.p, self.device.preferred_float_type
 
             @jax.jit
-            def run(weights, x):
+            def run(weights, x_u8):
+                from ..ops.preprocess import normalize_u8
+
+                x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
                 return birefnet_predict(Params(weights), x, p)
 
             self._jit[extent] = run
@@ -269,13 +272,8 @@ class BirefnetModel:
     def compute(self, image: Image) -> Image:
         extent = birefnet_image_extent(image.extent, self.p, self.device.max_alloc)
         img = image if image.extent == extent else image_scale(image, extent)
-        x = image_u8_to_f32(
-            img,
-            ImageFormat.rgb_f32,
-            offset=tuple(-m for m in IMAGENET_MEAN),
-            scale=tuple(1.0 / s for s in IMAGENET_STD),
-        )
-        y = self._fn(extent)(self.params, jnp.asarray(x.data[None], self.device.preferred_float_type))
+        a = img.data[:, :, :3] if img.channels >= 3 else np.repeat(img.data, 3, axis=2)
+        y = self._fn(extent)(self.params, jnp.asarray(a[None]))
         mask = np.asarray(y.astype(jnp.float32))[0]
         out = Image(np.ascontiguousarray(mask), ImageFormat.alpha_f32)
         if out.extent != image.extent:

@@ -175,10 +175,13 @@ class DepthAnythingModel:
 
     def _fn(self, extent):
         if extent not in self._jit:
-            p, flash = self.p, bool(self.device.flags.value & 1)
+            p, dtype = self.p, self.device.preferred_float_type
 
             @jax.jit
-            def run(weights, x):
+            def run(weights, x_u8):
+                from ..ops.preprocess import normalize_u8
+
+                x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
                 return depthany_predict(Params(weights), x, p, flash=False)
 
             self._jit[extent] = run
@@ -187,14 +190,9 @@ class DepthAnythingModel:
     def compute(self, image: Image) -> Image:
         extent = depthany_image_extent(image.extent, self.p)
         img = image if image.extent == extent else image_scale(image, extent)
-        x = image_u8_to_f32(
-            img,
-            ImageFormat.rgb_f32,
-            offset=tuple(-m for m in IMAGENET_MEAN),
-            scale=tuple(1.0 / s for s in IMAGENET_STD),
-        )
+        a = img.data[:, :, :3] if img.channels >= 3 else np.repeat(img.data, 3, axis=2)
         fn = self._fn(extent)
-        y = fn(self.params, jnp.asarray(x.data[None], self.device.preferred_float_type))
+        y = fn(self.params, jnp.asarray(a[None]))
         depth = np.asarray(y.astype(jnp.float32))[0]
         out = Image(np.ascontiguousarray(depth), ImageFormat.alpha_f32)
         out = image_normalize(out)

@@ -79,7 +79,11 @@ def _conv_block(p: Params, x):
 
 
 def residual_dense_block(p: Params, x):
-    """5-conv dense block, 0.2 residual (reference esrgan.cpp:27-41)."""
+    """5-conv dense block, 0.2 residual (reference esrgan.cpp:27-41).
+
+    (A split-weight no-concat variant was measured identical in device time
+    at 4x the compile cost — the bottleneck is the 32-wide growth-channel
+    outputs underfilling MXU lanes, not the concat materialization.)"""
     x1 = _conv_block(p["conv1"], x)
     c1 = jnp.concatenate([x, x1], axis=-1)
     x2 = _conv_block(p["conv2"], c1)
@@ -139,37 +143,80 @@ class EsrganModel:
         self.device = device
         self._jit = {}
 
+    def _compute_whole(self, image: Image) -> Image:
+        """Single-program path: u8 in, u8 out, zero host-side pixel math."""
+        key = ("whole", image.extent)
+        if key not in self._jit:
+            p, dtype = self.p, self.device.preferred_float_type
+
+            @jax.jit
+            def run(weights, x_u8):
+                from ..ops.preprocess import normalize_u8
+
+                x = normalize_u8(x_u8, dtype=dtype)
+                y = esrgan_generate(Params(weights), x, p)
+                y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
+                return y.astype(jnp.uint8)
+
+            self._jit[key] = run
+        src = image.data
+        if image.channels == 4:
+            src = src[:, :, :3]
+        elif image.channels == 1:
+            src = np.repeat(src, 3, axis=2)
+        if np.issubdtype(src.dtype, np.floating):
+            src = np.clip(src * 255.0, 0, 255).astype(np.uint8)
+        y = np.asarray(self._jit[key](self.params, jnp.asarray(src[None])))[0]
+        rgba = np.concatenate([y, np.full((*y.shape[:2], 1), 255, np.uint8)], axis=2)
+        return Image(np.ascontiguousarray(rgba), ImageFormat.rgba_u8)
+
     def _fn(self, batch: int, tile: tuple[int, int]):
         key = (batch, tile)
         if key not in self._jit:
-            p = self.p
+            p, dtype = self.p, self.device.preferred_float_type
 
             @partial(jax.jit)
-            def run(weights, x):
+            def run(weights, x_u8):
+                from ..ops.preprocess import normalize_u8
+
+                x = normalize_u8(x_u8, dtype=dtype)
                 return esrgan_generate(Params(weights), x, p)
 
             self._jit[key] = run
         return self._jit[key]
 
-    def compute(self, image: Image, tile_size: int = ESRGAN_DEFAULT_TILE_SIZE, batch: int = 4) -> Image:
+    def compute(self, image: Image, tile_size: int | None = None, batch: int = 4) -> Image:
         """Tiled super-resolution (reference esrgan_compute, vision.cpp:220-253).
-        All tiles are batched device-side; merge happens on host."""
+
+        TPU-first: the default tile size is 1024 — measured conv throughput
+        at 64 channels is ~4.4x higher at 1024^2 than at the reference's
+        224^2 tiles (small spatial extents underutilize the MXU), and HBM
+        easily holds the whole-image activations. Images beyond the tile
+        size fall back to batched-tile execution with host-side merge.
+        """
+        if tile_size is None:
+            from ..core.device import BackendType
+
+            tile_size = 1024 if self.device.type & BackendType.tpu else ESRGAN_DEFAULT_TILE_SIZE
+        if max(image.extent) <= tile_size:
+            return self._compute_whole(image)
         tiles = TileLayout(image.extent, tile_size, ESRGAN_TILE_OVERLAP)
         tiles_out = tile_scale(tiles, self.p.scale)
         tw, th = tiles.tile_size
         n = tiles.total()
 
         # gather tiles with replicate padding (reference image_u8_to_f32
-        # tiled reads, image.cpp:219-226) — vectorized host-side
-        src = image.data.astype(np.float32)
+        # tiled reads, image.cpp:219-226) — vectorized host-side, still u8;
+        # the /255 cast happens on device
+        src = image.data
         if image.channels == 4:
             src = src[:, :, :3]
         elif image.channels == 1:
             src = np.repeat(src, 3, axis=2)
-        if not np.issubdtype(image.data.dtype, np.floating):
-            src = src / 255.0
+        if np.issubdtype(src.dtype, np.floating):
+            src = np.clip(src * 255.0, 0, 255).astype(np.uint8)
         h, w = src.shape[:2]
-        stack = np.empty((n, th, tw, 3), np.float32)
+        stack = np.empty((n, th, tw, 3), np.uint8)
         for t in range(n):
             cx, cy = tiles.coord(t)
             sx, sy = tiles.start((cx, cy))
@@ -178,14 +225,13 @@ class EsrganModel:
             stack[t] = src[np.ix_(ys, xs)]
 
         fn = self._fn(batch, (tw, th))
-        dtype = self.device.preferred_float_type
         out_tiles = np.empty((n, th * self.p.scale, tw * self.p.scale, 3), np.float32)
         for i in range(0, n, batch):
             chunk = stack[i : i + batch]
             pad = batch - chunk.shape[0]
             if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad, th, tw, 3), np.float32)], 0)
-            y = fn(self.params, jnp.asarray(chunk, dtype))
+                chunk = np.concatenate([chunk, np.zeros((pad, th, tw, 3), np.uint8)], 0)
+            y = fn(self.params, jnp.asarray(chunk))
             out_tiles[i : i + batch] = np.asarray(y.astype(jnp.float32))[: batch - pad if pad else batch]
 
         # overlap blend (reference tile_merge, image.cpp:655-693)

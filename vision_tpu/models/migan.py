@@ -186,17 +186,29 @@ class MiganModel:
         self.params = params
         self.p = p
         self.device = device
-        pp = self.p
+        pp, dtype = self.p, device.preferred_float_type
 
         @jax.jit
-        def run(weights, x):
+        def run(weights, img_u8, mask_u8):
+            # device-side preprocess (reference migan::preprocess,
+            # migan.cpp:142-157): [alpha-0.5, alpha*(2rgb-1)]
+            rgb = img_u8.astype(jnp.float32) / 255.0
+            alpha = mask_u8.astype(jnp.float32) / 255.0
+            if pp.invert_mask:
+                alpha = 1.0 - alpha
+            color = alpha * (rgb * 2.0 - 1.0)
+            x = jnp.concatenate([alpha - 0.5, color], axis=-1).astype(dtype)
             return migan_generate(Params(weights), x, pp)
 
         self._run = run
 
     def compute(self, image: Image, mask: Image) -> Image:
-        x = migan_process_input(image, mask, self.p)
-        y = self._run(self.params, jnp.asarray(x[None], self.device.preferred_float_type))
+        res = (self.p.resolution, self.p.resolution)
+        img_r = image if image.extent == res else image_scale(image, res)
+        mask_r = mask if mask.extent == res else image_scale(mask, res)
+        a = img_r.data[:, :, :3] if img_r.channels >= 3 else np.repeat(img_r.data, 3, axis=2)
+        m = mask_r.data[:, :, :1]
+        y = self._run(self.params, jnp.asarray(a[None]), jnp.asarray(m[None]))
         out = np.asarray(y.astype(jnp.float32))[0]
         out_img = Image(np.ascontiguousarray(out), ImageFormat.rgb_f32)
         if out_img.extent != image.extent:

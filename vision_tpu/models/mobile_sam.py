@@ -429,8 +429,27 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406, 0.0)
 IMAGENET_STD = (0.229, 0.224, 0.225, 1.0)
 
 
+def sam_process_input_u8(image: Image, p: SamParams = SamParams()) -> np.ndarray:
+    """Resize longest side to 1024 + replicate-pad, still uint8.
+    Normalization runs on device (ops/preprocess.py)."""
+    scale = resize_longest_side(image.extent, p.image_size)
+    if scale != 1.0:
+        target = (int(image.extent[0] * scale + 0.5), int(image.extent[1] * scale + 0.5))
+        image = image_scale(image, target)
+    a = image.data
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    elif a.shape[2] == 4:
+        a = a[:, :, :3]
+    # replicate-pad to square (matches image_u8_to_f32's clamped tiled reads)
+    ys = np.minimum(np.arange(p.image_size), a.shape[0] - 1)
+    xs = np.minimum(np.arange(p.image_size), a.shape[1] - 1)
+    return np.ascontiguousarray(a[np.ix_(ys, xs)])
+
+
 def sam_process_input(image: Image, p: SamParams = SamParams()) -> np.ndarray:
-    """Resize longest side to 1024, pad bottom/right, ImageNet normalize."""
+    """Resize longest side to 1024, pad bottom/right, ImageNet normalize
+    (host-side f32 variant, reference mobile-sam.cpp:533-547)."""
     scale = resize_longest_side(image.extent, p.image_size)
     if scale != 1.0:
         target = (int(image.extent[0] * scale + 0.5), int(image.extent[1] * scale + 0.5))
@@ -491,8 +510,13 @@ class SamModel:
         self.image_extent: tuple[int, int] | None = None
         self.embed = None
 
+        dtype = device.preferred_float_type
+
         @jax.jit
-        def enc(weights, x):
+        def enc(weights, x_u8):
+            from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
+
+            x = normalize_u8(x_u8, MEAN, STD, dtype)
             return sam_encode_image(Params(weights), x)
 
         @jax.jit
@@ -513,8 +537,8 @@ class SamModel:
         """Run the encoder; embedding stays on device (reference sam_encode,
         vision.cpp:36-52 — the embed copy at vision.cpp:76 becomes a no-op)."""
         self.image_extent = image.extent
-        x = sam_process_input(image, self.p)
-        self.embed = self._enc(self.params, jnp.asarray(x[None], self.device.preferred_float_type))
+        x = sam_process_input_u8(image, self.p)
+        self.embed = self._enc(self.params, jnp.asarray(x[None]))
 
     def compute(self, point=None, box=None) -> Image:
         """Predict a mask for a point or box prompt (vision.cpp:54-95)."""

@@ -304,6 +304,14 @@ def non_max_suppression(
     if cand_boxes.shape[0] > max_nms:
         order = np.argsort(-cand_scores)[:max_nms]
         cand_boxes, cand_scores, cand_cls = cand_boxes[order], cand_scores[order], cand_cls[order]
+    from ..native import nms_native
+
+    kept_native = nms_native(cand_boxes, cand_scores, cand_cls, iou_thres, max_wh, max_det)
+    if kept_native is not None:
+        return [
+            Detection(*cand_boxes[i].tolist(), confidence=float(cand_scores[i]), class_id=int(cand_cls[i]))
+            for i in kept_native
+        ]
     order = np.argsort(-cand_scores, kind="stable")
     keep_flag = np.ones(len(order), bool)
     kept = []
@@ -344,18 +352,20 @@ class Yolov9tModel:
         self.params = params
         self.p = p
         self.device = device
-        pp = p
+        pp, dtype = p, device.preferred_float_type
 
         @jax.jit
-        def run(weights, x):
+        def run(weights, x_u8):
+            from ..ops.preprocess import normalize_u8
+
+            x = normalize_u8(x_u8, dtype=dtype)
             return yolov9t_forward(Params(weights), x, pp)
 
         self._run = run
 
     def compute(self, image: Image, conf_thres=0.25, iou_thres=0.45) -> list[Detection]:
         arr, gain, dw, dh = letterbox(image, self.p.input_size)
-        x = arr.astype(np.float32) / 255.0
-        out = self._run(self.params, jnp.asarray(x[None], self.device.preferred_float_type))
+        out = self._run(self.params, jnp.asarray(arr[None]))
         boxes = np.asarray(out.boxes.astype(jnp.float32))[0]
         scores = np.asarray(out.scores.astype(jnp.float32))[0]
         dets = non_max_suppression(boxes, scores, conf_thres, iou_thres)
