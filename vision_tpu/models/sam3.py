@@ -399,3 +399,64 @@ def sam3_process_input(img: Image) -> np.ndarray:
     resized = image_scale(img, (1008, 1008))
     out = image_u8_to_f32(resized, ImageFormat.rgb_f32, offset=(-0.5,) * 4, scale=(2.0,) * 4)
     return out.data
+
+
+class Sam3Model:
+    """High-level handle for the WIP SAM3 scope: tokenizer + text encoder +
+    vision encoder/neck (no mask decoder yet, matching the reference)."""
+
+    def __init__(self, params: dict, tokenizer: ClipTokenizer, max_tokens: int, device):
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_tokens = max_tokens
+        self.device = device
+        import jax
+
+        @jax.jit
+        def text_fn(weights, ids, mask):
+            return encode_text(Params(weights)["det"], ids, mask)
+
+        @jax.jit
+        def vision_fn(weights, image):
+            out = encode_vision(Params(weights)["det.ve"], image)
+            return tuple(out.fpn_hidden_states)
+
+        self._text_fn = text_fn
+        self._vision_fn = vision_fn
+
+    def encode_text(self, text: str):
+        toks = self.tokenizer.tokenize(text, self.max_tokens)
+        import jax.numpy as jnp
+
+        return self._text_fn(
+            self.params, jnp.asarray(toks.token_ids[None]), jnp.asarray(toks.attention_mask)
+        )
+
+    def encode_vision(self, image: Image):
+        import jax.numpy as jnp
+
+        x = sam3_process_input(image)
+        return self._vision_fn(self.params, jnp.asarray(x[None], self.device.preferred_float_type))
+
+
+def sam3_load_model(filepath: str, device=None) -> Sam3Model:
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.device import backend_init
+    from ..core.gguf import model_load
+    from ..core.weights import load_weights
+
+    device = device or backend_init()
+    file = model_load(filepath)
+    tokenizer = clip_tokenizer_init(file)
+    max_tokens = file.get_int("sam3.tokenizer.max_length", 32)
+    raw = load_weights(file, device=None, as_numpy=True)
+    dtype = device.preferred_float_type
+    params = {}
+    for k, v in raw.items():
+        a = jax.device_put(v, device.jax_device)
+        if np.issubdtype(v.dtype, np.floating):
+            a = a.astype(dtype)
+        params[k] = a
+    return Sam3Model(params, tokenizer, max_tokens, device)

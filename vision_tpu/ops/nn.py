@@ -224,6 +224,11 @@ def attention_core(q, k, v, mask=None, scale: float | None = None, flash: bool =
     (XLA/pallas) — numerics match to bf16 tolerance."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if flash and mask is None and q.shape[2] >= 1024:
+        from .pallas import flash_attention, pallas_available
+
+        if pallas_available():
+            return flash_attention(q, k, v, scale=float(scale))
     if flash:
         # jax.nn.dot_product_attention expects (B, T, H, D)
         bias = None
