@@ -106,10 +106,102 @@ def _bench_sam_decode(dev, dtype):
     return lambda: float(run(params, embed, coords))
 
 
+
+def _bench_generic(make_params, forward, input_shape, u8=True, keep_f32=()):
+    import jax
+    import jax.numpy as jnp
+
+    def build(dev, dtype):
+        raw = make_params()
+        params = {}
+        for k, v in raw.items():
+            a = jax.device_put(v, dev.jax_device)
+            if v.dtype == np.float32 and not any(s in k for s in keep_f32):
+                a = a.astype(dtype)
+            params[k] = a
+
+        @jax.jit
+        def run(w, x):
+            return jnp.sum(forward(w, x, dtype).astype(jnp.float32))
+
+        if u8:
+            x = jnp.asarray(np.random.default_rng(0).integers(0, 256, input_shape, dtype=np.uint8))
+        else:
+            x = jnp.asarray(np.random.default_rng(0).standard_normal(input_shape), dtype)
+        return lambda: float(run(params, x))
+
+    return build
+
+
+def _make_depthany(dev, dtype):
+    from .core.params import Params
+    from .models.depth_anything import DepthAnythingParams, depthany_predict
+    from .models.dino import DinoParams
+    from .models.random_weights import random_depth_anything_params
+    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+
+    p = DepthAnythingParams(dino=DinoParams(14, 384, 6, 12), feature_layers=(2, 5, 8, 11))
+
+    def forward(w, x, dt):
+        return depthany_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p)
+
+    return _bench_generic(
+        random_depth_anything_params, forward, (1, 518, 714, 3),
+        keep_f32=("position_embeddings", "cls_token"),
+    )(dev, dtype)
+
+
+def _make_migan(dev, dtype):
+    from .core.params import Params
+    from .models.migan import MiganParams, migan_generate
+    from .models.random_weights import random_migan_params
+
+    p = MiganParams(resolution=512)
+
+    def forward(w, x, dt):
+        return migan_generate(Params(w), x.astype(dt), p)
+
+    return _bench_generic(lambda: random_migan_params(512), forward, (1, 512, 512, 4), u8=False)(dev, dtype)
+
+
+def _make_yolo(dev, dtype):
+    from .core.params import Params
+    from .models.random_weights import random_yolov9t_params
+    from .models.yolov9t import Yolov9tParams, yolov9t_forward
+    from .ops.preprocess import normalize_u8
+
+    p = Yolov9tParams()
+
+    def forward(w, x, dt):
+        out = yolov9t_forward(Params(w), normalize_u8(x, dtype=dt), p)
+        return out.boxes.sum() + out.scores.sum()
+
+    return _bench_generic(random_yolov9t_params, forward, (1, 640, 640, 3))(dev, dtype)
+
+
+def _make_birefnet(dev, dtype):
+    from .core.params import Params
+    from .models.birefnet import BirefnetParams, birefnet_predict
+    from .models.random_weights import random_birefnet_params
+    from .models.swin import SWIN_T_PARAMS
+    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+
+    p = BirefnetParams(image_size=1024, image_extent=(1024, 1024), encoder=SWIN_T_PARAMS)
+
+    def forward(w, x, dt):
+        return birefnet_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p)
+
+    return _bench_generic(random_birefnet_params, forward, (1, 1024, 1024, 3))(dev, dtype)
+
+
 BENCHMARKS = {
     "sam-encode-1024": _bench_sam_encode,
     "sam-decode": _bench_sam_decode,
     "esrgan-512": _bench_esrgan,
+    "depthany-small": _make_depthany,
+    "migan-512": _make_migan,
+    "yolov9t-640": _make_yolo,
+    "birefnet-1024": _make_birefnet,
 }
 
 

@@ -136,7 +136,13 @@ def backend_init(btype: BackendType | None = None) -> Device:
 
     Order of preference: TPU > GPU > CPU, or the first device matching
     ``btype`` when given.
+
+    Debug env vars (the analog of the reference's assert/ASan build modes,
+    CMakeLists.txt:41-65): ``VISP_DEBUG_NANS=1`` enables jax_debug_nans so
+    any NaN produced inside a jitted program raises at the faulting op.
     """
+    if os.environ.get("VISP_DEBUG_NANS") not in (None, "", "0", "off", "false"):
+        jax.config.update("jax_debug_nans", True)
     devices = _all_devices()
     classified = [(d, _classify(d)) for d in devices]
     if btype is not None:
