@@ -126,3 +126,77 @@ def test_cli_missing_model(tmp_path):
 
     rc = main(["esrgan", "-m", "nonexistent.gguf", "-i", "x.png", "-b", "cpu"])
     assert rc == 1
+
+
+def test_convert_depth_anything_and_load(tmp_path):
+    """torch HF-style checkpoint -> convert -> depthany_load_model -> compute."""
+    from test_depth_anything import TDepthAnything
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.depth_anything import depthany_load_model
+
+    t = randomize(TDepthAnything())
+    ckpt = tmp_path / "da.pth"
+    torch.save(t.state_dict(), ckpt)
+    out = convert_model("depth-anything", ckpt, tmp_path / "da.gguf")
+    f = GGUFFile(out)
+    assert f.get_int("dino.patch_size") == 14
+    assert f.get_int("dino.embed_dim") == 32
+    assert f.get_int("dino.n_layers") == 4
+    assert f.get_array("depthanything.feature_layers") == [0, 1, 2, 3]
+
+    model = depthany_load_model(str(out), backend_init(BackendType.cpu))
+    img = image_load_array(np.random.default_rng(1).integers(0, 256, (80, 100, 3)).astype(np.uint8))
+    depth = model.compute(img)
+    assert depth.extent == (100, 80)
+    assert depth.format == ImageFormat.alpha_f32
+    a = depth.data
+    # normalized at inference extent; resizing back can soften the extremes
+    assert 0.0 <= float(a.min()) <= float(a.max()) <= 1.0
+    assert float(a.max()) > float(a.min())
+
+    # parity vs direct torch->jax path at the model's inference extent
+    from vision_tpu.models.depth_anything import (
+        DepthAnythingParams, depthany_image_extent, depthany_predict,
+    )
+    from vision_tpu.models.dino import DinoParams
+    from workbench import make_params
+    from vision_tpu.image import image_scale, image_u8_to_f32
+
+    p = DepthAnythingParams(
+        dino=DinoParams(14, 32, 4, 4), feature_layers=(0, 1, 2, 3)
+    )
+    extent = depthany_image_extent(img.extent, p)
+    resized = image_scale(img, extent)
+    x = image_u8_to_f32(
+        resized, ImageFormat.rgb_f32,
+        offset=(-0.485, -0.456, -0.406, 0.0),
+        scale=(1 / 0.229, 1 / 0.224, 1 / 0.225, 1.0),
+    )
+    direct = np.asarray(depthany_predict(make_params(t), x.data[None], p))[0]
+    loaded = np.asarray(
+        model._fn(extent)(model.params, np.asarray(resized.data[None]))
+    )[0]
+    np.testing.assert_allclose(loaded, direct, atol=1e-3, rtol=1e-2)
+
+
+def test_convert_migan_and_load(tmp_path):
+    """MI-GAN checkpoint -> convert -> migan_load_model -> compute."""
+    from test_migan import TMigan
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.migan import migan_load_model
+
+    t = randomize(TMigan())
+    ckpt = tmp_path / "migan.pth"
+    torch.save(t.state_dict(), ckpt)
+    out = convert_model("migan", ckpt, tmp_path / "migan.gguf")
+    f = GGUFFile(out)
+    assert f.get_int("migan.image_size") == 16
+
+    model = migan_load_model(str(out), backend_init(BackendType.cpu))
+    rng = np.random.default_rng(2)
+    img = image_load_array(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+    mask = image_load_array(np.full((16, 16, 1), 255, np.uint8))
+    result = model.compute(img, mask)
+    assert result.extent == (16, 16)
+    assert result.format == ImageFormat.rgba_u8
+    assert (result.data[:, :, 3] == 255).all()  # alpha from mask

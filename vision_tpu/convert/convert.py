@@ -281,7 +281,15 @@ def convert_depth_anything(model: dict, w: Writer):
     w.add("dino.embed_dim", int(shape[0]))
     w.add("depthanything.image_size", 518)
     heads_layers = {384: (6, 12, [2, 5, 8, 11]), 768: (12, 12, [2, 5, 8, 11]), 1024: (16, 24, [4, 11, 17, 23])}
-    nh, nl, fl = heads_layers[shape[0]]
+    if shape[0] in heads_layers:
+        nh, nl, fl = heads_layers[shape[0]]
+    else:  # non-standard checkpoint: derive from the state dict
+        nl = 1 + max(
+            int(k.split(".")[3]) for k in model if k.startswith("backbone.encoder.layer.")
+        )
+        nh = max(1, int(shape[0]) // 64) if shape[0] % 64 == 0 else 4
+        step = max(1, nl // 4)
+        fl = list(range(nl - 1, -1, -step))[:4][::-1]
     w.add("dino.n_heads", nh)
     w.add("dino.n_layers", nl)
     w.add("depthanything.feature_layers", fl)
@@ -302,10 +310,11 @@ def convert_depth_anything(model: dict, w: Writer):
 
 def convert_migan(model: dict, w: Writer):
     w.set_layout_default("whcn")
-    if "encoder.b512.fromrgb.weight" in model:
-        w.add("migan.image_size", 512)
-    elif "encoder.b256.fromrgb.weight" in model:
-        w.add("migan.image_size", 256)
+    resolutions = [
+        int(k.split(".")[1][1:]) for k in model if k.startswith("encoder.b") and k.endswith("fromrgb.weight")
+    ]
+    if resolutions:
+        w.add("migan.image_size", max(resolutions))
     for name, t in model.items():
         if is_conv_2d(name, t):
             t = w.convert_tensor_2d(t)

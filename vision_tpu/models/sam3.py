@@ -267,7 +267,7 @@ def apply_rope_2d(x, n_rows: int, scale: float = 1.0):
     return jnp.concatenate([first, second], axis=-1)
 
 
-def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float):
+def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float, flash: bool = False):
     """(reference rope_attention, sam3.h:440-455). x: (B, T, C)."""
     b, t, c = x.shape
     hd = c // n_heads
@@ -278,7 +278,7 @@ def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float):
     q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
     q = apply_rope_2d(q, n_rows, scale)
     k = apply_rope_2d(k, n_rows, scale)
-    return attention(p["o_proj"], q, k, v, None, 1.0 / math.sqrt(hd))
+    return attention(p["o_proj"], q, k, v, None, 1.0 / math.sqrt(hd), flash=flash)
 
 
 def vision_mlp(p: Params, x):
@@ -297,7 +297,7 @@ def _window_reverse(x, w, h, window):
     return window_reverse(x, w, h, window)
 
 
-def vision_layer(p: Params, x, window_size: int, n_heads: int, n_rows: int, rope_scale: float):
+def vision_layer(p: Params, x, window_size: int, n_heads: int, n_rows: int, rope_scale: float, flash: bool = False):
     """(reference vision_layer, sam3.h:457-483). x: (B, h, w, C)."""
     b, h, w, c = x.shape
     res = x
@@ -306,7 +306,7 @@ def vision_layer(p: Params, x, window_size: int, n_heads: int, n_rows: int, rope
         y = _window_partition(y, window_size)
     else:
         y = y.reshape(b, h * w, c)
-    y = rope_attention(p["attention"], y, n_heads, n_rows, rope_scale)
+    y = rope_attention(p["attention"], y, n_heads, n_rows, rope_scale, flash=flash)
     if window_size > 0:
         y = _window_reverse(y, w, h, window_size)
     else:
@@ -315,9 +315,10 @@ def vision_layer(p: Params, x, window_size: int, n_heads: int, n_rows: int, rope
     return x + vision_mlp(p["mlp"], layer_norm(p["layer_norm2"], x))
 
 
-def vision_transformer(p: Params, image, vp: Sam3VitParams):
+def vision_transformer(p: Params, image, vp: Sam3VitParams, flash: bool = False):
     """(reference vision_transformer, sam3.h:485-515).
-    image: (B, H, W, 3) -> (B, hp, wp, C)."""
+    image: (B, H, W, 3) -> (B, hp, wp, C). ``flash`` routes the global
+    layers (5184 tokens at 1008px) through the pallas fused attention."""
     x = vision_embed(p["embeddings"], image, vp.patch_size)
     x = layer_norm(p["layer_norm"], x)
     n_rows_global = image.shape[2] // vp.patch_size
@@ -327,7 +328,7 @@ def vision_transformer(p: Params, image, vp: Sam3VitParams):
         window = 0 if is_global else vp.window_size
         n_rows = n_rows_global if is_global else vp.window_size
         scale = scale_global if is_global else 1.0
-        x = vision_layer(p["layers"][i], x, window, vp.n_heads, n_rows, scale)
+        x = vision_layer(p["layers"][i], x, window, vp.n_heads, n_rows, scale, flash=is_global and flash)
     return x
 
 
@@ -388,9 +389,9 @@ def vision_neck(p: Params, x) -> VisionOutput:
     return VisionOutput(hidden, pe)
 
 
-def encode_vision(p: Params, image, vp: Sam3VitParams = Sam3VitParams()) -> VisionOutput:
+def encode_vision(p: Params, image, vp: Sam3VitParams = Sam3VitParams(), flash: bool = False) -> VisionOutput:
     """(reference encode_vision, sam3.h:604-613)."""
-    x = vision_transformer(p["backbone"], image, vp)
+    x = vision_transformer(p["backbone"], image, vp, flash=flash)
     return vision_neck(p["neck"], x)
 
 
