@@ -200,3 +200,59 @@ def test_convert_migan_and_load(tmp_path):
     assert result.extent == (16, 16)
     assert result.format == ImageFormat.rgba_u8
     assert (result.data[:, :, 3] == 255).all()  # alpha from mask
+
+
+def test_convert_yolov9t_and_load(tmp_path):
+    """YOLO checkpoint (conv+scale-shift bn) -> convert -> model -> detect."""
+    from test_yolov9t import TYolo
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.yolov9t import Yolov9tModel, Yolov9tParams
+    from vision_tpu.core.weights import load_weights
+    from vision_tpu.core.gguf import model_load
+
+    t = randomize(TYolo())
+    ckpt = tmp_path / "yolo.pth"
+    torch.save(t.state_dict(), ckpt)
+    out = convert_model("yolov9t", ckpt, tmp_path / "yolo.gguf")
+    f = GGUFFile(out)
+    assert f.arch == "yolov9t"
+    assert "model.0.conv.weight" in f.tensor_names()
+    assert "model.0.bn.weight" in f.tensor_names()
+
+    dev = backend_init(BackendType.cpu)
+    params = load_weights(model_load(str(out)), dev)
+    # width-reduced test model: n_csp=1, nc=4 -> drive yolov9t_forward directly
+    from vision_tpu.core.params import Params
+    from vision_tpu.models.yolov9t import yolov9t_forward, letterbox, non_max_suppression, scale_boxes, draw_detections
+    from vision_tpu.image import image_load_array
+
+    img = image_load_array(np.random.default_rng(3).integers(0, 256, (48, 64, 3)).astype(np.uint8))
+    arr, gain, dw, dh = letterbox(img, 64)
+    out_det = yolov9t_forward(Params(params), (arr[None].astype(np.float32) / 255.0), Yolov9tParams(num_classes=4), n_csp=1)
+    boxes = np.asarray(out_det.boxes)[0]
+    scores = np.asarray(out_det.scores)[0]
+    dets = non_max_suppression(boxes, scores, conf_thres=0.01)
+    scale_boxes(dets, img.extent, gain, dw, dh)
+    annotated = draw_detections(img, dets[:5])
+    assert annotated.extent == img.extent
+
+
+def test_sam_model_end_to_end():
+    """Full SamModel: random production weights, encode + point & box prompts
+    (reference sam hero path, vision.cpp:24-95) on CPU."""
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.mobile_sam import SamModel, SamParams, fixup_weights
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+    from vision_tpu.image import image_load_array
+
+    dev = backend_init(BackendType.cpu)
+    params = {k: np.asarray(v) for k, v in random_mobile_sam_params(0).items()}
+    model = SamModel(params, SamParams(), dev)
+    img = image_load_array(np.random.default_rng(4).integers(0, 256, (200, 300, 3)).astype(np.uint8))
+    model.encode(img)
+    assert model.embed.shape == (1, 64, 64, 256)
+    mask = model.compute(point=(150, 100))
+    assert mask.extent == (300, 200)
+    assert mask.format == ImageFormat.alpha_u8
+    mask2 = model.compute(box=((50, 50), (250, 150)))
+    assert mask2.extent == (300, 200)

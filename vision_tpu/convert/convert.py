@@ -113,13 +113,17 @@ def fuse_batch_norm(model: dict, key: str, key_bn: str):
     sw, sb = f"{key_bn}.weight", f"{key_bn}.bias"
     if key.endswith(sw):
         base = key[: -len(sw)]
-        var = model[f"{base}{key_bn}.running_var"]
+        var = model.get(f"{base}{key_bn}.running_var")
+        if var is None:  # already-fused scale/shift checkpoint
+            return model[key]
         return model[key] / np.sqrt(var + BN_EPS)
     if key.endswith(sb):
         base = key[: -len(sb)]
+        var = model.get(f"{base}{key_bn}.running_var")
+        if var is None:
+            return model[key]
         w = model[f"{base}{key_bn}.weight"]
         mean = model[f"{base}{key_bn}.running_mean"]
-        var = model[f"{base}{key_bn}.running_var"]
         return model[key] - mean * w / np.sqrt(var + BN_EPS)
     if key.endswith(f"{key_bn}.running_mean") or key.endswith(f"{key_bn}.running_var"):
         return None
