@@ -78,4 +78,8 @@ def load_model(filepath: str, device: Device | None = None):
         from .models.yolov9t import yolov9t_load_model
 
         return yolov9t_load_model(filepath, device)
+    if family == ModelFamily.sam3:
+        from .models.sam3 import sam3_load_model
+
+        return sam3_load_model(filepath, device)
     raise_error("No high-level loader for family {}", family)

@@ -175,14 +175,17 @@ class DepthAnythingModel:
 
     def _fn(self, extent):
         if extent not in self._jit:
+            from ..core.device import BuildFlag
+
             p, dtype = self.p, self.device.preferred_float_type
+            flash = bool(self.device.flags & BuildFlag.flash_attention)
 
             @jax.jit
             def run(weights, x_u8):
                 from ..ops.preprocess import normalize_u8
 
                 x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
-                return depthany_predict(Params(weights), x, p, flash=False)
+                return depthany_predict(Params(weights), x, p, flash=flash)
 
             self._jit[extent] = run
         return self._jit[extent]
