@@ -51,3 +51,16 @@ def test_timer():
         sum(range(1000))
     assert t.elapsed > 0
     assert "ms" in t.elapsed_str()
+
+
+def test_yolo_backbone_captures():
+    """All 22 layer outputs are capturable (reference --dump-keys)."""
+    from test_yolov9t import TYolo
+    from vision_tpu.models.yolov9t import Yolov9tParams, yolov9t_forward
+    from workbench import input_tensor, make_params, randomize, to_nhwc
+
+    t = randomize(TYolo())
+    x = input_tensor(1, 3, 64, 64)
+    with capture_context() as caps:
+        yolov9t_forward(make_params(t), to_nhwc(x), Yolov9tParams(num_classes=4), n_csp=1)
+    assert {f"model.{i}" for i in range(22)} <= set(caps)

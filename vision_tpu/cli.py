@@ -105,6 +105,10 @@ def main(argv=None) -> int:
     parser.add_argument("--tile", type=int, default=-1, help="tile size for large images")
     parser.add_argument("--conf", type=float, default=0.25, help="yolo confidence threshold")
     parser.add_argument("--iou", type=float, default=0.45, help="yolo IoU threshold")
+    parser.add_argument(
+        "--dump", default=None, metavar="DIR",
+        help="dump per-layer feature maps as .npy (yolo; reference --dump-keys)",
+    )
     args = parser.parse_args(argv)
 
     from .image import image_load, image_save
@@ -191,6 +195,22 @@ def main(argv=None) -> int:
             with _Timer("Loading model weights"):
                 model = yolov9t_load_model(model_path, dev)
             image = image_load(args.input[0])
+            if args.dump:
+                # eager forward under a capture context, per-layer .npy dump
+                import numpy as _np
+
+                from .core.params import Params
+                from .models.yolov9t import letterbox as _letterbox, yolov9t_forward
+                from .ops.debug import capture_context
+                from .utils import dump_captures
+
+                arr, _, _, _ = _letterbox(image, model.p.input_size)
+                with capture_context() as caps:
+                    yolov9t_forward(
+                        Params(model.params), (arr[None].astype(_np.float32) / 255.0), model.p
+                    )
+                written = dump_captures(caps, args.dump)
+                print(f"-> dumped {len(written)} feature maps to {args.dump}")
             with _Timer("Running inference"):
                 dets = model.compute(image, args.conf, args.iou)
             print(f"Found {len(dets)} objects:")

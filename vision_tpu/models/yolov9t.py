@@ -141,7 +141,11 @@ def upsample2(x):
 
 def yolov9t_backbone(p: Params, x, n_csp: int = 3):
     """22-layer DAG (reference yolov9t_backbone, yolov9t.cpp:507-628).
-    Returns the three detect inputs (features 15, 18, 21)."""
+    Returns the three detect inputs (features 15, 18, 21). Every layer
+    output is tagged for capture (the reference's --dump-keys facility,
+    yolov9t.cpp:1649-1711)."""
+    from ..ops.debug import capture
+
     m = p["model"]
     f = {}
     f[0] = conv_block(m[0], x, 3, 2)
@@ -166,6 +170,8 @@ def yolov9t_backbone(p: Params, x, n_csp: int = 3):
     f[19] = aconv(m[19], f[18])
     f[20] = jnp.concatenate([f[19], f[9]], -1)
     f[21] = rep_ncspelan4(m[21], f[20], n_csp)
+    for i, v in f.items():
+        capture(f"model.{i}", v)
     return f
 
 
