@@ -158,6 +158,17 @@ class Image:
         m = channel_map(self.format)
         return a[:, :, list(m)]
 
+    def to_rgb_u8(self) -> np.ndarray:
+        """(H, W, 3) uint8 in RGB order regardless of stored format —
+        channel-map aware (bgra/argb), grayscale replicated, f32 scaled."""
+        a = self.data
+        if is_float(self.format):
+            a = (np.clip(a, 0.0, 1.0) * 255.0).astype(np.uint8)
+        if self.channels == 1:
+            return np.repeat(a, 3, axis=2)
+        m = channel_map(self.format)
+        return np.ascontiguousarray(a[:, :, list(m[:3])])
+
     def copy(self) -> "Image":
         return Image(self.data.copy(), self.format)
 

@@ -272,7 +272,7 @@ class BirefnetModel:
     def compute(self, image: Image) -> Image:
         extent = birefnet_image_extent(image.extent, self.p, self.device.max_alloc)
         img = image if image.extent == extent else image_scale(image, extent)
-        a = img.data[:, :, :3] if img.channels >= 3 else np.repeat(img.data, 3, axis=2)
+        a = img.to_rgb_u8()
         y = self._fn(extent)(self.params, jnp.asarray(a[None]))
         mask = np.asarray(y.astype(jnp.float32))[0]
         out = Image(np.ascontiguousarray(mask), ImageFormat.alpha_f32)

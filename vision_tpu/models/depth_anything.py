@@ -193,7 +193,7 @@ class DepthAnythingModel:
     def compute(self, image: Image) -> Image:
         extent = depthany_image_extent(image.extent, self.p)
         img = image if image.extent == extent else image_scale(image, extent)
-        a = img.data[:, :, :3] if img.channels >= 3 else np.repeat(img.data, 3, axis=2)
+        a = img.to_rgb_u8()
         fn = self._fn(extent)
         y = fn(self.params, jnp.asarray(a[None]))
         depth = np.asarray(y.astype(jnp.float32))[0]

@@ -159,13 +159,7 @@ class EsrganModel:
                 return y.astype(jnp.uint8)
 
             self._jit[key] = run
-        src = image.data
-        if image.channels == 4:
-            src = src[:, :, :3]
-        elif image.channels == 1:
-            src = np.repeat(src, 3, axis=2)
-        if np.issubdtype(src.dtype, np.floating):
-            src = np.clip(src * 255.0, 0, 255).astype(np.uint8)
+        src = image.to_rgb_u8()
         y = np.asarray(self._jit[key](self.params, jnp.asarray(src[None])))[0]
         rgba = np.concatenate([y, np.full((*y.shape[:2], 1), 255, np.uint8)], axis=2)
         return Image(np.ascontiguousarray(rgba), ImageFormat.rgba_u8)
@@ -208,13 +202,7 @@ class EsrganModel:
         # gather tiles with replicate padding (reference image_u8_to_f32
         # tiled reads, image.cpp:219-226) — vectorized host-side, still u8;
         # the /255 cast happens on device
-        src = image.data
-        if image.channels == 4:
-            src = src[:, :, :3]
-        elif image.channels == 1:
-            src = np.repeat(src, 3, axis=2)
-        if np.issubdtype(src.dtype, np.floating):
-            src = np.clip(src * 255.0, 0, 255).astype(np.uint8)
+        src = image.to_rgb_u8()
         h, w = src.shape[:2]
         stack = np.empty((n, th, tw, 3), np.uint8)
         for t in range(n):

@@ -206,8 +206,10 @@ class MiganModel:
         res = (self.p.resolution, self.p.resolution)
         img_r = image if image.extent == res else image_scale(image, res)
         mask_r = mask if mask.extent == res else image_scale(mask, res)
-        a = img_r.data[:, :, :3] if img_r.channels >= 3 else np.repeat(img_r.data, 3, axis=2)
+        a = img_r.to_rgb_u8()
         m = mask_r.data[:, :, :1]
+        if np.issubdtype(m.dtype, np.floating):
+            m = (np.clip(m, 0.0, 1.0) * 255.0).astype(np.uint8)
         y = self._run(self.params, jnp.asarray(a[None]), jnp.asarray(m[None]))
         out = np.asarray(y.astype(jnp.float32))[0]
         out_img = Image(np.ascontiguousarray(out), ImageFormat.rgb_f32)

@@ -436,11 +436,7 @@ def sam_process_input_u8(image: Image, p: SamParams = SamParams()) -> np.ndarray
     if scale != 1.0:
         target = (int(image.extent[0] * scale + 0.5), int(image.extent[1] * scale + 0.5))
         image = image_scale(image, target)
-    a = image.data
-    if a.shape[2] == 1:
-        a = np.repeat(a, 3, axis=2)
-    elif a.shape[2] == 4:
-        a = a[:, :, :3]
+    a = image.to_rgb_u8()
     # replicate-pad to square (matches image_u8_to_f32's clamped tiled reads)
     ys = np.minimum(np.arange(p.image_size), a.shape[0] - 1)
     xs = np.minimum(np.arange(p.image_size), a.shape[1] - 1)

@@ -261,11 +261,7 @@ def letterbox(image: Image, new_shape: int = 640, color=(114, 114, 114), scaleup
     resized = image_scale(image, (new_w, new_h))
     left, right = round(dw - 0.1), round(dw + 0.1)
     top, bottom = round(dh - 0.1), round(dh + 0.1)
-    a = resized.data
-    if a.shape[2] == 1:
-        a = np.repeat(a, 3, axis=2)
-    elif a.shape[2] == 4:
-        a = a[:, :, :3]
+    a = resized.to_rgb_u8()
     out = np.full((new_h + top + bottom, new_w + left + right, 3), color, a.dtype)
     out[top : top + new_h, left : left + new_w] = a
     return out, r, dw, dh
