@@ -1,0 +1,79 @@
+"""CLI smoke tests across verbs (reference A5/A6). Each test builds a GGUF
+via the converter or writer, saves a PNG input, and drives `vision-cli`."""
+
+import numpy as np
+import pytest
+import torch
+
+from vision_tpu.cli import main
+from vision_tpu.core.gguf import GGUFWriter
+from vision_tpu.image import image_load, image_load_array, image_save
+
+from workbench import randomize
+
+
+def _save_img(tmp_path, name, shape, seed=0):
+    img = image_load_array(np.random.default_rng(seed).integers(0, 256, shape).astype(np.uint8))
+    p = tmp_path / name
+    image_save(img, p)
+    return str(p)
+
+
+def _gguf_from_dict(path, arch, params, meta=None):
+    w = GGUFWriter(path, arch)
+    w.add(f"{arch}.tensor_data_layout", "whcn")
+    for k, v in (meta or {}).items():
+        w.add(k, v)
+    for k, v in params.items():
+        w.add_tensor(k, v)
+    w.write()
+    return str(path)
+
+
+def test_cli_migan(tmp_path):
+    from test_migan import TMigan
+    from vision_tpu.convert.convert import convert_model
+
+    t = randomize(TMigan())
+    ckpt = tmp_path / "m.pth"
+    torch.save(t.state_dict(), ckpt)
+    model = convert_model("migan", ckpt, tmp_path / "m.gguf")
+    img = _save_img(tmp_path, "in.png", (16, 16, 3))
+    mask = _save_img(tmp_path, "mask.png", (16, 16, 1), seed=1)
+    out = tmp_path / "out.png"
+    rc = main(["migan", "-m", str(model), "-i", img, mask, "-o", str(out), "-b", "cpu"])
+    assert rc == 0
+    assert image_load(out).extent == (16, 16)
+
+
+def test_cli_depthany(tmp_path):
+    from test_depth_anything import TDepthAnything
+    from vision_tpu.convert.convert import convert_model
+
+    t = randomize(TDepthAnything())
+    ckpt = tmp_path / "d.pth"
+    torch.save(t.state_dict(), ckpt)
+    model = convert_model("depth-anything", ckpt, tmp_path / "d.gguf")
+    img = _save_img(tmp_path, "in.png", (60, 80, 3))
+    out = tmp_path / "depth.png"
+    rc = main(["depthany", "-m", str(model), "-i", img, "-o", str(out), "-b", "cpu"])
+    assert rc == 0
+    assert image_load(out).extent == (80, 60)
+
+
+@pytest.mark.slow
+def test_cli_yolov9t(tmp_path):
+    """Full-size YOLOv9t weights through the CLI (including --dump)."""
+    from vision_tpu.models.random_weights import random_yolov9t_params
+
+    model = _gguf_from_dict(tmp_path / "y.gguf", "yolov9t", random_yolov9t_params())
+    img = _save_img(tmp_path, "in.png", (120, 160, 3))
+    out = tmp_path / "boxes.png"
+    dump = tmp_path / "dump"
+    rc = main([
+        "yolov9t", "-m", str(model), "-i", img, "-o", str(out), "-b", "cpu",
+        "--conf", "0.99", "--dump", str(dump),
+    ])
+    assert rc == 0
+    assert image_load(out).extent == (160, 120)
+    assert len(list(dump.glob("*.npy"))) >= 22

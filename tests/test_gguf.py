@@ -132,3 +132,45 @@ def test_params_prefix_chaining():
     assert enc.child_count("blocks") == 2
     with pytest.raises(Exception):
         p.weight("nope")
+
+
+def test_q8_0_dequantize(tmp_path):
+    """Q8_0 quantized tensor reading (blocks of 32 int8 + f16 scale)."""
+    import struct
+
+    from vision_tpu.core.gguf import GGUF_MAGIC, dequantize_q8_0
+
+    # hand-build two blocks
+    scales = [0.5, 2.0]
+    q = np.arange(-32, 32, dtype=np.int8)
+    raw = b""
+    for i, s in enumerate(scales):
+        raw += np.float16(s).tobytes() + q[i * 32 : (i + 1) * 32].tobytes()
+    out = dequantize_q8_0(raw, 64)
+    expected = np.concatenate([q[:32].astype(np.float32) * 0.5, q[32:].astype(np.float32) * 2.0])
+    np.testing.assert_allclose(out, expected)
+
+    # full file round-trip: write a GGUF with a raw Q8_0 blob by hand
+    path = tmp_path / "q8.gguf"
+    with open(path, "wb") as f:
+        f.write(GGUF_MAGIC)
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<QQ", 1, 1))
+        key = b"general.architecture"
+        f.write(struct.pack("<Q", len(key)) + key)
+        f.write(struct.pack("<I", 8))  # STRING
+        val = b"test"
+        f.write(struct.pack("<Q", len(val)) + val)
+        name = b"qt"
+        f.write(struct.pack("<Q", len(name)) + name)
+        f.write(struct.pack("<I", 1))  # n_dims
+        f.write(struct.pack("<Q", 64))  # ne[0]
+        f.write(struct.pack("<I", 8))  # GGML_TYPE_Q8_0
+        f.write(struct.pack("<Q", 0))  # offset
+        pos = f.tell()
+        f.write(b"\0" * ((-pos) % 32))
+        f.write(raw)
+    from vision_tpu.core.gguf import GGUFFile
+
+    g = GGUFFile(path)
+    np.testing.assert_allclose(g.tensor("qt"), expected)
