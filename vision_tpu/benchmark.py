@@ -143,7 +143,7 @@ def _make_depthany(dev, dtype):
     p = DepthAnythingParams(dino=DinoParams(14, 384, 6, 12), feature_layers=(2, 5, 8, 11))
 
     def forward(w, x, dt):
-        return depthany_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p)
+        return depthany_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p, flash=True)
 
     return _bench_generic(
         random_depth_anything_params, forward, (1, 518, 714, 3),
