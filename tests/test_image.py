@@ -235,3 +235,47 @@ def test_tile_merge_reconstructs_image():
         tile = image_load_array(src[np.ix_(ys, xs)], ImageFormat.rgb_f32)
         tile_merge(tile, dst, c, lay)
     np.testing.assert_allclose(dst.data, src, atol=1e-5)
+
+
+def test_image_scale_stb_properties(rng):
+    """stb-compatible path (Catmull-Rom + sRGB): identity on constants,
+    preserves range, matches PIL roughly on smooth content."""
+    const = image_load_array(np.full((16, 16, 3), 128, np.uint8))
+    out = image_scale(const, (9, 7), method="stb")
+    assert out.extent == (9, 7)
+    assert int(out.data.min()) >= 127 and int(out.data.max()) <= 129
+
+    grad = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None], (32, 1, 3))
+    img = image_load_array(grad)
+    stb = image_scale(img, (32, 16), method="stb")
+    pil = image_scale(img, (32, 16))
+    diff = np.abs(stb.data.astype(int) - pil.data.astype(int))
+    assert diff.mean() < 12  # same image, different filter/colorspace
+
+    # alpha premultiply: fully transparent region's color must not bleed
+    rgba = np.zeros((16, 16, 4), np.uint8)
+    rgba[:, :8] = [255, 0, 0, 255]
+    rgba[:, 8:] = [0, 255, 0, 0]  # transparent green
+    out = image_scale(image_load_array(rgba), (8, 8), method="stb")
+    left = out.data[:, :3]
+    assert (left[:, :, 0].astype(int) > 200).all()  # red survives
+    assert (left[:, :, 1].astype(int) < 40).all()  # green does not bleed in
+
+
+def test_sam_compute_batch():
+    """Batched prompt decode matches per-prompt decode."""
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.mobile_sam import SamModel, SamParams
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+
+    dev = backend_init(BackendType.cpu)
+    params = {k: np.asarray(v) for k, v in random_mobile_sam_params(0).items()}
+    model = SamModel(params, SamParams(), dev)
+    img = image_load_array(np.random.default_rng(4).integers(0, 256, (96, 128, 3)).astype(np.uint8))
+    model.encode(img)
+    pts = [(30, 30), (90, 60)]
+    batch = model.compute_batch(points=pts)
+    singles = [model.compute(point=p) for p in pts]
+    assert len(batch) == 2
+    for b, s in zip(batch, singles):
+        np.testing.assert_array_equal(b.data, s.data)

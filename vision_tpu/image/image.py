@@ -320,15 +320,67 @@ def _bilinear_resize_f32(a: np.ndarray, target: tuple[int, int]) -> np.ndarray:
     return top * (1 - fy) + bot * fy
 
 
-def image_scale(img: Image, target: tuple[int, int]) -> Image:
-    """Resize (reference image_scale, image.cpp:328-356: stb bilinear-family,
-    CLAMP edges; sRGB-aware for u8). We use PIL's high-quality resampling for
-    u8 and a half-pixel-center bilinear for f32."""
+def _srgb_to_linear(u: np.ndarray) -> np.ndarray:
+    return np.where(u <= 0.04045, u / 12.92, ((u + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(v: np.ndarray) -> np.ndarray:
+    v = np.clip(v, 0.0, 1.0)
+    return np.where(v <= 0.0031308, v * 12.92, 1.055 * v ** (1 / 2.4) - 0.055)
+
+
+def _image_scale_stb_u8(img: Image, target: tuple[int, int]) -> Image:
+    """stb_image_resize-compatible u8 path (reference image.cpp:338-343):
+    Catmull-Rom filter, sRGB-aware color channels, alpha-premultiplied
+    resampling when an alpha channel exists."""
+    from ..ops.resize import resize_matrix
+
+    a = img.data.astype(np.float32) / 255.0
+    ach = alpha_channel(img.format)
+    lin = a.copy()
+    for ch in range(img.channels):
+        if ch != ach or img.channels == 1:
+            lin[:, :, ch] = _srgb_to_linear(a[:, :, ch])
+    if img.channels == 4:
+        alpha = a[:, :, ach : ach + 1]
+        for ch in range(4):
+            if ch != ach:
+                lin[:, :, ch] = lin[:, :, ch] * alpha[:, :, 0]
+        lin[:, :, ach] = alpha[:, :, 0]
+    wy = resize_matrix(img.height, target[1], "catmullrom", False)
+    wx = resize_matrix(img.width, target[0], "catmullrom", False)
+    out = np.einsum("oh,hwc->owc", wy, lin)
+    out = np.einsum("ow,hwc->hoc", wx, out)
+    if img.channels == 4:
+        alpha_r = np.clip(out[:, :, ach : ach + 1], 0.0, 1.0)
+        for ch in range(4):
+            if ch != ach:
+                out[:, :, ch] = out[:, :, ch] / np.maximum(alpha_r[:, :, 0], 1e-6)
+        out[:, :, ach] = alpha_r[:, :, 0]
+    u8 = np.empty((target[1], target[0], img.channels), np.float32)
+    for ch in range(img.channels):
+        if ch != ach or img.channels == 1:
+            u8[:, :, ch] = _linear_to_srgb(out[:, :, ch])
+        else:
+            u8[:, :, ch] = np.clip(out[:, :, ch], 0.0, 1.0)
+    return Image(np.ascontiguousarray((u8 * 255.0 + 0.5).astype(np.uint8)), img.format)
+
+
+def image_scale(img: Image, target: tuple[int, int], method: str = "auto") -> Image:
+    """Resize (reference image_scale, image.cpp:328-356: stb Catmull-Rom,
+    CLAMP edges; sRGB-aware for u8).
+
+    method="auto" uses PIL bilinear for u8 (matching the torch-side
+    preprocessing the models were trained with) and half-pixel-center
+    bilinear for f32; method="stb" reproduces the reference's
+    stb_image_resize semantics (Catmull-Rom + sRGB + alpha premultiply)."""
     if target == img.extent:
         return img.copy()
     if is_float(img.format):
         out = _bilinear_resize_f32(img.data.astype(np.float32), target)
         return Image(np.ascontiguousarray(out.astype(np.float32)), img.format)
+    if method == "stb":
+        return _image_scale_stb_u8(img, target)
     from PIL import Image as PILImage
 
     a = img.data

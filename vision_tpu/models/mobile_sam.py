@@ -527,7 +527,20 @@ class SamModel:
             prompt = sam_encode_box(pp, coords)
             return sam_predict_mask(pp, embed, prompt)
 
+        @jax.jit
+        def dec_point_batch(weights, embed, coords):  # coords: (P, 2, 2)
+            pp = Params(weights)
+            prompts = jax.vmap(lambda c: sam_encode_points(pp, c)[0])(coords)
+            return sam_predict_mask(pp, embed, prompts)
+
+        @jax.jit
+        def dec_box_batch(weights, embed, coords):  # coords: (P, 2, 2)
+            pp = Params(weights)
+            prompts = jax.vmap(lambda c: sam_encode_box(pp, c)[0])(coords)
+            return sam_predict_mask(pp, embed, prompts)
+
         self._enc, self._dec_point, self._dec_box = enc, dec_point, dec_box
+        self._dec_point_batch, self._dec_box_batch = dec_point_batch, dec_box_batch
 
     def encode(self, image: Image) -> None:
         """Run the encoder; embedding stays on device (reference sam_encode,
@@ -549,6 +562,29 @@ class SamModel:
         iou = np.asarray(pred.iou.astype(jnp.float32))[0]
         idx = int(np.argmax(iou[:3]))
         return sam_process_mask(masks, idx, self.image_extent, self.p)
+
+    def compute_batch(self, points=None, boxes=None) -> list[Image]:
+        """Predict masks for MANY prompts in one device call (TPU-native
+        extension: the decoder's two-way transformer batches over prompts,
+        amortizing the per-dispatch cost; the reference loops one prompt
+        per compute, vision.cpp:54-95)."""
+        assert self.embed is not None, "Missing image embeds, call encode() first"
+        if points is not None:
+            coords = np.stack([sam_process_point(p, self.image_extent, self.p) for p in points])
+            fn = self._dec_point_batch
+        else:
+            coords = np.stack(
+                [sam_process_box(b[0], b[1], self.image_extent, self.p) for b in boxes]
+            )
+            fn = self._dec_box_batch
+        pred = fn(self.params, self.embed, jnp.asarray(coords))
+        masks = np.asarray(pred.masks.astype(jnp.float32))
+        ious = np.asarray(pred.iou.astype(jnp.float32))
+        out = []
+        for b in range(masks.shape[0]):
+            idx = int(np.argmax(ious[b, :3]))
+            out.append(sam_process_mask(masks[b], idx, self.image_extent, self.p))
+        return out
 
 
 def sam_load_model(filepath: str, device: Device | None = None) -> SamModel:

@@ -40,15 +40,10 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
         x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
 
     w = np.zeros((n_out, n_in), np.float32)
-    if method == "bilinear":
-        x0 = np.floor(x).astype(np.int64)
-        f = (x - x0).astype(np.float64)
-        for tap, tw in ((x0, 1.0 - f), (x0 + 1, f)):
-            idx = np.clip(tap, 0, n_in - 1)
-            np.add.at(w, (np.arange(n_out), idx), tw)
-    elif method == "bicubic":
-        # Keys cubic kernel, A = -0.75 (torch/OpenCV convention)
-        A = -0.75
+    if method in ("bicubic", "catmullrom"):
+        # Keys cubic kernel: A=-0.75 (torch 'bicubic'), A=-0.5 (Catmull-Rom,
+        # stb_image_resize's default filter)
+        A = -0.75 if method == "bicubic" else -0.5
 
         def k(t):
             t = np.abs(t)
@@ -65,6 +60,14 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
             tw = k(j - f)
             idx = np.clip(tap, 0, n_in - 1)
             np.add.at(w, (np.arange(n_out), idx), tw)
+        return w
+    if method == "bilinear":
+        x0 = np.floor(x).astype(np.int64)
+        f = (x - x0).astype(np.float64)
+        for tap, tw in ((x0, 1.0 - f), (x0 + 1, f)):
+            idx = np.clip(tap, 0, n_in - 1)
+            np.add.at(w, (np.arange(n_out), idx), tw)
+        return w
     else:
         raise ValueError(f"unknown resize method: {method}")
     return w
