@@ -133,3 +133,20 @@ def test_golden_sam3_vision():
     vp = Sam3VitParams(image_size=16, patch_size=4, window_size=2, n_layers=3, n_heads=2, global_attn_indexes=(1,))
     out = vision_transformer(make_params(t), to_nhwc(x), vp)
     _check("sam3_vision", out)
+
+
+def test_golden_manifest_matches():
+    """Committed goldens must match their sha256 manifest (drift gate)."""
+    import json
+    from pathlib import Path
+
+    import hashlib
+
+    manifest_path = GOLDEN_DIR / "manifest.json"
+    if not manifest_path.exists():
+        pytest.skip("no manifest yet")
+    recorded = json.loads(manifest_path.read_text())
+    for name, digest in recorded.items():
+        p = GOLDEN_DIR / name
+        assert p.exists(), f"golden {name} missing"
+        assert hashlib.sha256(p.read_bytes()).hexdigest() == digest, f"golden {name} drifted"
