@@ -256,3 +256,19 @@ def test_sam_model_end_to_end():
     assert mask.format == ImageFormat.alpha_u8
     mask2 = model.compute(box=((50, 50), (250, 150)))
     assert mask2.extent == (300, 200)
+
+
+def test_convert_from_safetensors(tmp_path):
+    """Converter consumes .safetensors checkpoints (reference load_model,
+    convert.py:100-106)."""
+    from safetensors.torch import save_file
+
+    from test_esrgan import RRDBNet
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    ckpt = tmp_path / "esrgan.safetensors"
+    save_file(t.state_dict(), str(ckpt))
+    out = convert_model("esrgan", ckpt, tmp_path / "st.gguf")
+    f = GGUFFile(out)
+    assert f.get_int("esrgan.block_count") == 1
+    assert "model.0.weight" in f.tensor_names()
