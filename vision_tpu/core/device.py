@@ -22,7 +22,7 @@ TPU-native redesign:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from enum import Flag, auto
 from functools import lru_cache
 

@@ -17,9 +17,7 @@ policy around that:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Hashable
-
-import jax
+from typing import Callable, Hashable
 
 __all__ = ["GraphCache", "shape_bucket", "snap_to_multiple"]
 

@@ -35,7 +35,7 @@ from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_f32_to_u8, image_scale, image_u8_to_f32
+from ..image import Image, ImageFormat, image_f32_to_u8, image_scale
 from ..ops import batch_norm_2d, conv_2d, relu, resize_nhwc, sigmoid
 from ..ops.deform import deform_conv_2d
 from .swin import SwinParams, swin_detect_params, swin_encode

@@ -11,19 +11,17 @@ normalized and resized back.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.device import Device, backend_init
-from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_normalize, image_scale, image_u8_to_f32
+from ..image import Image, ImageFormat, image_normalize, image_scale
 from ..ops import conv_2d, conv_transpose_2d, relu, resize_nhwc
 from .dino import DinoParams, dino_detect_params, dino_get_intermediate_layers
 

@@ -16,7 +16,6 @@ is tiny after thresholding), mirroring yolov9t.cpp:1117-1253 bit-for-bit.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import NamedTuple
 

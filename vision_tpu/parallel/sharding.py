@@ -22,7 +22,6 @@ Design:
 from __future__ import annotations
 
 import re
-from functools import partial
 from typing import Any, Callable, Mapping, Sequence
 
 import jax
