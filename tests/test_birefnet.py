@@ -537,3 +537,35 @@ def test_birefnet_image_extent():
     # clamped when exceeding max_alloc
     w, h = birefnet_image_extent((4096, 4096), pd, 2 << 30)
     assert w < 4096 and w % 128 == 0 and h % 128 == 0
+
+
+@pytest.mark.parametrize("k,stride,pad", [(1, 1, 0), (3, 1, 1), (7, 1, 3), (3, 2, 1)])
+def test_deform_conv_shift_matches_gather(k, stride, pad):
+    """The gather-free shift formulation is exact while |offset| <= bound."""
+    from vision_tpu.ops.deform import deform_conv_2d_shift
+
+    g = torch.Generator().manual_seed(21)
+    x = torch.randn(2, 5, 10, 12, generator=g)
+    weight = torch.randn(7, 5, k, k, generator=g) * 0.2
+    ho = (10 + 2 * pad - k) // stride + 1
+    wo = (12 + 2 * pad - k) // stride + 1
+    offset = (torch.rand(2, 2 * k * k, ho, wo, generator=g) - 0.5) * 7.0  # within +-3.5
+    mask = torch.rand(2, k * k, ho, wo, generator=g) * 2.0
+    expected = t_deform_conv2d(x, weight, offset, mask, stride, pad)
+    actual = deform_conv_2d_shift(
+        to_nhwc(x), weight.numpy(), to_nhwc(offset), to_nhwc(mask), stride, pad, bound=4
+    )
+    tensors_match(torch.from_numpy(to_nhwc(expected)), actual, label=f"deform_shift{k}", atol=1e-3)
+
+
+def test_deform_conv_shift_clamps_large_offsets():
+    """Offsets beyond the bound saturate (documented divergence)."""
+    from vision_tpu.ops.deform import deform_conv_2d_shift
+
+    g = torch.Generator().manual_seed(22)
+    x = torch.randn(1, 4, 8, 8, generator=g)
+    weight = torch.randn(6, 4, 3, 3, generator=g)
+    offset = torch.full((1, 18, 8, 8), 9.0)
+    expected = t_deform_conv2d(x, weight, offset.clamp(-2, 2), None, 1, 1)
+    actual = deform_conv_2d_shift(to_nhwc(x), weight.numpy(), to_nhwc(offset), None, 1, 1, bound=2)
+    tensors_match(torch.from_numpy(to_nhwc(expected)), actual, label="deform_clamp", atol=1e-3)

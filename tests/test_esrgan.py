@@ -177,3 +177,38 @@ def test_esrgan_detect_params_validation(tmp_path):
 
     with pytest.raises(VispError):
         esrgan_detect_params(GGUFFile(tmp_path / "bad.gguf"))
+
+
+def test_esrgan_packed_matches_naive():
+    """The split-contribution restructure (esrgan_pack_weights /
+    esrgan_generate_packed) is exactly the reference RDB math with the
+    contraction regrouped by source — outputs must match the naive chain to
+    float-reassociation tolerance."""
+    from vision_tpu.models.esrgan import esrgan_generate_packed, esrgan_pack_weights
+    from vision_tpu.models.random_weights import random_esrgan_params
+
+    p = EsrganParams(scale=4, n_blocks=2)
+    params = random_esrgan_params(seed=3, nf=16, nb=2, gc=8)
+    x = np.random.default_rng(7).standard_normal((1, 12, 14, 3)).astype(np.float32) * 0.3
+    ref = esrgan_generate(Params(params), x, p)
+    packed = esrgan_pack_weights(params, p)
+    fast = esrgan_generate_packed(packed, x, p)
+    assert np.allclose(np.asarray(ref), np.asarray(fast), atol=2e-5), (
+        np.abs(np.asarray(ref) - np.asarray(fast)).max()
+    )
+
+
+def test_esrgan_model_uses_packed_path(tmp_path):
+    """EsrganModel.compute (whole + tiled) runs the packed path end to end."""
+    from vision_tpu.core.device import BackendType, backend_init
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    path = _write_gguf(tmp_path / "esrgan.gguf", t, 4, 1)
+    model = esrgan_load_model(str(path), backend_init(BackendType.cpu))
+    img_u8 = np.random.default_rng(5).integers(0, 256, (20, 24, 3)).astype(np.uint8)
+    out = model.compute(image_load_array(img_u8))  # whole-image path
+    with torch.no_grad():
+        y = t(torch.from_numpy(img_u8.astype(np.float32) / 255.0).permute(2, 0, 1)[None])
+    expected = np.clip(y[0].permute(1, 2, 0).numpy(), 0, 1) * 255.0
+    rms = np.sqrt((((expected - out.data[:, :, :3].astype(np.float32)) / 255.0) ** 2).mean())
+    assert rms < 0.01, rms

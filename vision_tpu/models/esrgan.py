@@ -45,6 +45,8 @@ __all__ = [
     "EsrganParams",
     "esrgan_detect_params",
     "esrgan_generate",
+    "esrgan_pack_weights",
+    "esrgan_generate_packed",
     "EsrganModel",
     "esrgan_load_model",
     "esrgan_compute",
@@ -133,6 +135,166 @@ def esrgan_generate(params: Params, x, p: EsrganParams):
     return x
 
 
+# ---------------------------------------------------------------------------
+# MXU-shaped fast path: split-contribution RDB + lax.scan trunk
+# ---------------------------------------------------------------------------
+#
+# The naive RDB chain (esrgan.cpp:27-41) is 5 convs whose OUTPUT width is the
+# growth channel count gc=32 — only a quarter of the MXU's 128 lanes. The
+# restructure below is *exactly* the same math with the contraction split by
+# SOURCE instead of by destination: every conv_k weight is a concat over its
+# input sources [x, x1..x_{k-1}], so grouping all contributions that read the
+# same source into ONE conv turns the five (Cin_k -> 32) convs into
+#   x  -> 4*gc+nf = 192 channels   (pack 0)
+#   x1 -> 3*gc+nf = 160            (pack 1)
+#   x2 -> 2*gc+nf = 128            (pack 2)
+#   x3 ->   gc+nf =  96            (pack 3)
+#   x4 ->      nf =  64            (pack 4)
+# FLOPs are identical; the MXU lane fill goes from 25% to 75-150%, the dense
+# concats vanish, and the sequential dependency chain stays 5 deep.
+#
+# The 23 identical RRDBs then run under ONE lax.scan over stacked weights,
+# which cuts the 345-conv trace/compile (~75 s remote) to a single block body.
+
+
+def _hwio(w):
+    return jnp.transpose(w, (2, 3, 1, 0))
+
+
+def esrgan_pack_weights(params: dict, p: EsrganParams, dtype=None):
+    """Repack torch-canonical RRDBNet weights into the split-contribution
+    layout. Returns a pytree: stacked RDB packs for the scan trunk plus the
+    stem/trunk/upsample convs in HWIO. Pure one-time data movement."""
+    root = Params(params)
+    m = root["model"]
+    w1 = m[1]["sub"][0]["RDB1"]["conv1"][0].weight("weight")
+    gc, nf = int(w1.shape[0]), int(w1.shape[1])
+    if dtype is None:
+        dtype = w1.dtype
+
+    def pack_rdb(rp: Params):
+        ws = [rp[f"conv{k}"][0].weight("weight") for k in range(1, 6)]
+        bs = [rp[f"conv{k}"][0].weight("bias").astype(jnp.float32) for k in range(1, 6)]
+        packs = []
+        for j in range(5):  # source 0 = x, 1..4 = x_j
+            lo = 0 if j == 0 else nf + gc * (j - 1)
+            width = nf if j == 0 else gc
+            # source j feeds conv_{j+1}..conv_5 (ws indices j..4)
+            parts = [ws[k][:, lo : lo + width] for k in range(j, 5)]
+            packs.append(_hwio(jnp.concatenate(parts, axis=0)).astype(dtype))
+        return packs, bs
+
+    n_rdb = []
+    for i in range(p.n_blocks):
+        for r in (1, 2, 3):
+            n_rdb.append(pack_rdb(m[1]["sub"][i][f"RDB{r}"]))
+    # stack: 5 pack arrays of shape (n_blocks, 3, 3, 3, Cin_j, Cout_j)
+    packs = tuple(
+        jnp.stack([n_rdb[i * 3 + r][0][j] for i in range(p.n_blocks) for r in range(3)]).reshape(
+            (p.n_blocks, 3) + n_rdb[0][0][j].shape
+        )
+        for j in range(5)
+    )
+    biases = tuple(
+        jnp.stack([n_rdb[i * 3 + r][1][k] for i in range(p.n_blocks) for r in range(3)]).reshape(
+            (p.n_blocks, 3) + n_rdb[0][1][k].shape
+        )
+        for k in range(5)
+    )
+
+    def conv_wb(cp: Params):
+        return _hwio(cp.weight("weight")).astype(dtype), cp.weight("bias").astype(jnp.float32)
+
+    packed = {
+        "gc": gc,
+        "nf": nf,
+        "rdb_packs": packs,
+        "rdb_biases": biases,
+        "stem": conv_wb(m[0]),
+        "trunk": conv_wb(m[1]["sub"][p.n_blocks]),
+        "up": [],
+        "hr": None,
+        "last": None,
+    }
+    seq = 2
+    for _ in range(int(np.log2(p.scale))):
+        packed["up"].append(conv_wb(m[seq + 1]))
+        seq += 3
+    packed["hr"] = conv_wb(m[seq])
+    packed["last"] = conv_wb(m[seq + 2])
+    return packed
+
+
+def _conv_p(x, wb, act: bool = False):
+    w, b = wb
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b
+    if act:
+        y = jnp.where(y >= 0, y, 0.2 * y)
+    return y.astype(x.dtype)
+
+
+def _rdb_packed(x, packs, biases, gc: int, nf: int):
+    """One residual dense block in split-contribution form (see above)."""
+
+    def conv(src, w):
+        return jax.lax.conv_general_dilated(
+            src, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(src.dtype)
+
+    lrelu = lambda t: jnp.where(t >= 0, t, 0.2 * t)
+    b1, b2, b3, b4, b5 = (b.astype(x.dtype) for b in biases)
+    p0 = conv(x, packs[0])  # [c1 c2 c3 c4 | c5]
+    x1 = lrelu(p0[..., :gc] + b1)
+    p1 = conv(x1, packs[1])  # [c2 c3 c4 | c5]
+    x2 = lrelu(p0[..., gc : 2 * gc] + p1[..., :gc] + b2)
+    p2 = conv(x2, packs[2])  # [c3 c4 | c5]
+    x3 = lrelu(p0[..., 2 * gc : 3 * gc] + p1[..., gc : 2 * gc] + p2[..., :gc] + b3)
+    p3 = conv(x3, packs[3])  # [c4 | c5]
+    x4 = lrelu(p0[..., 3 * gc : 4 * gc] + p1[..., 2 * gc : 3 * gc] + p2[..., gc : 2 * gc] + p3[..., :gc] + b4)
+    p4 = conv(x4, packs[4])  # [c5]
+    x5 = (
+        p0[..., 4 * gc :]
+        + p1[..., 3 * gc :]
+        + p2[..., 2 * gc :]
+        + p3[..., gc :]
+        + p4
+        + b5
+    )
+    return x + 0.2 * x5
+
+
+def esrgan_generate_packed(packed: dict, x, p: EsrganParams):
+    """RRDBNet forward over packed weights — same math as esrgan_generate,
+    MXU-shaped convs, scan over the identical RRDB blocks."""
+    gc, nf = packed["gc"], packed["nf"]
+    x = _conv_p(x, packed["stem"])
+    sub = x
+
+    def rrdb_body(carry, wb):
+        packs, biases = wb
+        y = carry
+        for r in range(3):
+            y = _rdb_packed(y, [pk[r] for pk in packs], [b[r] for b in biases], gc, nf)
+        return carry + 0.2 * y, None
+
+    sub, _ = jax.lax.scan(rrdb_body, sub, (packed["rdb_packs"], packed["rdb_biases"]))
+    sub = _conv_p(sub, packed["trunk"])
+    x = x + sub
+    for up in packed["up"]:
+        n, h, w, c = x.shape
+        x = resize_nhwc(x, (h * 2, w * 2), "nearest")
+        x = _conv_p(x, up, act=True)
+    x = _conv_p(x, packed["hr"], act=True)
+    x = _conv_p(x, packed["last"])
+    return x
+
+
 class EsrganModel:
     """High-level model handle (reference esrgan_model, vision.h + the
     esrgan_load_model/esrgan_compute pair in vision.cpp:209-253)."""
@@ -142,6 +304,15 @@ class EsrganModel:
         self.p = p
         self.device = device
         self._jit = {}
+        self._packed_cache = None
+
+    @property
+    def _packed(self):
+        if self._packed_cache is None:
+            self._packed_cache = esrgan_pack_weights(
+                self.params, self.p, dtype=self.device.preferred_float_type
+            )
+        return self._packed_cache
 
     def _compute_whole(self, image: Image) -> Image:
         """Single-program path: u8 in, u8 out, zero host-side pixel math."""
@@ -149,18 +320,20 @@ class EsrganModel:
         if key not in self._jit:
             p, dtype = self.p, self.device.preferred_float_type
 
-            @jax.jit
-            def run(weights, x_u8):
+            @partial(jax.jit, static_argnames=("gc", "nf"))
+            def run(weights, x_u8, gc, nf):
                 from ..ops.preprocess import normalize_u8
 
                 x = normalize_u8(x_u8, dtype=dtype)
-                y = esrgan_generate(Params(weights), x, p)
+                y = esrgan_generate_packed({**weights, "gc": gc, "nf": nf}, x, p)
                 y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
                 return y.astype(jnp.uint8)
 
             self._jit[key] = run
         src = image.to_rgb_u8()
-        y = np.asarray(self._jit[key](self.params, jnp.asarray(src[None])))[0]
+        pk = dict(self._packed)
+        gc, nf = pk.pop("gc"), pk.pop("nf")
+        y = np.asarray(self._jit[key](pk, jnp.asarray(src[None]), gc, nf))[0]
         rgba = np.concatenate([y, np.full((*y.shape[:2], 1), 255, np.uint8)], axis=2)
         return Image(np.ascontiguousarray(rgba), ImageFormat.rgba_u8)
 
@@ -169,15 +342,18 @@ class EsrganModel:
         if key not in self._jit:
             p, dtype = self.p, self.device.preferred_float_type
 
-            @partial(jax.jit)
-            def run(weights, x_u8):
+            @partial(jax.jit, static_argnames=("gc", "nf"))
+            def run(weights, x_u8, gc, nf):
                 from ..ops.preprocess import normalize_u8
 
                 x = normalize_u8(x_u8, dtype=dtype)
-                return esrgan_generate(Params(weights), x, p)
+                return esrgan_generate_packed({**weights, "gc": gc, "nf": nf}, x, p)
 
             self._jit[key] = run
-        return self._jit[key]
+        fn = self._jit[key]
+        pk = dict(self._packed)
+        gc, nf = pk.pop("gc"), pk.pop("nf")
+        return lambda _params, x_u8: fn(pk, x_u8, gc, nf)
 
     def compute(self, image: Image, tile_size: int | None = None, batch: int = 4) -> Image:
         """Tiled super-resolution (reference esrgan_compute, vision.cpp:220-253).
