@@ -20,12 +20,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vision_tpu.models.esrgan import EsrganParams, esrgan_generate_packed, esrgan_pack_weights
+    from vision_tpu.models.esrgan import (EsrganParams, esrgan_generate_packed, esrgan_pack_weights,
+        esrgan_generate_s2d, esrgan_pack_weights_s2d)
     from vision_tpu.models.random_weights import random_esrgan_params
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    mode = sys.argv[4] if len(sys.argv) > 4 else "packed"
 
     p = EsrganParams(scale=4, n_blocks=23)
     print("building params...", flush=True)
@@ -33,7 +35,9 @@ def main():
     dev = jax.devices()[0]
     params = {k: jax.device_put(v, dev) for k, v in raw.items()}
     t0 = time.perf_counter()
-    packed = esrgan_pack_weights(params, p, dtype=jnp.bfloat16)
+    pack_fn = esrgan_pack_weights_s2d if mode == "s2d" else esrgan_pack_weights
+    gen_fn = esrgan_generate_s2d if mode == "s2d" else esrgan_generate_packed
+    packed = pack_fn(params, p, dtype=jnp.bfloat16)
     pk = dict(packed)
     gc, nf = pk.pop("gc"), pk.pop("nf")
     print(f"packed in {time.perf_counter()-t0:.1f}s", flush=True)
@@ -42,7 +46,7 @@ def main():
     def run_k(weights, x, k):
         def body(i, acc):
             xi = x + (acc * 0).astype(x.dtype)
-            y = esrgan_generate_packed({**weights, "gc": gc, "nf": nf}, xi, p)
+            y = gen_fn({**weights, "gc": gc, "nf": nf}, xi, p)
             return acc + jnp.sum(y.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, k, body, 0.0)
@@ -73,7 +77,7 @@ def main():
     rdb_flops = 2 * 9 * (64 * 192 + 32 * (160 + 128 + 96 + 64)) * px
     total = 69 * rdb_flops + 2 * 9 * 64 * 64 * px * 2  # + stem/trunk approx
     print(
-        f"batch={batch} res={res}: {per*1000:.0f} ms/iter "
+        f"{mode} batch={batch} res={res}: {per*1000:.0f} ms/iter "
         f"({per*1000/batch:.0f} ms/img, {total/per/1e12:.1f} TF/s)",
         flush=True,
     )

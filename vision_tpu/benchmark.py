@@ -5,7 +5,14 @@ warm-up + timed loop with timeout/min/max iteration controls, mean±stdev,
 markdown table output). Random production-shape weights are used (no
 checkpoints in the environment; throughput is weight-independent).
 
-Usage: python -m vision_tpu.benchmark [model ...] [--iters N] [--timeout S]
+Methodology (same as bench.py; see NOTES.md): the dev-tunnel RPC adds a
+~27 ms fixed latency to every dispatch+readback, so per-call timing is
+meaningless here. Every row therefore runs K iterations inside ONE jitted
+fori_loop (serialized through a scalar dependency) and reports
+(t_K - t_1) / (K - 1): steady-state device time per iteration, the number a
+local host would see.
+
+Usage: python -m vision_tpu.benchmark [model ...] [--k N] [--repeats N]
 """
 
 from __future__ import annotations
@@ -13,31 +20,48 @@ from __future__ import annotations
 import argparse
 import statistics
 import time
+from functools import partial
 
 import numpy as np
 
 __all__ = ["run_benchmark", "main"]
 
 
-def _timed_loop(fn, warmup: int, min_iters: int, max_iters: int, timeout_s: float):
-    for _ in range(warmup):
-        fn()
-    times = []
-    deadline = time.time() + timeout_s
-    while len(times) < max_iters and (len(times) < min_iters or time.time() < deadline):
-        t0 = time.perf_counter()
-        fn()
-        times.append((time.perf_counter() - t0) * 1000.0)
-        if time.time() > deadline and len(times) >= min_iters:
-            break
-    mean = statistics.mean(times)
-    stdev = statistics.stdev(times) if len(times) > 1 else 0.0
-    return mean, stdev, len(times)
+def _loop_time(step, params, x, k: int = 8, repeats: int = 3):
+    """Loop-differencing device time: run ``step`` k times inside one jitted
+    program (iterations serialized through the accumulated scalar), subtract
+    the single-iteration run, divide by k-1. Returns (mean_ms, stdev_ms, k)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def run_k(w, xx, kk):
+        def body(i, acc):
+            xi = xx + (acc * 0).astype(xx.dtype)
+            return acc + step(w, xi)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0))
+
+    float(run_k(params, x, k))  # compile + warm
+    float(run_k(params, x, 1))
+
+    def best(kk, n):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(run_k(params, x, kk))
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    t1 = min(best(1, repeats))
+    diffs = [(t - t1) / (k - 1) * 1000.0 for t in best(k, repeats)]
+    mean = statistics.mean(diffs)
+    stdev = statistics.stdev(diffs) if len(diffs) > 1 else 0.0
+    return mean, stdev, k
 
 
 def _bench_sam_encode(dev, dtype):
     import jax
-    import jax.numpy as jnp
 
     from .core.params import Params
     from .models.mobile_sam import sam_encode_image
@@ -50,35 +74,45 @@ def _bench_sam_encode(dev, dtype):
         for k, v in raw.items()
     }
 
-    @jax.jit
-    def run(w, x):
+    def step(w, x):
+        import jax.numpy as jnp
+
         img = normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dtype)
-        return jnp.sum(sam_encode_image(Params(w), img).astype(jnp.float32))
+        return jnp.sum(sam_encode_image(Params(w), img, flash=True).astype(jnp.float32))
 
-    x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 1024, 1024, 3), dtype=np.uint8))
-    return lambda: float(run(params, x))
+    x = _u8((1, 1024, 1024, 3))
+    return step, params, x
 
 
-def _bench_esrgan(dev, dtype):
-    import jax
+def _u8(shape):
     import jax.numpy as jnp
 
-    from .core.params import Params
-    from .models.esrgan import EsrganParams, esrgan_generate
-    from .models.random_weights import random_esrgan_params
-    from .ops.preprocess import normalize_u8
+    return jnp.asarray(np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8))
 
-    raw = random_esrgan_params(0)
-    params = {k: jax.device_put(v, dev.jax_device).astype(dtype) for k, v in raw.items()}
-    p = EsrganParams(4, 23)
 
-    @jax.jit
-    def run(w, x):
-        img = normalize_u8(x, dtype=dtype)
-        return jnp.sum(esrgan_generate(Params(w), img, p).astype(jnp.float32))
+def _bench_esrgan(res):
+    def build(dev, dtype):
+        import jax
+        import jax.numpy as jnp
 
-    x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 512, 512, 3), dtype=np.uint8))
-    return lambda: float(run(params, x))
+        from .models.esrgan import EsrganParams, esrgan_generate_s2d, esrgan_pack_weights_s2d
+        from .models.random_weights import random_esrgan_params
+        from .ops.preprocess import normalize_u8
+
+        raw = random_esrgan_params(0)
+        dev_params = {k: jax.device_put(v, dev.jax_device) for k, v in raw.items()}
+        p = EsrganParams(4, 23)
+        packed = esrgan_pack_weights_s2d(dev_params, p, dtype=dtype)
+        gc, nf = packed.pop("gc"), packed.pop("nf")
+
+        def step(w, x):
+            img = normalize_u8(x, dtype=dtype)
+            y = esrgan_generate_s2d({**w, "gc": gc, "nf": nf}, img, p)
+            return jnp.sum(y.astype(jnp.float32))
+
+        return step, packed, _u8((1, res, res, 3))
+
+    return build
 
 
 def _bench_sam_decode(dev, dtype):
@@ -94,24 +128,22 @@ def _bench_sam_decode(dev, dtype):
         k: jax.device_put(v, dev.jax_device).astype(dtype if v.dtype == np.float32 else v.dtype)
         for k, v in raw.items()
     }
-    embed = jnp.zeros((1, 64, 64, 256), dtype)
     coords = jnp.asarray(np.array([[0.1, 0.2], [0.0, 0.0]], np.float32))
 
-    @jax.jit
-    def run(w, e, c):
+    def step(w, c):
         pp = Params(w)
-        pred = sam_predict_mask(pp, e, sam_encode_points(pp, c))
+        embed = jnp.zeros((1, 64, 64, 256), dtype)
+        pred = sam_predict_mask(pp, embed, sam_encode_points(pp, c))
         return jnp.sum(pred.masks) + jnp.sum(pred.iou)
 
-    return lambda: float(run(params, embed, coords))
-
+    return step, params, coords
 
 
 def _bench_generic(make_params, forward, input_shape, u8=True, keep_f32=()):
-    import jax
-    import jax.numpy as jnp
-
     def build(dev, dtype):
+        import jax
+        import jax.numpy as jnp
+
         raw = make_params()
         params = {}
         for k, v in raw.items():
@@ -120,15 +152,14 @@ def _bench_generic(make_params, forward, input_shape, u8=True, keep_f32=()):
                 a = a.astype(dtype)
             params[k] = a
 
-        @jax.jit
-        def run(w, x):
+        def step(w, x):
             return jnp.sum(forward(w, x, dtype).astype(jnp.float32))
 
         if u8:
-            x = jnp.asarray(np.random.default_rng(0).integers(0, 256, input_shape, dtype=np.uint8))
+            x = _u8(input_shape)
         else:
             x = jnp.asarray(np.random.default_rng(0).standard_normal(input_shape), dtype)
-        return lambda: float(run(params, x))
+        return step, params, x
 
     return build
 
@@ -180,6 +211,7 @@ def _make_yolo(dev, dtype):
 
 
 def _make_birefnet(dev, dtype):
+    from .core.device import BackendType
     from .core.params import Params
     from .models.birefnet import BirefnetParams, birefnet_predict
     from .models.random_weights import random_birefnet_params
@@ -187,9 +219,13 @@ def _make_birefnet(dev, dtype):
     from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
 
     p = BirefnetParams(image_size=1024, image_extent=(1024, 1024), encoder=SWIN_T_PARAMS)
+    bound = 2 if dev.type & BackendType.tpu else None
 
     def forward(w, x, dt):
-        return birefnet_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p)
+        return birefnet_predict(
+            Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p,
+            flash=True, deform_bound=bound,
+        )
 
     return _bench_generic(random_birefnet_params, forward, (1, 1024, 1024, 3))(dev, dtype)
 
@@ -197,7 +233,8 @@ def _make_birefnet(dev, dtype):
 BENCHMARKS = {
     "sam-encode-1024": _bench_sam_encode,
     "sam-decode": _bench_sam_decode,
-    "esrgan-512": _bench_esrgan,
+    "esrgan-512": _bench_esrgan(512),
+    "esrgan-1024": _bench_esrgan(1024),
     "depthany-small": _make_depthany,
     "migan-512": _make_migan,
     "yolov9t-640": _make_yolo,
@@ -205,7 +242,7 @@ BENCHMARKS = {
 }
 
 
-def run_benchmark(names=None, warmup=2, min_iters=5, max_iters=30, timeout_s=20.0):
+def run_benchmark(names=None, k=8, repeats=3):
     from .core.device import backend_init
 
     dev = backend_init()
@@ -213,9 +250,8 @@ def run_benchmark(names=None, warmup=2, min_iters=5, max_iters=30, timeout_s=20.
     names = names or list(BENCHMARKS.keys())
     rows = []
     for name in names:
-        make = BENCHMARKS[name]
-        fn = make(dev, dtype)
-        mean, stdev, n = _timed_loop(fn, warmup, min_iters, max_iters, timeout_s)
+        step, params, x = BENCHMARKS[name](dev, dtype)
+        mean, stdev, n = _loop_time(step, params, x, k=k, repeats=repeats)
         rows.append((name, mean, stdev, n))
     return rows
 
@@ -223,14 +259,15 @@ def run_benchmark(names=None, warmup=2, min_iters=5, max_iters=30, timeout_s=20.
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vision-bench")
     p.add_argument("models", nargs="*", choices=list(BENCHMARKS.keys()) + [[]], default=[])
-    p.add_argument("--iters", type=int, default=30)
-    p.add_argument("--timeout", type=float, default=20.0)
+    p.add_argument("--k", type=int, default=8, help="iterations inside the timing loop")
+    p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args(argv)
-    rows = run_benchmark(args.models or None, max_iters=args.iters, timeout_s=args.timeout)
-    print(f"| {'benchmark':<20} | {'mean':>10} | {'stdev':>8} | {'iters':>5} |")
-    print(f"|{'-' * 22}|{'-' * 12}|{'-' * 10}|{'-' * 7}|")
+    rows = run_benchmark(args.models or None, k=args.k, repeats=args.repeats)
+    print("device ms/iter, loop-differenced (RPC floor excluded; see NOTES.md)")
+    print(f"| {'benchmark':<20} | {'mean':>10} | {'stdev':>8} | {'K':>3} |")
+    print(f"|{'-' * 22}|{'-' * 12}|{'-' * 10}|{'-' * 5}|")
     for name, mean, stdev, n in rows:
-        print(f"| {name:<20} | {mean:8.1f}ms | {stdev:6.1f}ms | {n:>5} |")
+        print(f"| {name:<20} | {mean:8.1f}ms | {stdev:6.1f}ms | {n:>3} |")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,7 @@ class BuildFlag(Flag):
     flash_attention = auto()  # use fused (pallas) attention kernel
     pallas = auto()  # enable custom pallas kernels on the hot path
     donate_input = auto()  # donate input buffers to jit
+    deform_shift = auto()  # gather-free bounded-offset deformable conv
 
 
 def _flag_env(flags: BuildFlag) -> BuildFlag:
@@ -67,12 +68,20 @@ def _flag_env(flags: BuildFlag) -> BuildFlag:
             flags |= BuildFlag.pallas
         else:
             flags &= ~BuildFlag.pallas
+    v = os.environ.get("VISP_DEFORM_SHIFT")
+    if v is not None:
+        if v not in ("", "0", "off", "false"):
+            flags |= BuildFlag.deform_shift
+        else:
+            flags &= ~BuildFlag.deform_shift
     return flags
 
 
 def backend_default_flags(btype: BackendType) -> BuildFlag:
     if btype & BackendType.tpu:
-        return _flag_env(BuildFlag.flash_attention | BuildFlag.pallas)
+        return _flag_env(
+            BuildFlag.flash_attention | BuildFlag.pallas | BuildFlag.deform_shift
+        )
     return _flag_env(BuildFlag.none)
 
 

@@ -37,7 +37,7 @@ from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
 from ..image import Image, ImageFormat, image_f32_to_u8, image_scale
 from ..ops import batch_norm_2d, conv_2d, relu, resize_nhwc, sigmoid
-from ..ops.deform import deform_conv_2d
+from ..ops.deform import deform_conv_2d, deform_conv_2d_shift
 from .swin import SwinParams, swin_detect_params, swin_encode
 
 __all__ = [
@@ -122,12 +122,17 @@ def encode(p: Params, x, sp: SwinParams, flash: bool = False):
 # -- decoder (reference birefnet.cpp:79-248) --
 
 
-def deformable_conv_2d_block(p: Params, x, stride: int = 1, pad: int = 0):
-    """offset/modulator convs + deform conv (birefnet.cpp:83-91)."""
+def deformable_conv_2d_block(p: Params, x, stride: int = 1, pad: int = 0, shift_bound: int | None = None):
+    """offset/modulator convs + deform conv (birefnet.cpp:83-91).
+    ``shift_bound`` selects the gather-free bounded-offset path
+    (deform_conv_2d_shift; 2.2-5x faster on TPU, exact while |offset| <= bound)."""
     offset = conv_2d(p["offset"], x, stride, pad)
     modulator = 2.0 * sigmoid(conv_2d(p["modulator"], x, stride, pad))
     w = p.weight("conv.weight")
-    y = deform_conv_2d(x, w, offset, modulator, stride, pad)
+    if shift_bound is not None:
+        y = deform_conv_2d_shift(x, w, offset, modulator, stride, pad, bound=shift_bound)
+    else:
+        y = deform_conv_2d(x, w, offset, modulator, stride, pad)
     b = p.find("conv.bias")
     if b is not None:
         y = y + b
@@ -141,18 +146,19 @@ def global_avg_pool(p: Params, x):
     return relu(m)
 
 
-def aspp_module_deformable(p: Params, x, padding: int = 0):
-    x = deformable_conv_2d_block(p["conv"], x, 1, padding)
+def aspp_module_deformable(p: Params, x, padding: int = 0, shift_bound: int | None = None):
+    x = deformable_conv_2d_block(p["conv"], x, 1, padding, shift_bound)
     x = batch_norm_2d(p["bn"], x)
     return relu(x)
 
 
-def aspp_deformable(p: Params, x):
+def aspp_deformable(p: Params, x, shift_bound: int | None = None):
     """(birefnet.cpp:116-137)."""
     kernel_sizes = (1, 3, 7)
-    x1 = aspp_module_deformable(p["aspp1"], x)
+    x1 = aspp_module_deformable(p["aspp1"], x, 0, shift_bound)
     deforms = [
-        aspp_module_deformable(p["aspp_deforms"][i], x, kernel_sizes[i] // 2) for i in range(3)
+        aspp_module_deformable(p["aspp_deforms"][i], x, kernel_sizes[i] // 2, shift_bound)
+        for i in range(3)
     ]
     x5 = global_avg_pool(p["global_avg_pool"], x)
     x5 = _upscale_to(x5, x1.shape[1:3])
@@ -161,10 +167,10 @@ def aspp_deformable(p: Params, x):
     return relu(x)
 
 
-def basic_decoder_block(p: Params, x):
+def basic_decoder_block(p: Params, x, shift_bound: int | None = None):
     """(birefnet.cpp:139-145)."""
     x = relu(conv_2d(p["conv_in"], x, 1, 1))
-    x = aspp_deformable(p["dec_att"], x)
+    x = aspp_deformable(p["dec_att"], x, shift_bound)
     return conv_2d(p["conv_out"], x, 1, 1)
 
 
@@ -188,7 +194,7 @@ def gdt_conv(p: Params, x):
     return relu(conv_2d(p[0], x, 1, 1))
 
 
-def decode(p: Params, image, features):
+def decode(p: Params, image, features, shift_bound: int | None = None):
     """4-stage FPN decoder with patch injection and gdt gating
     (reference birefnet::decode, birefnet.cpp:170-248)."""
     x1, x2, x3, x4 = features
@@ -199,25 +205,25 @@ def decode(p: Params, image, features):
         return jnp.concatenate([feat, patches], axis=-1)
 
     x4 = inject(x4, "ipt_blk5")
-    p4 = basic_decoder_block(p["block4"], x4)
+    p4 = basic_decoder_block(p["block4"], x4, shift_bound)
     p4 = p4 * sigmoid(conv_2d(p["gdt_convs_attn_4"][0], gdt_conv(p["gdt_convs_4"], p4)))
 
     x3l = conv_2d(p["lateral_block4.conv"], x3)
     _p3 = _upscale_to(p4, x3l.shape[1:3]) + x3l
     _p3 = inject(_p3, "ipt_blk4")
-    p3 = basic_decoder_block(p["block3"], _p3)
+    p3 = basic_decoder_block(p["block3"], _p3, shift_bound)
     p3 = p3 * sigmoid(conv_2d(p["gdt_convs_attn_3"][0], gdt_conv(p["gdt_convs_3"], p3)))
 
     x2l = conv_2d(p["lateral_block3.conv"], x2)
     _p2 = _upscale_to(p3, x2l.shape[1:3]) + x2l
     _p2 = inject(_p2, "ipt_blk3")
-    p2 = basic_decoder_block(p["block2"], _p2)
+    p2 = basic_decoder_block(p["block2"], _p2, shift_bound)
     p2 = p2 * sigmoid(conv_2d(p["gdt_convs_attn_2"][0], gdt_conv(p["gdt_convs_2"], p2)))
 
     x1l = conv_2d(p["lateral_block2.conv"], x1)
     _p1 = _upscale_to(p2, x1l.shape[1:3]) + x1l
     _p1 = inject(_p1, "ipt_blk2")
-    _p1 = basic_decoder_block(p["block1"], _p1)
+    _p1 = basic_decoder_block(p["block1"], _p1, shift_bound)
     _p1 = _upscale_to(_p1, image.shape[1:3])
     p1_ipt = simple_conv(p["ipt_blk1"], image)
     _p1 = jnp.concatenate([_p1, p1_ipt], axis=-1)
@@ -226,12 +232,14 @@ def decode(p: Params, image, features):
     return sigmoid(out)
 
 
-def birefnet_predict(params: Params, image, p: BirefnetParams, flash: bool = False):
+def birefnet_predict(
+    params: Params, image, p: BirefnetParams, flash: bool = False, deform_bound: int | None = None
+):
     """(reference birefnet_predict, birefnet.cpp:252-261).
     image: (N, H, W, 3) normalized -> (N, H, W, 1) mask in [0,1]."""
     features = encode(params, image, p.encoder, flash)
-    features[3] = basic_decoder_block(params["squeeze_module"][0], features[3])
-    return decode(params["decoder"], image, features)
+    features[3] = basic_decoder_block(params["squeeze_module"][0], features[3], deform_bound)
+    return decode(params["decoder"], image, features, deform_bound)
 
 
 def fixup_weights(file: GGUFFile, params: dict) -> dict:
@@ -253,21 +261,28 @@ class BirefnetModel:
         self.params = params
         self.p = p
         self.device = device
-        self._jit = {}
+        from ..core.graph import GraphCache
+
+        self._graphs = GraphCache(self._build)
+
+    def _build(self):
+        from ..core.device import BuildFlag
+
+        p, dtype = self.p, self.device.preferred_float_type
+        flash = bool(self.device.flags & BuildFlag.flash_attention)
+        bound = 2 if self.device.flags & BuildFlag.deform_shift else None
+
+        @jax.jit
+        def run(weights, x_u8):
+            from ..ops.preprocess import normalize_u8
+
+            x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
+            return birefnet_predict(Params(weights), x, p, flash=flash, deform_bound=bound)
+
+        return run
 
     def _fn(self, extent):
-        if extent not in self._jit:
-            p, dtype = self.p, self.device.preferred_float_type
-
-            @jax.jit
-            def run(weights, x_u8):
-                from ..ops.preprocess import normalize_u8
-
-                x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
-                return birefnet_predict(Params(weights), x, p)
-
-            self._jit[extent] = run
-        return self._jit[extent]
+        return self._graphs.get(extent)
 
     def compute(self, image: Image) -> Image:
         extent = birefnet_image_extent(image.extent, self.p, self.device.max_alloc)

@@ -169,24 +169,27 @@ class DepthAnythingModel:
         self.params = params
         self.p = p
         self.device = device
-        self._jit = {}
+        from ..core.graph import GraphCache
+
+        self._graphs = GraphCache(self._build)
+
+    def _build(self):
+        from ..core.device import BuildFlag
+
+        p, dtype = self.p, self.device.preferred_float_type
+        flash = bool(self.device.flags & BuildFlag.flash_attention)
+
+        @jax.jit
+        def run(weights, x_u8):
+            from ..ops.preprocess import normalize_u8
+
+            x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
+            return depthany_predict(Params(weights), x, p, flash=flash)
+
+        return run
 
     def _fn(self, extent):
-        if extent not in self._jit:
-            from ..core.device import BuildFlag
-
-            p, dtype = self.p, self.device.preferred_float_type
-            flash = bool(self.device.flags & BuildFlag.flash_attention)
-
-            @jax.jit
-            def run(weights, x_u8):
-                from ..ops.preprocess import normalize_u8
-
-                x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
-                return depthany_predict(Params(weights), x, p, flash=flash)
-
-            self._jit[extent] = run
-        return self._jit[extent]
+        return self._graphs.get(extent)
 
     def compute(self, image: Image) -> Image:
         extent = depthany_image_extent(image.extent, self.p)

@@ -164,13 +164,37 @@ def _hwio(w):
 def esrgan_pack_weights(params: dict, p: EsrganParams, dtype=None):
     """Repack torch-canonical RRDBNet weights into the split-contribution
     layout. Returns a pytree: stacked RDB packs for the scan trunk plus the
-    stem/trunk/upsample convs in HWIO. Pure one-time data movement."""
+    stem/trunk/upsample convs in HWIO. Pure one-time data movement, executed
+    as ONE jitted program (eagerly it would be thousands of tiny dispatches —
+    ~80 s over the dev tunnel)."""
+    w1 = params["model.1.sub.0.RDB1.conv1.0.weight"]
+    gc, nf = int(w1.shape[0]), int(w1.shape[1])
+    if dtype is None:
+        dtype = w1.dtype
+    arrays = _pack_impl(params, p, jnp.dtype(dtype), False)
+    return {**arrays, "gc": gc, "nf": nf}
+
+
+def esrgan_pack_weights_s2d(params: dict, p: EsrganParams, dtype=None):
+    """Packed weights with the RDB packs additionally space-to-depth
+    transformed and the four alignment kernels merged along Cout:
+    rdb_packs_s2d[j] has shape (n_blocks, 3, 2, 2, 4*Cin_j, 4*Cout_j) —
+    ONE VALID conv on a (1,1)-padded input computes all four sub-positions;
+    sub-position (di, dj) is the (rows di:, cols dj:) view of its Cout block."""
+    w1 = params["model.1.sub.0.RDB1.conv1.0.weight"]
+    gc, nf = int(w1.shape[0]), int(w1.shape[1])
+    if dtype is None:
+        dtype = w1.dtype
+    arrays = _pack_impl(params, p, jnp.dtype(dtype), True)
+    return {**arrays, "gc": gc, "nf": nf}
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _pack_impl(params: dict, p: EsrganParams, dtype, s2d: bool):
     root = Params(params)
     m = root["model"]
     w1 = m[1]["sub"][0]["RDB1"]["conv1"][0].weight("weight")
     gc, nf = int(w1.shape[0]), int(w1.shape[1])
-    if dtype is None:
-        dtype = w1.dtype
 
     def pack_rdb(rp: Params):
         ws = [rp[f"conv{k}"][0].weight("weight") for k in range(1, 6)]
@@ -206,9 +230,6 @@ def esrgan_pack_weights(params: dict, p: EsrganParams, dtype=None):
         return _hwio(cp.weight("weight")).astype(dtype), cp.weight("bias").astype(jnp.float32)
 
     packed = {
-        "gc": gc,
-        "nf": nf,
-        "rdb_packs": packs,
         "rdb_biases": biases,
         "stem": conv_wb(m[0]),
         "trunk": conv_wb(m[1]["sub"][p.n_blocks]),
@@ -216,6 +237,13 @@ def esrgan_pack_weights(params: dict, p: EsrganParams, dtype=None):
         "hr": None,
         "last": None,
     }
+    if s2d:
+        def merged(w):
+            return jnp.concatenate([_s2d_kernel(w, di, dj) for (di, dj) in _SUBPOS], axis=-1)
+
+        packed["rdb_packs_s2d"] = tuple(jax.vmap(jax.vmap(merged))(pk) for pk in packs)
+    else:
+        packed["rdb_packs"] = packs
     seq = 2
     for _ in range(int(np.log2(p.scale))):
         packed["up"].append(conv_wb(m[seq + 1]))
@@ -295,6 +323,159 @@ def esrgan_generate_packed(packed: dict, x, p: EsrganParams):
     return x
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth variant: trade 16/9 FLOPs for full MXU lane/contraction fill
+# ---------------------------------------------------------------------------
+#
+# Even split-contribution convs keep Cin=32 inputs, and (1024, 1024, 32)
+# activations fill only 32 of 128 lanes in TPU tiled layout (measured: Cin=32
+# convs run at 19-39 TF/s, Cin=128 at 74-111 TF/s). Folding 2x2 pixel blocks
+# into channels makes every activation (H/2, W/2, 4C >= 128): a 3x3 conv
+# becomes FOUR 2x2 convs over 4*Cin channels — one per output sub-position
+# (di, dj), each with its own padding alignment — at 16/9 the FLOPs. The
+# transform is exact: sub-position (di, dj) of output row 2i+di reads input
+# rows 2i+di-1..2i+di+1, i.e. reduced rows [i-1, i] (di=0, pad (1,0)) or
+# [i, i+1] (di=1, pad (0,1)); original tap u maps to (reduced tap a, sub-row
+# sy) with u = 2a + sy - 1 + di.
+
+
+def _space_to_depth(x):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x):
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h * 2, w * 2, c)
+
+
+def _s2d_kernel(w_hwio, di: int, dj: int):
+    """(3,3,Cin,Cout) HWIO -> (2,2,4*Cin,Cout) for output sub-position
+    (di, dj). Input channel s-block s = sy*2+sx holds the original channels
+    of input sub-position (sy, sx)."""
+    cin, cout = w_hwio.shape[2], w_hwio.shape[3]
+    zeros = jnp.zeros((cin, cout), w_hwio.dtype)
+
+    def tapmap(d):
+        # (reduced tap a, sub s) -> original tap index or None
+        return {(a, s): a * 2 + s - 1 + d for a in (0, 1) for s in (0, 1) if 0 <= a * 2 + s - 1 + d <= 2}
+
+    umap, vmap = tapmap(di), tapmap(dj)
+    rows = []
+    for a in (0, 1):
+        cols = []
+        for b_ in (0, 1):
+            blocks = []
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    u, v = umap.get((a, sy)), vmap.get((b_, sx))
+                    blocks.append(w_hwio[u, v] if u is not None and v is not None else zeros)
+            cols.append(jnp.concatenate(blocks, axis=0))  # (4Cin, Cout)
+        rows.append(jnp.stack(cols))  # (2, 4Cin, Cout)
+    return jnp.stack(rows)  # (2, 2, 4Cin, Cout)
+
+
+_SUBPOS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
+    """One RDB on space-to-depth activations. packs[j]: (2,2,4Cin_j,4Cout_j).
+
+    Each merged conv output q has extent (Hr+1, Wr+1) and channel blocks
+    [t0 | t1 | t2 | t3]; ``view(q, t, lo, hi)`` selects sub-position t's
+    logical channels [lo:hi] at its alignment."""
+    hr, wr = xs.shape[1], xs.shape[2]
+
+    def conv_m(src, w):
+        srcp = jnp.pad(src, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return jax.lax.conv_general_dilated(
+            srcp, w, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(src.dtype)
+
+    def view(q, t, lo, hi):
+        di, dj = _SUBPOS[t]
+        co = q.shape[-1] // 4
+        return q[:, di : di + hr, dj : dj + wr, t * co + lo : t * co + hi]
+
+    lrelu = lambda t: jnp.where(t >= 0, t, 0.2 * t)
+    b1, b2, b3, b4, b5 = (b.astype(xs.dtype) for b in biases)
+    q0 = conv_m(xs, packs[0])
+    x1 = jnp.concatenate([lrelu(view(q0, t, 0, gc) + b1) for t in range(4)], axis=-1)
+    q1 = conv_m(x1, packs[1])
+    x2 = jnp.concatenate(
+        [lrelu(view(q0, t, gc, 2 * gc) + view(q1, t, 0, gc) + b2) for t in range(4)], axis=-1
+    )
+    q2 = conv_m(x2, packs[2])
+    x3 = jnp.concatenate(
+        [
+            lrelu(view(q0, t, 2 * gc, 3 * gc) + view(q1, t, gc, 2 * gc) + view(q2, t, 0, gc) + b3)
+            for t in range(4)
+        ],
+        axis=-1,
+    )
+    q3 = conv_m(x3, packs[3])
+    x4 = jnp.concatenate(
+        [
+            lrelu(
+                view(q0, t, 3 * gc, 4 * gc)
+                + view(q1, t, 2 * gc, 3 * gc)
+                + view(q2, t, gc, 2 * gc)
+                + view(q3, t, 0, gc)
+                + b4
+            )
+            for t in range(4)
+        ],
+        axis=-1,
+    )
+    q4 = conv_m(x4, packs[4])
+    c5 = 4 * gc + nf
+    x5 = jnp.concatenate(
+        [
+            view(q0, t, 4 * gc, c5)
+            + view(q1, t, 3 * gc, 3 * gc + nf)
+            + view(q2, t, 2 * gc, 2 * gc + nf)
+            + view(q3, t, gc, gc + nf)
+            + view(q4, t, 0, nf)
+            + b5
+            for t in range(4)
+        ],
+        axis=-1,
+    )
+    return xs + 0.2 * x5
+
+
+def esrgan_generate_s2d(packed: dict, x, p: EsrganParams):
+    """RRDBNet forward with the trunk on space-to-depth activations.
+    Requires even H, W (whole-image TPU path); exact same math."""
+    gc, nf = packed["gc"], packed["nf"]
+    x = _conv_p(x, packed["stem"])
+    xs = _space_to_depth(x)
+
+    def rrdb_body(carry, wb):
+        packs, biases = wb
+        y = carry
+        for r in range(3):
+            y = _rdb_s2d(y, [pk[r] for pk in packs], [b[r] for b in biases], gc, nf)
+        return carry + 0.2 * y, None
+
+    xs, _ = jax.lax.scan(rrdb_body, xs, (packed["rdb_packs_s2d"], packed["rdb_biases"]))
+    sub = _depth_to_space(xs)
+    sub = _conv_p(sub, packed["trunk"])
+    x = x + sub
+    for up in packed["up"]:
+        n, h, w, c = x.shape
+        x = resize_nhwc(x, (h * 2, w * 2), "nearest")
+        x = _conv_p(x, up, act=True)
+    x = _conv_p(x, packed["hr"], act=True)
+    x = _conv_p(x, packed["last"])
+    return x
+
+
 class EsrganModel:
     """High-level model handle (reference esrgan_model, vision.h + the
     esrgan_load_model/esrgan_compute pair in vision.cpp:209-253)."""
@@ -303,57 +484,53 @@ class EsrganModel:
         self.params = params
         self.p = p
         self.device = device
-        self._jit = {}
-        self._packed_cache = None
+        from ..core.graph import GraphCache
 
-    @property
-    def _packed(self):
-        if self._packed_cache is None:
-            self._packed_cache = esrgan_pack_weights(
+        self._graphs = GraphCache(self._build)
+        self._packed_cache = {}
+
+    def _packed(self, s2d: bool):
+        if s2d not in self._packed_cache:
+            pack = esrgan_pack_weights_s2d if s2d else esrgan_pack_weights
+            self._packed_cache[s2d] = pack(
                 self.params, self.p, dtype=self.device.preferred_float_type
             )
-        return self._packed_cache
+        return self._packed_cache[s2d]
+
+    def _build(self, to_u8: bool, s2d: bool):
+        p, dtype = self.p, self.device.preferred_float_type
+        generate = esrgan_generate_s2d if s2d else esrgan_generate_packed
+
+        @partial(jax.jit, static_argnames=("gc", "nf"))
+        def run(weights, x_u8, gc, nf):
+            from ..ops.preprocess import normalize_u8
+
+            x = normalize_u8(x_u8, dtype=dtype)
+            y = generate({**weights, "gc": gc, "nf": nf}, x, p)
+            if to_u8:
+                y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
+                y = y.astype(jnp.uint8)
+            return y
+
+        return run
+
+    def _fn(self, key, to_u8: bool, extent: tuple[int, int]):
+        """Jitted executable for this shape bucket; the RDB trunk runs in
+        space-to-depth layout when the extent is even (the whole-image TPU
+        path; see esrgan_generate_s2d)."""
+        s2d = extent[0] % 2 == 0 and extent[1] % 2 == 0
+        fn = self._graphs.get((key, to_u8, s2d), to_u8, s2d)
+        pk = dict(self._packed(s2d))
+        gc, nf = pk.pop("gc"), pk.pop("nf")
+        return lambda x_u8: fn(pk, x_u8, gc, nf)
 
     def _compute_whole(self, image: Image) -> Image:
         """Single-program path: u8 in, u8 out, zero host-side pixel math."""
-        key = ("whole", image.extent)
-        if key not in self._jit:
-            p, dtype = self.p, self.device.preferred_float_type
-
-            @partial(jax.jit, static_argnames=("gc", "nf"))
-            def run(weights, x_u8, gc, nf):
-                from ..ops.preprocess import normalize_u8
-
-                x = normalize_u8(x_u8, dtype=dtype)
-                y = esrgan_generate_packed({**weights, "gc": gc, "nf": nf}, x, p)
-                y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
-                return y.astype(jnp.uint8)
-
-            self._jit[key] = run
+        fn = self._fn(("whole", image.extent), True, image.extent)
         src = image.to_rgb_u8()
-        pk = dict(self._packed)
-        gc, nf = pk.pop("gc"), pk.pop("nf")
-        y = np.asarray(self._jit[key](pk, jnp.asarray(src[None]), gc, nf))[0]
+        y = np.asarray(fn(jnp.asarray(src[None])))[0]
         rgba = np.concatenate([y, np.full((*y.shape[:2], 1), 255, np.uint8)], axis=2)
         return Image(np.ascontiguousarray(rgba), ImageFormat.rgba_u8)
-
-    def _fn(self, batch: int, tile: tuple[int, int]):
-        key = (batch, tile)
-        if key not in self._jit:
-            p, dtype = self.p, self.device.preferred_float_type
-
-            @partial(jax.jit, static_argnames=("gc", "nf"))
-            def run(weights, x_u8, gc, nf):
-                from ..ops.preprocess import normalize_u8
-
-                x = normalize_u8(x_u8, dtype=dtype)
-                return esrgan_generate_packed({**weights, "gc": gc, "nf": nf}, x, p)
-
-            self._jit[key] = run
-        fn = self._jit[key]
-        pk = dict(self._packed)
-        gc, nf = pk.pop("gc"), pk.pop("nf")
-        return lambda _params, x_u8: fn(pk, x_u8, gc, nf)
 
     def compute(self, image: Image, tile_size: int | None = None, batch: int = 4) -> Image:
         """Tiled super-resolution (reference esrgan_compute, vision.cpp:220-253).
@@ -388,14 +565,14 @@ class EsrganModel:
             xs = np.minimum(np.arange(sx, sx + tw), w - 1)
             stack[t] = src[np.ix_(ys, xs)]
 
-        fn = self._fn(batch, (tw, th))
+        fn = self._fn((batch, (tw, th)), False, (tw, th))
         out_tiles = np.empty((n, th * self.p.scale, tw * self.p.scale, 3), np.float32)
         for i in range(0, n, batch):
             chunk = stack[i : i + batch]
             pad = batch - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, th, tw, 3), np.uint8)], 0)
-            y = fn(self.params, jnp.asarray(chunk))
+            y = fn(jnp.asarray(chunk))
             out_tiles[i : i + batch] = np.asarray(y.astype(jnp.float32))[: batch - pad if pad else batch]
 
         # overlap blend (reference tile_merge, image.cpp:655-693)

@@ -506,14 +506,17 @@ class SamModel:
         self.image_extent: tuple[int, int] | None = None
         self.embed = None
 
+        from ..core.device import BuildFlag
+
         dtype = device.preferred_float_type
+        flash = bool(device.flags & BuildFlag.flash_attention)
 
         @jax.jit
         def enc(weights, x_u8):
             from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
 
             x = normalize_u8(x_u8, MEAN, STD, dtype)
-            return sam_encode_image(Params(weights), x)
+            return sam_encode_image(Params(weights), x, flash=flash)
 
         @jax.jit
         def dec_point(weights, embed, coords):

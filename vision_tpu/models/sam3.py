@@ -406,12 +406,24 @@ class Sam3Model:
     """High-level handle for the WIP SAM3 scope: tokenizer + text encoder +
     vision encoder/neck (no mask decoder yet, matching the reference)."""
 
-    def __init__(self, params: dict, tokenizer: ClipTokenizer, max_tokens: int, device):
+    def __init__(
+        self,
+        params: dict,
+        tokenizer: ClipTokenizer,
+        max_tokens: int,
+        device,
+        vp: Sam3VitParams | None = None,
+    ):
         self.params = params
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.device = device
         import jax
+
+        from ..core.device import BuildFlag
+
+        flash = bool(device.flags & BuildFlag.flash_attention)
+        vp = vp or Sam3VitParams()
 
         @jax.jit
         def text_fn(weights, ids, mask):
@@ -419,7 +431,7 @@ class Sam3Model:
 
         @jax.jit
         def vision_fn(weights, image):
-            out = encode_vision(Params(weights)["det.ve"], image)
+            out = encode_vision(Params(weights)["det.ve"], image, vp, flash=flash)
             return tuple(out.fpn_hidden_states)
 
         self._text_fn = text_fn
