@@ -272,3 +272,109 @@ def test_convert_from_safetensors(tmp_path):
     f = GGUFFile(out)
     assert f.get_int("esrgan.block_count") == 1
     assert "model.0.weight" in f.tensor_names()
+
+
+def test_convert_sam3_tokenizer_roundtrip(tmp_path):
+    """sam3 conversion (reference convert.py:288-351): tokenizer files ->
+    GGUF string arrays -> clip_tokenizer_init -> tokenize; weight renames
+    applied, text_projection dropped."""
+    import json
+
+    from vision_tpu.core.gguf import model_load
+    from vision_tpu.models.sam3 import clip_tokenizer_init
+
+    tokens = ["<unk>", "a", "b", "c", "a</w>", "b</w>", "c</w>", "ab", "ab</w>",
+              "abc</w>", "1</w>", "!</w>", "<|startoftext|>", "<|endoftext|>"]
+    (tmp_path / "vocab.json").write_text(json.dumps({t: i for i, t in enumerate(tokens)}))
+    (tmp_path / "merges.txt").write_text("#version\na b\nab c</w>\na b</w>\n")
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token_id": 12, "eos_token_id": 13, "pad_token_id": 13,
+        "unk_token_id": 0, "model_max_length": 8,
+    }))
+    sd = {
+        "detector_model.vision_encoder.backbone.layer_norm.weight": torch.ones(4),
+        "detector_model.text_encoder.embeddings.token_embedding.weight": torch.zeros(14, 4),
+        "detector_model.text_encoder.text_projection.weight": torch.zeros(4, 4),
+        "detector_model.mask_decoder.cross_attn_image_to_token.q_proj.weight": torch.zeros(4, 4),
+    }
+    ckpt = tmp_path / "sam3.pth"
+    torch.save(sd, ckpt)
+    out = convert_model("sam3", ckpt, tmp_path / "sam3.gguf")
+
+    f = model_load(str(out))
+    assert f.arch == "sam3"
+    names = f.tensor_names()
+    assert "det.ve.backbone.layer_norm.weight" in names
+    assert "det.te.embeddings.token_embedding.weight" in names
+    assert "det.decoder.cross_attn_i2t.q_proj.weight" in names
+    assert not any("text_projection" in n for n in names)
+
+    tk = clip_tokenizer_init(f)
+    assert f.get_int("sam3.tokenizer.max_length") == 8
+    toks = tk.tokenize("abc", 8)
+    assert list(toks.token_ids[:3]) == [12, 9, 13]
+
+
+def test_convert_esrgan_new_arch_names(tmp_path):
+    """BasicSR new-arch checkpoint -> normalized old-arch GGUF -> load ->
+    forward matches the equivalent old-arch model (the reference routes
+    this through spandrel, convert.py:504-527)."""
+    from test_esrgan import RRDBNet
+    from vision_tpu.models.esrgan import esrgan_load_model, esrgan_compute
+    from vision_tpu.core.device import BackendType, backend_init
+
+    t = randomize(RRDBNet(nf=8, nb=2, gc=4, scale=4))
+    old_sd = t.state_dict()
+    new_sd = {}
+    for k, v in old_sd.items():
+        parts = k.split(".")
+        if k.startswith("model.0."):
+            new_sd["conv_first." + parts[-1]] = v
+        elif k.startswith("model.1.sub.2."):  # trunk conv (nb=2)
+            new_sd["conv_body." + parts[-1]] = v
+        elif k.startswith("model.1.sub."):
+            i, rdb, conv = parts[3], parts[4], parts[5]
+            new_sd[f"body.{i}.rdb{rdb[-1]}.{conv}.{parts[-1]}"] = v
+        elif k.startswith("model.3."):
+            new_sd["conv_up1." + parts[-1]] = v
+        elif k.startswith("model.6."):
+            new_sd["conv_up2." + parts[-1]] = v
+        elif k.startswith("model.8."):
+            new_sd["conv_hr." + parts[-1]] = v
+        elif k.startswith("model.10."):
+            new_sd["conv_last." + parts[-1]] = v
+        else:
+            raise AssertionError(k)
+    ckpt = tmp_path / "esrgan_new.pth"
+    torch.save(new_sd, ckpt)
+    out = convert_model("esrgan", ckpt, tmp_path / "esrgan_new.gguf")
+    f = GGUFFile(out)
+    assert f.get_int("esrgan.scale") == 4
+    assert f.get_int("esrgan.block_count") == 2
+    model = esrgan_load_model(str(out), backend_init(BackendType.cpu))
+    img = image_load_array(np.random.default_rng(0).integers(0, 256, (16, 20, 3)).astype(np.uint8))
+    res = esrgan_compute(model, img)
+    with torch.no_grad():
+        y = t(torch.from_numpy(img.data[:, :, :3].astype(np.float32) / 255.0).permute(2, 0, 1)[None])
+    exp = np.clip(y[0].permute(1, 2, 0).numpy(), 0, 1) * 255
+    rms = np.sqrt((((exp - res.data[:, :, :3].astype(np.float32)) / 255) ** 2).mean())
+    assert rms < 0.01, rms
+
+
+def test_convert_yolov9t_ultralytics_naming(tmp_path):
+    """Ultralytics checkpoints keep the detect head at model.22.* — the
+    converter remaps it to detect.* (reference scripts/yolov9t.py:160-236)."""
+    from test_yolov9t import TYolo
+
+    t = randomize(TYolo())
+    sd = {
+        (k.replace("detect.", "model.22.") if k.startswith("detect.") else k): v
+        for k, v in t.state_dict().items()
+    }
+    ckpt = tmp_path / "yolo_ul.pth"
+    torch.save(sd, ckpt)
+    out = convert_model("yolov9t", ckpt, tmp_path / "yolo_ul.gguf")
+    f = GGUFFile(out)
+    names = f.tensor_names()
+    assert any(n.startswith("detect.") for n in names)
+    assert not any(n.startswith("model.22.") for n in names)

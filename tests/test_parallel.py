@@ -89,3 +89,54 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sam_encoder_dp_sharded_matches_single_device():
+    """Full TinyViT encoder, batch dp-sharded over the 8-device mesh:
+    multi-chip INFERENCE parity — the reference's single-request semantics
+    (vision.cpp:36-52) scaled by the chip count."""
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.image import image_load_array
+    from vision_tpu.models.mobile_sam import SamModel, SamParams
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+
+    mesh = make_mesh(8, tp=2)  # dp=4 x tp=2: batch sharding + tp collectives
+    dev = backend_init(BackendType.cpu)
+    params = random_mobile_sam_params(seed=0)
+    rng = np.random.default_rng(7)
+    uniq = [rng.integers(0, 256, (1024, 1024, 3)).astype(np.uint8) for _ in range(2)]
+    images = [image_load_array(uniq[i % 2]) for i in range(4)]
+
+    sharded_model = SamModel(params, SamParams(), dev, mesh=mesh)
+    emb = sharded_model.encode_batch(images)
+    assert emb.sharding.spec == P("dp"), emb.sharding
+    emb = np.asarray(emb)
+
+    single = SamModel(params, SamParams(), dev)
+    single.encode(images[0])
+    e0 = np.asarray(single.embed)[0]
+    single.encode(images[1])
+    e1 = np.asarray(single.embed)[0]
+    np.testing.assert_allclose(emb[0], e0, atol=2e-5)
+    np.testing.assert_allclose(emb[1], e1, atol=2e-5)
+    np.testing.assert_allclose(emb[2], e0, atol=2e-5)
+
+
+def test_esrgan_tiled_dp_sharded_matches_single_device():
+    """Tile batch dp-sharded over the mesh == single-device tiled output
+    (reference per-tile loop, vision.cpp:240-251, scaled by mesh size)."""
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.image import image_load_array
+    from vision_tpu.models.esrgan import EsrganModel, EsrganParams
+    from vision_tpu.models.random_weights import random_esrgan_params
+
+    dev = backend_init(BackendType.cpu)
+    params = random_esrgan_params(seed=1, nf=8, nb=1, gc=4)
+    p = EsrganParams(4, 1)
+    img = image_load_array(np.random.default_rng(3).integers(0, 256, (40, 56, 3)).astype(np.uint8))
+    ref = EsrganModel(params, p, dev).compute(img, tile_size=32, batch=2)
+    out = EsrganModel(params, p, dev, mesh=make_mesh(8)).compute(img, tile_size=32, batch=8)
+    assert out.extent == ref.extent
+    np.testing.assert_allclose(
+        out.data.astype(np.int32), ref.data.astype(np.int32), atol=1
+    )

@@ -95,19 +95,19 @@ def _bench_esrgan(res):
         import jax
         import jax.numpy as jnp
 
-        from .models.esrgan import EsrganParams, esrgan_generate_s2d, esrgan_pack_weights_s2d
+        from .models.esrgan import EsrganParams, esrgan_generate_packed, esrgan_pack_weights
         from .models.random_weights import random_esrgan_params
         from .ops.preprocess import normalize_u8
 
         raw = random_esrgan_params(0)
         dev_params = {k: jax.device_put(v, dev.jax_device) for k, v in raw.items()}
         p = EsrganParams(4, 23)
-        packed = esrgan_pack_weights_s2d(dev_params, p, dtype=dtype)
+        packed = esrgan_pack_weights(dev_params, p, dtype=dtype)
         gc, nf = packed.pop("gc"), packed.pop("nf")
 
         def step(w, x):
             img = normalize_u8(x, dtype=dtype)
-            y = esrgan_generate_s2d({**w, "gc": gc, "nf": nf}, img, p)
+            y = esrgan_generate_packed({**w, "gc": gc, "nf": nf}, img, p)
             return jnp.sum(y.astype(jnp.float32))
 
         return step, packed, _u8((1, res, res, 3))

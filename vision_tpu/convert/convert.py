@@ -324,10 +324,14 @@ def convert_migan(model: dict, w: Writer):
         w.add_tensor(name, t)
 
 
-def convert_esrgan(model: dict, w: Writer, scale: int = 4, n_blocks: int | None = None):
-    """Old-arch ESRGAN state dicts (the reference goes through spandrel;
-    here `model.N...` naming is expected directly)."""
+def convert_esrgan(model: dict, w: Writer, scale: int | None = None, n_blocks: int | None = None):
+    """ESRGAN state dicts: old-arch `model.N...` naming directly, or
+    new-arch BasicSR names via normalize_esrgan_names (the reference goes
+    through spandrel, which stores old-arch internally)."""
     w.set_layout_default("whcn")
+    model, detected_scale = normalize_esrgan_names(model)
+    if scale is None:
+        scale = detected_scale
     if n_blocks is None:
         n_blocks = 0
         for k in model:
@@ -343,9 +347,102 @@ def convert_esrgan(model: dict, w: Writer, scale: int = 4, n_blocks: int | None 
         w.add_tensor(name, t)
 
 
-def convert_yolov9t(model: dict, w: Writer):
-    """YOLOv9t with BN fused to mul/add (reference scripts/yolov9t.py flow)."""
+def convert_sam3(model: dict, w: Writer, model_dir: Path):
+    """SAM3 (reference convert.py:288-351): tokenizer vocab/merges exported
+    as GGUF string arrays + special-token ids + max_length, weights renamed
+    (detector_model->det, vision_encoder->ve, ...); text_projection dropped."""
+    import json
+
     w.set_layout_default("whcn")
+    vocab_path = model_dir / "vocab.json"
+    merges_path = model_dir / "merges.txt"
+    config_path = model_dir / "tokenizer_config.json"
+    if not vocab_path.exists() or not merges_path.exists():
+        raise_error("sam3 conversion requires vocab.json and merges.txt next to the checkpoint ({})", model_dir)
+    with open(vocab_path) as fh:
+        vocab = json.load(fh)
+    config = {}
+    if config_path.exists():
+        with open(config_path) as fh:
+            config = json.load(fh)
+
+    token_list = [""] * (max(vocab.values()) + 1)
+    for tok, tid in vocab.items():
+        token_list[tid] = tok
+    merges = []
+    with open(merges_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                merges.append(line)
+
+    w.add("tokenizer.ggml.model", "clip")
+    w.add("tokenizer.ggml.tokens", token_list)
+    w.add("tokenizer.ggml.merges", merges)
+    w.add("tokenizer.ggml.bos_token_id", int(config.get("bos_token_id", 49406)))
+    w.add("tokenizer.ggml.eos_token_id", int(config.get("eos_token_id", 49407)))
+    w.add("tokenizer.ggml.padding_token_id", int(config.get("pad_token_id", 49407)))
+    w.add("tokenizer.ggml.unknown_token_id", int(config.get("unk_token_id", 49407)))
+    w.add("sam3.tokenizer.max_length", int(config.get("model_max_length", 32)))
+
+    for key, t in model.items():
+        if key.startswith("detector_model.text_encoder.text_projection"):
+            continue
+        name = (
+            key.replace("detector_model", "det")
+            .replace("text_encoder", "te")
+            .replace("vision_encoder", "ve")
+            .replace("tracker_model", "trk")
+            .replace("mask_decoder.", "decoder.")
+            .replace("_image_to_token.", "_i2t.")
+            .replace("_token_to_image.", "_t2i.")
+        )
+        if is_conv_2d(name, t):
+            t = w.convert_tensor_2d(t)
+        w.add_tensor(name, t)
+
+
+def normalize_esrgan_names(model: dict) -> tuple[dict, int]:
+    """New-arch (BasicSR RRDBNet: conv_first/body.N.rdbK.convJ/conv_up...)
+    -> old-arch sequential names (model.0, model.1.sub.N.RDBk.convj.0, ...).
+    Pure rename table standing in for the reference's spandrel normalization
+    (convert.py:504-527). Returns (renamed dict, scale)."""
+    if not any(k.startswith("conv_first") for k in model):
+        # already old-arch; infer scale from the upsample layer indices
+        last = max(int(k.split(".")[1]) for k in model if k.startswith("model.") and k.split(".")[1].isdigit())
+        return dict(model), {10: 4, 7: 2, 4: 1}.get(last, 4)
+    n_up = len({k.split(".")[0] for k in model if k.startswith("conv_up")})
+    scale = 2 ** n_up
+    nb = 1 + max(int(k.split(".")[1]) for k in model if k.startswith("body."))
+    out = {}
+    up_seq = {1: 3, 2: 6}
+    hr_idx = 2 + 3 * n_up
+    for k, t in model.items():
+        if k.startswith("conv_first."):
+            out["model.0." + k.split(".", 1)[1]] = t
+        elif k.startswith("body."):
+            _, i, rdb, conv, leaf = k.split(".")  # body.3.rdb1.conv2.weight
+            out[f"model.1.sub.{i}.RDB{rdb[-1]}.{conv}.0.{leaf}"] = t
+        elif k.startswith("conv_body."):
+            out[f"model.1.sub.{nb}." + k.split(".", 1)[1]] = t
+        elif k.startswith("conv_up"):
+            n = int(k.split(".")[0][-1])
+            out[f"model.{up_seq[n]}." + k.split(".", 1)[1]] = t
+        elif k.startswith("conv_hr."):
+            out[f"model.{hr_idx}." + k.split(".", 1)[1]] = t
+        elif k.startswith("conv_last."):
+            out[f"model.{hr_idx + 2}." + k.split(".", 1)[1]] = t
+        else:
+            out[k] = t
+    return out, scale
+
+
+def convert_yolov9t(model: dict, w: Writer):
+    """YOLOv9t with BN fused to mul/add (reference scripts/yolov9t.py flow).
+    Accepts ultralytics checkpoints: the detection head lives at model.22.*
+    there and is remapped to detect.* (ref yolov9t.py:160-236)."""
+    w.set_layout_default("whcn")
+    model = {k.replace("model.22.", "detect."): v for k, v in model.items()}
     for key, t in model.items():
         out = fuse_batch_norm(model, key, "bn")
         if out is None:
@@ -359,6 +456,7 @@ def convert_yolov9t(model: dict, w: Writer):
 
 ARCH_NAMES = {
     "sam": "mobile-sam",
+    "sam3": "sam3",
     "birefnet": "birefnet",
     "depth-anything": "depthanything",
     "migan": "migan",
@@ -373,7 +471,7 @@ def convert_model(
     output_path: str | Path,
     float_type: str | None = None,
     layout: str | None = None,
-    esrgan_scale: int = 4,
+    esrgan_scale: int | None = None,
 ) -> Path:
     input_path, output_path = Path(input_path), Path(output_path)
     model = _load_checkpoint(input_path)
@@ -393,6 +491,8 @@ def convert_model(
         convert_esrgan(model, w, scale=esrgan_scale)
     elif arch == "yolov9t":
         convert_yolov9t(model, w)
+    elif arch == "sam3":
+        convert_sam3(model, w, input_path.parent)
     else:
         raise_error("Unknown architecture: {}", arch)
     w.finish()
@@ -406,7 +506,7 @@ def main():
     p.add_argument("--output", "-o", default="models")
     p.add_argument("--quantize", "-q", choices=["f16"], default=None)
     p.add_argument("--layout", "-l", choices=["whcn", "cwhn"], default=None)
-    p.add_argument("--esrgan-scale", type=int, default=4)
+    p.add_argument("--esrgan-scale", type=int, default=None)
     args = p.parse_args()
     out = Path(args.output)
     if out.is_dir() or out.suffix != ".gguf":

@@ -176,11 +176,11 @@ def esrgan_pack_weights(params: dict, p: EsrganParams, dtype=None):
 
 
 def esrgan_pack_weights_s2d(params: dict, p: EsrganParams, dtype=None):
-    """Packed weights with the RDB packs additionally space-to-depth
-    transformed and the four alignment kernels merged along Cout:
-    rdb_packs_s2d[j] has shape (n_blocks, 3, 2, 2, 4*Cin_j, 4*Cout_j) —
-    ONE VALID conv on a (1,1)-padded input computes all four sub-positions;
-    sub-position (di, dj) is the (rows di:, cols dj:) view of its Cout block."""
+    """Packed weights with the RDB packs additionally row-pair space-to-depth
+    transformed and both row sub-position kernels merged along Cout:
+    rdb_packs_s2d[j] has shape (n_blocks, 3, 2, 3, 2*Cin_j, 2*Cout_j) —
+    ONE conv on a (1,1)-row-padded input computes both sub-positions;
+    sub-position di is the rows[di:] view of its Cout block (see _rdb_s2d)."""
     w1 = params["model.1.sub.0.RDB1.conv1.0.weight"]
     gc, nf = int(w1.shape[0]), int(w1.shape[1])
     if dtype is None:
@@ -238,10 +238,7 @@ def _pack_impl(params: dict, p: EsrganParams, dtype, s2d: bool):
         "last": None,
     }
     if s2d:
-        def merged(w):
-            return jnp.concatenate([_s2d_kernel(w, di, dj) for (di, dj) in _SUBPOS], axis=-1)
-
-        packed["rdb_packs_s2d"] = tuple(jax.vmap(jax.vmap(merged))(pk) for pk in packs)
+        packed["rdb_packs_s2d"] = tuple(jax.vmap(jax.vmap(_s2d_kernel))(pk) for pk in packs)
     else:
         packed["rdb_packs"] = packs
     seq = 2
@@ -324,97 +321,86 @@ def esrgan_generate_packed(packed: dict, x, p: EsrganParams):
 
 
 # ---------------------------------------------------------------------------
-# Space-to-depth variant: trade 16/9 FLOPs for full MXU lane/contraction fill
+# Space-to-depth variant: trade 4/3 FLOPs for full MXU contraction fill
 # ---------------------------------------------------------------------------
 #
-# Even split-contribution convs keep Cin=32 inputs, and (1024, 1024, 32)
+# Even split-contribution convs keep Cin=32 inputs, and (H, W, 32)
 # activations fill only 32 of 128 lanes in TPU tiled layout (measured: Cin=32
-# convs run at 19-39 TF/s, Cin=128 at 74-111 TF/s). Folding 2x2 pixel blocks
-# into channels makes every activation (H/2, W/2, 4C >= 128): a 3x3 conv
-# becomes FOUR 2x2 convs over 4*Cin channels — one per output sub-position
-# (di, dj), each with its own padding alignment — at 16/9 the FLOPs. The
-# transform is exact: sub-position (di, dj) of output row 2i+di reads input
-# rows 2i+di-1..2i+di+1, i.e. reduced rows [i-1, i] (di=0, pad (1,0)) or
-# [i, i+1] (di=1, pad (0,1)); original tap u maps to (reduced tap a, sub-row
-# sy) with u = 2a + sy - 1 + di.
+# convs run at 19-39 TF/s, Cin>=128 at 74-130 TF/s). Folding PAIRS OF ROWS
+# into channels makes every activation (H/2, W, 2C): a 3x3 conv becomes a
+# (2,3) conv over 2*Cin channels emitting both row sub-positions — original
+# tap u maps to (reduced tap a, sub-row s) with u = 2a + s - 1 + di for
+# output sub-position di. Both di kernels merge along Cout into ONE conv on
+# a (1,1)-row-padded input; sub-position di is the rows[di:di+H/2] view of
+# its Cout block. Row views are FREE on TPU (H is not a tiled dim — W-axis
+# variants were measured 45% slower due to sublane relayouts), so the only
+# glue left is the channel concat assembling each x_j. FLOPs are 4/3x; the
+# contraction K_eff goes from 9*32=288 at quarter-filled lanes to 6*64=384
+# fully packed.
 
 
 def _space_to_depth(x):
     b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)
+    x = x.reshape(b, h // 2, 2, w, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, h // 2, w, 2 * c)
 
 
 def _depth_to_space(x):
-    b, h, w, c4 = x.shape
-    c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h * 2, w * 2, c)
+    b, h, w, c2 = x.shape
+    c = c2 // 2
+    x = x.reshape(b, h, w, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, h * 2, w, c)
 
 
-def _s2d_kernel(w_hwio, di: int, dj: int):
-    """(3,3,Cin,Cout) HWIO -> (2,2,4*Cin,Cout) for output sub-position
-    (di, dj). Input channel s-block s = sy*2+sx holds the original channels
-    of input sub-position (sy, sx)."""
+def _s2d_kernel(w_hwio):
+    """(3,3,Cin,Cout) HWIO -> (2,3,2*Cin,2*Cout): row-pair space-to-depth,
+    both output sub-positions merged along Cout ([di=0 | di=1] blocks)."""
     cin, cout = w_hwio.shape[2], w_hwio.shape[3]
-    zeros = jnp.zeros((cin, cout), w_hwio.dtype)
-
-    def tapmap(d):
-        # (reduced tap a, sub s) -> original tap index or None
-        return {(a, s): a * 2 + s - 1 + d for a in (0, 1) for s in (0, 1) if 0 <= a * 2 + s - 1 + d <= 2}
-
-    umap, vmap = tapmap(di), tapmap(dj)
-    rows = []
+    out_rows = []
     for a in (0, 1):
-        cols = []
-        for b_ in (0, 1):
-            blocks = []
+        blocks_per_di = []
+        for di in (0, 1):
+            sub = []
             for sy in (0, 1):
-                for sx in (0, 1):
-                    u, v = umap.get((a, sy)), vmap.get((b_, sx))
-                    blocks.append(w_hwio[u, v] if u is not None and v is not None else zeros)
-            cols.append(jnp.concatenate(blocks, axis=0))  # (4Cin, Cout)
-        rows.append(jnp.stack(cols))  # (2, 4Cin, Cout)
-    return jnp.stack(rows)  # (2, 2, 4Cin, Cout)
-
-
-_SUBPOS = ((0, 0), (0, 1), (1, 0), (1, 1))
+                u = 2 * a + sy - 1 + di
+                sub.append(w_hwio[u] if 0 <= u <= 2 else jnp.zeros((3, cin, cout), w_hwio.dtype))
+            blocks_per_di.append(jnp.concatenate(sub, axis=1))  # (3, 2Cin, Cout)
+        out_rows.append(jnp.concatenate(blocks_per_di, axis=2))  # (3, 2Cin, 2Cout)
+    return jnp.stack(out_rows)  # (2, 3, 2Cin, 2Cout)
 
 
 def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
-    """One RDB on space-to-depth activations. packs[j]: (2,2,4Cin_j,4Cout_j).
-
-    Each merged conv output q has extent (Hr+1, Wr+1) and channel blocks
-    [t0 | t1 | t2 | t3]; ``view(q, t, lo, hi)`` selects sub-position t's
-    logical channels [lo:hi] at its alignment."""
-    hr, wr = xs.shape[1], xs.shape[2]
+    """One RDB on row-pair space-to-depth activations.
+    packs[j]: (2, 3, 2*Cin_j, 2*Cout_j). Each merged conv output q has
+    Hr+1 rows and channel blocks [di=0 | di=1]; ``view(q, di, lo, hi)``
+    selects sub-position di's logical channels [lo:hi] at its alignment."""
+    hr = xs.shape[1]
 
     def conv_m(src, w):
-        srcp = jnp.pad(src, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        srcp = jnp.pad(src, ((0, 0), (1, 1), (0, 0), (0, 0)))
         return jax.lax.conv_general_dilated(
-            srcp, w, (1, 1), [(0, 0), (0, 0)],
+            srcp, w, (1, 1), [(0, 0), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         ).astype(src.dtype)
 
-    def view(q, t, lo, hi):
-        di, dj = _SUBPOS[t]
-        co = q.shape[-1] // 4
-        return q[:, di : di + hr, dj : dj + wr, t * co + lo : t * co + hi]
+    def view(q, di, lo, hi):
+        co = q.shape[-1] // 2
+        return q[:, di : di + hr, :, di * co + lo : di * co + hi]
 
     lrelu = lambda t: jnp.where(t >= 0, t, 0.2 * t)
     b1, b2, b3, b4, b5 = (b.astype(xs.dtype) for b in biases)
     q0 = conv_m(xs, packs[0])
-    x1 = jnp.concatenate([lrelu(view(q0, t, 0, gc) + b1) for t in range(4)], axis=-1)
+    x1 = jnp.concatenate([lrelu(view(q0, t, 0, gc) + b1) for t in range(2)], axis=-1)
     q1 = conv_m(x1, packs[1])
     x2 = jnp.concatenate(
-        [lrelu(view(q0, t, gc, 2 * gc) + view(q1, t, 0, gc) + b2) for t in range(4)], axis=-1
+        [lrelu(view(q0, t, gc, 2 * gc) + view(q1, t, 0, gc) + b2) for t in range(2)], axis=-1
     )
     q2 = conv_m(x2, packs[2])
     x3 = jnp.concatenate(
         [
             lrelu(view(q0, t, 2 * gc, 3 * gc) + view(q1, t, gc, 2 * gc) + view(q2, t, 0, gc) + b3)
-            for t in range(4)
+            for t in range(2)
         ],
         axis=-1,
     )
@@ -428,7 +414,7 @@ def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
                 + view(q3, t, 0, gc)
                 + b4
             )
-            for t in range(4)
+            for t in range(2)
         ],
         axis=-1,
     )
@@ -442,7 +428,7 @@ def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
             + view(q3, t, gc, gc + nf)
             + view(q4, t, 0, nf)
             + b5
-            for t in range(4)
+            for t in range(2)
         ],
         axis=-1,
     )
@@ -450,8 +436,8 @@ def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
 
 
 def esrgan_generate_s2d(packed: dict, x, p: EsrganParams):
-    """RRDBNet forward with the trunk on space-to-depth activations.
-    Requires even H, W (whole-image TPU path); exact same math."""
+    """RRDBNet forward with the trunk on row-pair space-to-depth
+    activations. Requires even H (whole-image TPU path); exact same math."""
     gc, nf = packed["gc"], packed["nf"]
     x = _conv_p(x, packed["stem"])
     xs = _space_to_depth(x)
@@ -478,12 +464,18 @@ def esrgan_generate_s2d(packed: dict, x, p: EsrganParams):
 
 class EsrganModel:
     """High-level model handle (reference esrgan_model, vision.h + the
-    esrgan_load_model/esrgan_compute pair in vision.cpp:209-253)."""
+    esrgan_load_model/esrgan_compute pair in vision.cpp:209-253).
 
-    def __init__(self, params: dict, p: EsrganParams, device: Device):
+    ``mesh``: optional jax.sharding.Mesh — weights are replicated onto the
+    mesh and the tile batch is dp-sharded, so N chips super-resolve N tiles
+    per step over ICI (the reference's sequential per-tile loop,
+    vision.cpp:240-251, scaled by the mesh size)."""
+
+    def __init__(self, params: dict, p: EsrganParams, device: Device, mesh=None):
         self.params = params
         self.p = p
         self.device = device
+        self.mesh = mesh
         from ..core.graph import GraphCache
 
         self._graphs = GraphCache(self._build)
@@ -492,16 +484,20 @@ class EsrganModel:
     def _packed(self, s2d: bool):
         if s2d not in self._packed_cache:
             pack = esrgan_pack_weights_s2d if s2d else esrgan_pack_weights
-            self._packed_cache[s2d] = pack(
-                self.params, self.p, dtype=self.device.preferred_float_type
-            )
+            packed = pack(self.params, self.p, dtype=self.device.preferred_float_type)
+            if self.mesh is not None:
+                from ..parallel import replicate
+
+                gc, nf = packed.pop("gc"), packed.pop("nf")
+                packed = jax.device_put(packed, replicate(self.mesh))
+                packed["gc"], packed["nf"] = gc, nf
+            self._packed_cache[s2d] = packed
         return self._packed_cache[s2d]
 
     def _build(self, to_u8: bool, s2d: bool):
         p, dtype = self.p, self.device.preferred_float_type
         generate = esrgan_generate_s2d if s2d else esrgan_generate_packed
 
-        @partial(jax.jit, static_argnames=("gc", "nf"))
         def run(weights, x_u8, gc, nf):
             from ..ops.preprocess import normalize_u8
 
@@ -512,13 +508,25 @@ class EsrganModel:
                 y = y.astype(jnp.uint8)
             return y
 
-        return run
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            return jax.jit(
+                run,
+                static_argnames=("gc", "nf"),
+                in_shardings=(None, batch_sharding(self.mesh)),
+                out_shardings=batch_sharding(self.mesh),
+            )
+        return jax.jit(run, static_argnames=("gc", "nf"))
 
     def _fn(self, key, to_u8: bool, extent: tuple[int, int]):
-        """Jitted executable for this shape bucket; the RDB trunk runs in
-        space-to-depth layout when the extent is even (the whole-image TPU
-        path; see esrgan_generate_s2d)."""
-        s2d = extent[0] % 2 == 0 and extent[1] % 2 == 0
+        """Jitted executable for this shape bucket. VISP_ESRGAN_S2D=1 routes
+        the RDB trunk through the row-pair space-to-depth variant (exact;
+        measured slightly slower than the packed path at 1024^2 on v5e —
+        1329 vs 1279 ms — kept as an opt-in for other shapes/hardware)."""
+        import os
+
+        s2d = extent[1] % 2 == 0 and os.environ.get("VISP_ESRGAN_S2D", "") not in ("", "0")
         fn = self._graphs.get((key, to_u8, s2d), to_u8, s2d)
         pk = dict(self._packed(s2d))
         gc, nf = pk.pop("gc"), pk.pop("nf")
@@ -545,7 +553,10 @@ class EsrganModel:
             from ..core.device import BackendType
 
             tile_size = 1024 if self.device.type & BackendType.tpu else ESRGAN_DEFAULT_TILE_SIZE
-        if max(image.extent) <= tile_size:
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            batch = ((batch + dp - 1) // dp) * dp
+        elif max(image.extent) <= tile_size:
             return self._compute_whole(image)
         tiles = TileLayout(image.extent, tile_size, ESRGAN_TILE_OVERLAP)
         tiles_out = tile_scale(tiles, self.p.scale)
@@ -587,12 +598,12 @@ class EsrganModel:
         return image_f32_to_u8(out, ImageFormat.rgba_u8)
 
 
-def esrgan_load_model(filepath: str, device: Device | None = None) -> EsrganModel:
+def esrgan_load_model(filepath: str, device: Device | None = None, mesh=None) -> EsrganModel:
     device = device or backend_init()
     file = model_load(filepath)
     p = esrgan_detect_params(file)
     params = load_weights(file, device)
-    return EsrganModel(params, p, device)
+    return EsrganModel(params, p, device, mesh=mesh)
 
 
 def esrgan_compute(model: EsrganModel, image: Image) -> Image:

@@ -499,10 +499,15 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
 
 
 class SamModel:
-    def __init__(self, params: dict, p: SamParams, device: Device):
-        self.params = params
+    def __init__(self, params: dict, p: SamParams, device: Device, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for multi-chip inference —
+        weights are placed on the mesh (replicated, or tp-sharded over the
+        mesh's ``tp`` axis via the default rules) and ``encode_batch`` shards
+        the image batch over ``dp``, scaling the reference's single-request
+        semantics (vision.cpp:36-95) by the chip count over ICI."""
         self.p = p
         self.device = device
+        self.mesh = mesh
         self.image_extent: tuple[int, int] | None = None
         self.embed = None
 
@@ -511,12 +516,28 @@ class SamModel:
         dtype = device.preferred_float_type
         flash = bool(device.flags & BuildFlag.flash_attention)
 
-        @jax.jit
-        def enc(weights, x_u8):
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
+
+        def enc_fn(weights, x_u8):
             from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
 
             x = normalize_u8(x_u8, MEAN, STD, dtype)
             return sam_encode_image(Params(weights), x, flash=flash)
+
+        if mesh is not None:
+            from ..parallel import batch_sharding
+
+            enc = jax.jit(
+                enc_fn,
+                in_shardings=(None, batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            enc = jax.jit(enc_fn)
 
         @jax.jit
         def dec_point(weights, embed, coords):
@@ -551,6 +572,16 @@ class SamModel:
         self.image_extent = image.extent
         x = sam_process_input_u8(image, self.p)
         self.embed = self._enc(self.params, jnp.asarray(x[None]))
+
+    def encode_batch(self, images: list[Image]):
+        """Encode a batch of images in one program; with a mesh, the batch is
+        dp-sharded so each chip encodes len(images)/dp images and the result
+        stays sharded on device. Returns the (N, 64, 64, 256) embeddings."""
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            assert len(images) % dp == 0, f"batch {len(images)} not divisible by dp={dp}"
+        x = np.stack([sam_process_input_u8(img, self.p) for img in images])
+        return self._enc(self.params, jnp.asarray(x))
 
     def compute(self, point=None, box=None) -> Image:
         """Predict a mask for a point or box prompt (vision.cpp:54-95)."""
@@ -590,7 +621,7 @@ class SamModel:
         return out
 
 
-def sam_load_model(filepath: str, device: Device | None = None) -> SamModel:
+def sam_load_model(filepath: str, device: Device | None = None, mesh=None) -> SamModel:
     device = device or backend_init()
     file = model_load(filepath)
     params = load_weights(file, device=None, as_numpy=True)
@@ -598,8 +629,8 @@ def sam_load_model(filepath: str, device: Device | None = None) -> SamModel:
     dtype = device.preferred_float_type
     out = {}
     for k, v in params.items():
-        a = jax.device_put(v, device.jax_device)
+        a = v if mesh is not None else jax.device_put(v, device.jax_device)
         if np.issubdtype(v.dtype, np.floating) and "positional" not in k:
-            a = a.astype(dtype)
+            a = np.asarray(a, dtype) if mesh is not None else a.astype(dtype)
         out[k] = a
-    return SamModel(out, SamParams(), device)
+    return SamModel(out, SamParams(), device, mesh=mesh)
