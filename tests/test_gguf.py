@@ -174,3 +174,81 @@ def test_q8_0_dequantize(tmp_path):
 
     g = GGUFFile(path)
     np.testing.assert_allclose(g.tensor("qt"), expected)
+
+
+def _f16_bytes(v: float) -> bytes:
+    return np.float16(v).tobytes()
+
+
+def _write_quant_tensor(tmp_path, ggml_type, block_bytes: bytes, n_elements=32):
+    """Hand-assemble a GGUF with one pre-quantized tensor block."""
+    from vision_tpu.core.gguf import GGUFWriter
+
+    path = tmp_path / f"{ggml_type.name}.gguf"
+    w = GGUFWriter(path, "esrgan")
+    w.add_raw_tensor("t", (n_elements,), ggml_type, block_bytes)
+    w.write()
+    return path
+
+
+def test_q4_0_dequantize(tmp_path):
+    """One hand-built Q4_0 block: d=0.5, nibbles 0..15 twice in ggml order
+    (element j = low nibble of byte j, element j+16 = high nibble)."""
+    from vision_tpu.core.gguf import GGMLType, GGUFFile
+
+    lo = np.arange(16, dtype=np.uint8)          # elements 0..15
+    hi = np.arange(15, -1, -1, dtype=np.uint8)  # elements 16..31
+    qs = (lo | (hi << 4)).tobytes()
+    blk = _f16_bytes(0.5) + qs
+    f = GGUFFile(_write_quant_tensor(tmp_path, GGMLType.Q4_0, blk))
+    got = f.tensor("t")
+    expected = np.concatenate([(lo.astype(np.float32) - 8), (hi.astype(np.float32) - 8)]) * 0.5
+    np.testing.assert_allclose(got, expected)
+
+
+def test_q4_1_dequantize(tmp_path):
+    from vision_tpu.core.gguf import GGMLType, GGUFFile
+
+    lo = np.arange(16, dtype=np.uint8)
+    hi = np.full(16, 7, np.uint8)
+    blk = _f16_bytes(0.25) + _f16_bytes(-1.5) + (lo | (hi << 4)).tobytes()
+    f = GGUFFile(_write_quant_tensor(tmp_path, GGMLType.Q4_1, blk))
+    expected = np.concatenate([lo, hi]).astype(np.float32) * 0.25 - 1.5
+    np.testing.assert_allclose(f.tensor("t"), expected)
+
+
+def test_q5_0_dequantize(tmp_path):
+    """High bit i (little-endian u32) belongs to element i: q = qh<<4 | nib."""
+    from vision_tpu.core.gguf import GGMLType, GGUFFile
+
+    lo = np.arange(16, dtype=np.uint8)
+    hi = np.arange(16, dtype=np.uint8)
+    qh = np.uint32(0b1010 | (1 << 31)).tobytes()  # elements 1, 3 and 31 get +16
+    blk = _f16_bytes(2.0) + qh + (lo | (hi << 4)).tobytes()
+    f = GGUFFile(_write_quant_tensor(tmp_path, GGMLType.Q5_0, blk))
+    q = np.concatenate([lo, hi]).astype(np.float32)
+    q[1] += 16; q[3] += 16; q[31] += 16
+    np.testing.assert_allclose(f.tensor("t"), (q - 16.0) * 2.0)
+
+
+def test_q5_1_dequantize(tmp_path):
+    from vision_tpu.core.gguf import GGMLType, GGUFFile
+
+    lo = np.full(16, 3, np.uint8)
+    hi = np.full(16, 12, np.uint8)
+    qh = np.uint32(0xFFFF0000).tobytes()  # elements 16..31 get +16
+    blk = _f16_bytes(0.5) + _f16_bytes(10.0) + qh + (lo | (hi << 4)).tobytes()
+    f = GGUFFile(_write_quant_tensor(tmp_path, GGMLType.Q5_1, blk))
+    q = np.concatenate([lo, hi]).astype(np.float32)
+    q[16:] += 16
+    np.testing.assert_allclose(f.tensor("t"), q * 0.5 + 10.0)
+
+
+def test_unsupported_ggml_type_raises(tmp_path):
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.gguf import GGMLType, GGUFFile
+
+    blk = b"\x00" * 36  # Q8_1 block: f16 d + f16 s + 32 int8
+    f = GGUFFile(_write_quant_tensor(tmp_path, GGMLType.Q8_1, blk))
+    with pytest.raises(VispError, match="Q8_1"):
+        f.tensor("t")

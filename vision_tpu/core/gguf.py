@@ -137,6 +137,81 @@ def dequantize_q8_0(raw: bytes, n_elements: int) -> np.ndarray:
     return (q * scales).reshape(-1)
 
 
+def _nibbles(qs: np.ndarray) -> np.ndarray:
+    """ggml nibble order: byte j of a block holds elements j (low nibble)
+    and j+16 (high nibble). qs: (n_blocks, 16) u8 -> (n_blocks, 32) f32."""
+    return np.concatenate([qs & 0x0F, qs >> 4], axis=1).astype(np.float32)
+
+
+def _high_bits(qh: np.ndarray) -> np.ndarray:
+    """Q5 high bits: little-endian u32 per block, bit i belongs to element i.
+    qh: (n_blocks, 4) u8 -> (n_blocks, 32) f32 in {0, 16}."""
+    bits = np.unpackbits(qh, axis=1, bitorder="little").astype(np.float32)
+    return bits * 16.0
+
+
+def dequantize_q4_0(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q4_0: f16 scale + 16 nibble bytes (18 bytes / 32 elements);
+    v = (q - 8) * d."""
+    n_blocks = n_elements // 32
+    buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 18).reshape(n_blocks, 18)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    return ((_nibbles(buf[:, 2:]) - 8.0) * d).reshape(-1)
+
+
+def dequantize_q4_1(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q4_1: f16 scale + f16 min + 16 nibble bytes (20 bytes / 32);
+    v = q * d + m."""
+    n_blocks = n_elements // 32
+    buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 20).reshape(n_blocks, 20)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    m = buf[:, 2:4].copy().view(np.float16).astype(np.float32)
+    return (_nibbles(buf[:, 4:]) * d + m).reshape(-1)
+
+
+def dequantize_q5_0(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q5_0: f16 scale + u32 high bits + 16 nibble bytes (22 bytes / 32);
+    v = ((qh_i << 4 | q_i) - 16) * d."""
+    n_blocks = n_elements // 32
+    buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 22).reshape(n_blocks, 22)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    q = _nibbles(buf[:, 6:]) + _high_bits(buf[:, 2:6])
+    return ((q - 16.0) * d).reshape(-1)
+
+
+def dequantize_q5_1(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q5_1: f16 scale + f16 min + u32 high bits + 16 nibble bytes
+    (24 bytes / 32); v = (qh_i << 4 | q_i) * d + m."""
+    n_blocks = n_elements // 32
+    buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 24).reshape(n_blocks, 24)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    m = buf[:, 2:4].copy().view(np.float16).astype(np.float32)
+    q = _nibbles(buf[:, 8:]) + _high_bits(buf[:, 4:8])
+    return (q * d + m).reshape(-1)
+
+
+_DEQUANTIZE = {
+    GGMLType.Q4_0: (dequantize_q4_0, 18),
+    GGMLType.Q4_1: (dequantize_q4_1, 20),
+    GGMLType.Q5_0: (dequantize_q5_0, 22),
+    GGMLType.Q5_1: (dequantize_q5_1, 24),
+    GGMLType.Q8_0: (dequantize_q8_0, 34),
+}
+
+
+@dataclass
+class _RawBlob:
+    """Pre-encoded tensor payload for GGUFWriter.add_raw_tensor."""
+
+    def __init__(self, shape: tuple[int, ...], blob: bytes):
+        self.shape = shape
+        self.blob = blob
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+
 @dataclass
 class TensorInfo:
     name: str
@@ -153,8 +228,12 @@ class TensorInfo:
 
     @property
     def n_bytes(self) -> int:
-        if self.ggml_type == GGMLType.Q8_0:
-            return (self.n_elements // 32) * 34
+        if self.ggml_type in _DEQUANTIZE:
+            return (self.n_elements // 32) * _DEQUANTIZE[self.ggml_type][1]
+        if self.ggml_type == GGMLType.Q8_1:  # readable span; dequant unsupported
+            return (self.n_elements // 32) * 36
+        if self.ggml_type not in _GGML_NP_DTYPE:
+            raise_error("unsupported ggml tensor type: {}", self.ggml_type.name)
         return self.n_elements * _GGML_NP_DTYPE[self.ggml_type].itemsize
 
 
@@ -289,12 +368,18 @@ class GGUFFile:
             raise_error("{}: no tensor named '{}'", self.path, name)
         info = self.tensors[name]
         raw = self.raw(name)
-        if info.ggml_type == GGMLType.Q8_0:
-            arr = dequantize_q8_0(raw.tobytes(), info.n_elements).reshape(info.shape)
+        if info.ggml_type in _DEQUANTIZE:
+            dequant, _ = _DEQUANTIZE[info.ggml_type]
+            arr = dequant(raw.tobytes(), info.n_elements).reshape(info.shape)
         elif info.ggml_type == GGMLType.BF16:
             arr = bf16_to_f32(raw.view(np.uint16)).reshape(info.shape)
-        else:
+        elif info.ggml_type in _GGML_NP_DTYPE:
             arr = raw.view(_GGML_NP_DTYPE[info.ggml_type]).reshape(info.shape)
+        else:
+            raise_error(
+                "{}: tensor '{}' has unsupported ggml type {}",
+                self.path, name, info.ggml_type.name,
+            )
         if dtype is not None and arr.dtype != dtype:
             arr = arr.astype(dtype)
         return arr
@@ -373,6 +458,11 @@ class GGUFWriter:
             ggml_type = ggml_type_of(a)
         self._tensors.append((name, a, ggml_type))
 
+    def add_raw_tensor(self, name: str, shape: tuple[int, ...], ggml_type: GGMLType, blob: bytes) -> None:
+        """Add a tensor whose data bytes are already in final (e.g.
+        quantized-block) form."""
+        self._tensors.append((name, _RawBlob(tuple(shape), blob), ggml_type))
+
     def write(self) -> None:
         with open(self.path, "wb") as f:
             f.write(GGUF_MAGIC)
@@ -387,7 +477,9 @@ class GGUFWriter:
             blobs: list[bytes] = []
             offset = 0
             for name, a, gt in self._tensors:
-                if gt == GGMLType.BF16 and a.dtype != np.uint16:
+                if isinstance(a, _RawBlob):
+                    blob = a.blob
+                elif gt == GGMLType.BF16 and a.dtype != np.uint16:
                     blob = f32_to_bf16(a.astype(np.float32)).tobytes()
                 elif gt == GGMLType.F16:
                     blob = a.astype(np.float16).tobytes()

@@ -39,6 +39,7 @@ from .image import (
     image_normalize,
     image_save,
     image_scale,
+    preprocess_scale_method,
     image_set_alpha,
     image_to_mask,
     image_u8_to_f32,
@@ -65,6 +66,7 @@ __all__ = [
     "image_normalize",
     "image_save",
     "image_scale",
+    "preprocess_scale_method",
     "image_set_alpha",
     "image_to_mask",
     "image_u8_to_f32",

@@ -366,6 +366,33 @@ def _image_scale_stb_u8(img: Image, target: tuple[int, int]) -> Image:
     return Image(np.ascontiguousarray((u8 * 255.0 + 0.5).astype(np.uint8)), img.format)
 
 
+def preprocess_scale_method() -> str:
+    """Resize semantics for model pre/post-processing paths: "stb" —
+    byte-compatible with the reference's image_scale (image.cpp:328-356) so
+    outputs match its golden images — unless VISP_RESIZE=torch selects PIL
+    bilinear (the semantics the models were trained with)."""
+    import os
+
+    return (
+        "torch"
+        if os.environ.get("VISP_RESIZE", "").lower() in ("torch", "pil", "bilinear")
+        else "stb"
+    )
+
+
+def _image_scale_stb_f32(img: Image, target: tuple[int, int]) -> Image:
+    """stb float path: Catmull-Rom, CLAMP edges, no sRGB (stbir float data
+    is treated as linear; reference image.cpp:345-352)."""
+    from ..ops.resize import resize_matrix
+
+    a = img.data.astype(np.float32)
+    wy = resize_matrix(img.height, target[1], "catmullrom", False)
+    wx = resize_matrix(img.width, target[0], "catmullrom", False)
+    out = np.einsum("oh,hwc->owc", wy, a)
+    out = np.einsum("ow,hwc->hoc", wx, out)
+    return Image(np.ascontiguousarray(out.astype(np.float32)), img.format)
+
+
 def image_scale(img: Image, target: tuple[int, int], method: str = "auto") -> Image:
     """Resize (reference image_scale, image.cpp:328-356: stb Catmull-Rom,
     CLAMP edges; sRGB-aware for u8).
@@ -373,10 +400,15 @@ def image_scale(img: Image, target: tuple[int, int], method: str = "auto") -> Im
     method="auto" uses PIL bilinear for u8 (matching the torch-side
     preprocessing the models were trained with) and half-pixel-center
     bilinear for f32; method="stb" reproduces the reference's
-    stb_image_resize semantics (Catmull-Rom + sRGB + alpha premultiply)."""
+    stb_image_resize semantics (Catmull-Rom + sRGB + alpha premultiply for
+    u8, Catmull-Rom linear for f32). Model pre/post-processing paths pass
+    ``preprocess_scale_method()`` (stb by default, VISP_RESIZE=torch to
+    opt out)."""
     if target == img.extent:
         return img.copy()
     if is_float(img.format):
+        if method == "stb":
+            return _image_scale_stb_f32(img, target)
         out = _bilinear_resize_f32(img.data.astype(np.float32), target)
         return Image(np.ascontiguousarray(out.astype(np.float32)), img.format)
     if method == "stb":

@@ -35,7 +35,7 @@ from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_f32_to_u8, image_scale
+from ..image import Image, ImageFormat, image_f32_to_u8, image_scale, preprocess_scale_method
 from ..ops import batch_norm_2d, conv_2d, relu, resize_nhwc, sigmoid
 from ..ops.deform import deform_conv_2d, deform_conv_2d_shift
 from .swin import SwinParams, swin_detect_params, swin_encode
@@ -286,13 +286,13 @@ class BirefnetModel:
 
     def compute(self, image: Image) -> Image:
         extent = birefnet_image_extent(image.extent, self.p, self.device.max_alloc)
-        img = image if image.extent == extent else image_scale(image, extent)
+        img = image if image.extent == extent else image_scale(image, extent, preprocess_scale_method())
         a = img.to_rgb_u8()
         y = self._fn(extent)(self.params, jnp.asarray(a[None]))
         mask = np.asarray(y.astype(jnp.float32))[0]
         out = Image(np.ascontiguousarray(mask), ImageFormat.alpha_f32)
         if out.extent != image.extent:
-            out = image_scale(out, image.extent)
+            out = image_scale(out, image.extent, preprocess_scale_method())
         return image_f32_to_u8(out, ImageFormat.alpha_u8)
 
 

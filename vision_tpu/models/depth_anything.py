@@ -21,7 +21,7 @@ from ..core.device import Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_normalize, image_scale
+from ..image import Image, ImageFormat, image_normalize, image_scale, preprocess_scale_method
 from ..ops import conv_2d, conv_transpose_2d, relu, resize_nhwc
 from .dino import DinoParams, dino_detect_params, dino_get_intermediate_layers
 
@@ -193,7 +193,7 @@ class DepthAnythingModel:
 
     def compute(self, image: Image) -> Image:
         extent = depthany_image_extent(image.extent, self.p)
-        img = image if image.extent == extent else image_scale(image, extent)
+        img = image if image.extent == extent else image_scale(image, extent, preprocess_scale_method())
         a = img.to_rgb_u8()
         fn = self._fn(extent)
         y = fn(self.params, jnp.asarray(a[None]))
@@ -201,7 +201,7 @@ class DepthAnythingModel:
         out = Image(np.ascontiguousarray(depth), ImageFormat.alpha_f32)
         out = image_normalize(out)
         if out.extent != image.extent:
-            out = image_scale(out, image.extent)
+            out = image_scale(out, image.extent, preprocess_scale_method())
         return out
 
 

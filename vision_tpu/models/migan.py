@@ -34,7 +34,14 @@ from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights
-from ..image import Image, ImageFormat, image_load_array, image_scale, image_set_alpha
+from ..image import (
+    Image,
+    ImageFormat,
+    image_load_array,
+    image_scale,
+    image_set_alpha,
+    preprocess_scale_method,
+)
 from ..ops import conv_2d, conv_2d_depthwise, leaky_relu, resize_nhwc
 
 __all__ = [
@@ -166,9 +173,9 @@ def migan_process_input(image: Image, mask: Image, p: MiganParams) -> np.ndarray
     (reference migan_process_input, migan.cpp:142-157,181-205)."""
     res = (p.resolution, p.resolution)
     if image.extent != res:
-        image = image_scale(image, res)
+        image = image_scale(image, res, preprocess_scale_method())
     if mask.extent != res:
-        mask = image_scale(mask, res)
+        mask = image_scale(mask, res, preprocess_scale_method())
     rgb = image.load_f32x4()[:, :, :3]
     alpha = mask.load_f32x4()[:, :, :1]
     if p.invert_mask:
@@ -203,8 +210,8 @@ class MiganModel:
 
     def compute(self, image: Image, mask: Image) -> Image:
         res = (self.p.resolution, self.p.resolution)
-        img_r = image if image.extent == res else image_scale(image, res)
-        mask_r = mask if mask.extent == res else image_scale(mask, res)
+        img_r = image if image.extent == res else image_scale(image, res, preprocess_scale_method())
+        mask_r = mask if mask.extent == res else image_scale(mask, res, preprocess_scale_method())
         a = img_r.to_rgb_u8()
         m = mask_r.data[:, :, :1]
         if np.issubdtype(m.dtype, np.floating):
@@ -213,11 +220,11 @@ class MiganModel:
         out = np.asarray(y.astype(jnp.float32))[0]
         out_img = Image(np.ascontiguousarray(out), ImageFormat.rgb_f32)
         if out_img.extent != image.extent:
-            out_img = image_scale(out_img, image.extent)
+            out_img = image_scale(out_img, image.extent, preprocess_scale_method())
         from ..image import image_f32_to_u8
 
         result = image_f32_to_u8(out_img, ImageFormat.rgba_u8, scale=0.5, offset=0.5)
-        mask_r = mask if mask.extent == image.extent else image_scale(mask, image.extent)
+        mask_r = mask if mask.extent == image.extent else image_scale(mask, image.extent, preprocess_scale_method())
         image_set_alpha(result, image_load_array(mask_r.data[:, :, :1], ImageFormat.alpha_u8))
         return result
 

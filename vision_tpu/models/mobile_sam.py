@@ -37,7 +37,14 @@ from ..core.device import Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_load_array, image_scale, image_u8_to_f32
+from ..image import (
+    Image,
+    ImageFormat,
+    image_load_array,
+    image_scale,
+    image_u8_to_f32,
+    preprocess_scale_method,
+)
 from ..ops import (
     attention,
     conv_2d,
@@ -435,7 +442,7 @@ def sam_process_input_u8(image: Image, p: SamParams = SamParams()) -> np.ndarray
     scale = resize_longest_side(image.extent, p.image_size)
     if scale != 1.0:
         target = (int(image.extent[0] * scale + 0.5), int(image.extent[1] * scale + 0.5))
-        image = image_scale(image, target)
+        image = image_scale(image, target, preprocess_scale_method())
     a = image.to_rgb_u8()
     # replicate-pad to square (matches image_u8_to_f32's clamped tiled reads)
     ys = np.minimum(np.arange(p.image_size), a.shape[0] - 1)
@@ -449,7 +456,7 @@ def sam_process_input(image: Image, p: SamParams = SamParams()) -> np.ndarray:
     scale = resize_longest_side(image.extent, p.image_size)
     if scale != 1.0:
         target = (int(image.extent[0] * scale + 0.5), int(image.extent[1] * scale + 0.5))
-        image = image_scale(image, target)
+        image = image_scale(image, target, preprocess_scale_method())
     out = image_u8_to_f32(
         image,
         ImageFormat.rgb_f32,

@@ -33,7 +33,13 @@ import numpy as np
 
 from ..core.gguf import GGUFFile
 from ..core.params import Params
-from ..image import Image, ImageFormat, image_scale, image_u8_to_f32
+from ..image import (
+    Image,
+    ImageFormat,
+    image_scale,
+    image_u8_to_f32,
+    preprocess_scale_method,
+)
 from ..ops import (
     attention,
     conv_2d,
@@ -397,7 +403,7 @@ def encode_vision(p: Params, image, vp: Sam3VitParams = Sam3VitParams(), flash: 
 
 def sam3_process_input(img: Image) -> np.ndarray:
     """Resize to 1008 square, map to [-1, 1] (reference sam3.h:619-622)."""
-    resized = image_scale(img, (1008, 1008))
+    resized = image_scale(img, (1008, 1008), preprocess_scale_method())
     out = image_u8_to_f32(resized, ImageFormat.rgb_f32, offset=(-0.5,) * 4, scale=(2.0,) * 4)
     return out.data
 

@@ -27,7 +27,7 @@ from ..core.device import Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights
-from ..image import Image, ImageFormat, image_load_array, image_scale
+from ..image import Image, ImageFormat, image_load_array, image_scale, preprocess_scale_method
 from ..ops import avg_pool_2d, batch_norm_2d, conv_2d, max_pool_2d, resize_nhwc, sigmoid, silu
 
 __all__ = [
@@ -257,7 +257,7 @@ def letterbox(image: Image, new_shape: int = 640, color=(114, 114, 114), scaleup
     new_w, new_h = round(w * r), round(h * r)
     dw = (new_shape - new_w) / 2.0
     dh = (new_shape - new_h) / 2.0
-    resized = image_scale(image, (new_w, new_h))
+    resized = image_scale(image, (new_w, new_h), preprocess_scale_method())
     left, right = round(dw - 0.1), round(dw + 0.1)
     top, bottom = round(dh - 0.1), round(dh + 0.1)
     a = resized.to_rgb_u8()
