@@ -1,0 +1,145 @@
+"""Python side of the model-level C ABI (reference src/visp/c-api.cpp).
+
+The native shim ``native/c_api.cpp`` embeds CPython and calls the functions
+in this module with primitive-typed arguments (ints, bytes), keeping all
+marshalling logic here. Families and formats cross the ABI as integers:
+
+  family: 0=sam 1=birefnet 2=depth_anything 3=migan 4=esrgan
+          (reference vision.h model_family order; -1 = detect from file)
+  format: index into FORMATS below (reference image.h image_format order)
+
+``model_compute`` mirrors the reference's per-family model_funcs
+(c-api.cpp:30-118): sam consumes one image + a 2-int point or 4-int box
+prompt; migan consumes image + alpha_u8 mask; the rest consume one image.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core.device import BackendType, backend_init
+from .image import Image, ImageFormat, image_f32_to_u8, image_normalize
+
+FAMILIES = ("sam", "birefnet", "depth_anything", "migan", "esrgan")
+FORMATS = (
+    ImageFormat.rgba_u8,
+    ImageFormat.bgra_u8,
+    ImageFormat.argb_u8,
+    ImageFormat.rgb_u8,
+    ImageFormat.alpha_u8,
+    ImageFormat.rgba_f32,
+    ImageFormat.rgb_f32,
+    ImageFormat.alpha_f32,
+)
+_N_CHANNELS = {f: (4 if "rgba" in f.value or "bgra" in f.value or "argb" in f.value else 3 if "rgb" in f.value else 1) for f in FORMATS}
+
+
+def device_init(type_int: int):
+    """0 = best available, 1 = cpu, 2 = accelerator (tpu/gpu)."""
+    if type_int == 0:
+        return backend_init()
+    if type_int == 1:
+        from .core.errors import VispError
+
+        try:
+            return backend_init(BackendType.cpu)
+        except VispError:
+            # accelerator plugins hide the CPU platform from the default
+            # jax.devices() list; ask for the cpu backend explicitly
+            import jax
+
+            from .core.device import Device, backend_default_flags
+
+            cpu = jax.devices("cpu")[0]
+            return Device(cpu, BackendType.cpu, backend_default_flags(BackendType.cpu))
+    return backend_init(BackendType.tpu | BackendType.gpu)
+
+
+def device_type(device) -> int:
+    return {BackendType.cpu: 1, BackendType.tpu: 2, BackendType.gpu: 2}.get(device.type, 0)
+
+
+def device_name(device) -> str:
+    return str(device.jax_device.device_kind)
+
+
+def model_detect_family(filepath: str) -> int:
+    from . import api
+
+    fam = api.model_detect_family(filepath)
+    name = {"depth_anything": "depth_anything"}.get(fam.value, fam.value)
+    return FAMILIES.index(name)
+
+
+def model_load(filepath: str, device, family_int: int):
+    from . import api
+
+    if family_int < 0 or family_int >= len(FAMILIES):
+        family_int = model_detect_family(filepath)
+    model = api.load_model(filepath, device)
+    return (model, family_int)
+
+
+def _image_from_raw(width: int, height: int, stride: int, fmt_int: int, data: bytes) -> Image:
+    fmt = FORMATS[fmt_int]
+    ch = _N_CHANNELS[fmt]
+    itemsize = 4 if "f32" in fmt.value else 1
+    dtype = np.float32 if itemsize == 4 else np.uint8
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
+    pixels = rows[:, : width * ch * itemsize].reshape(height, width, ch * itemsize)
+    arr = pixels.view(dtype).reshape(height, width, ch)
+    return Image(np.ascontiguousarray(arr), fmt)
+
+
+def model_compute(handle, images: list, args: list[int]):
+    """images: list of (width, height, stride, fmt_int, data_bytes).
+    Returns (np_u8_or_f32_buffer, width, height, stride, fmt_int)."""
+    model, family_int = handle
+    family = FAMILIES[family_int]
+    imgs = [_image_from_raw(*im) for im in images]
+
+    if family == "sam":
+        _expect(imgs, 1)
+        model.encode(imgs[0])
+        if len(args) == 2:
+            out = model.compute(point=(args[0], args[1]))
+        elif len(args) == 4:
+            out = model.compute(box=((args[0], args[1]), (args[2], args[3])))
+        else:
+            raise ValueError(f"sam: bad number of arguments ({len(args)}), must be 2 or 4")
+    elif family == "birefnet":
+        _expect(imgs, 1)
+        from .models.birefnet import birefnet_compute
+
+        out = birefnet_compute(model, imgs[0])
+    elif family == "depth_anything":
+        _expect(imgs, 1)
+        from .models.depth_anything import depthany_compute
+
+        out = depthany_compute(model, imgs[0])
+        if out.format != ImageFormat.alpha_u8:
+            out = image_f32_to_u8(image_normalize(out), ImageFormat.alpha_u8)
+    elif family == "migan":
+        _expect(imgs, 2)
+        if imgs[1].format != ImageFormat.alpha_u8:
+            raise ValueError("migan: second input image (mask) must be alpha_u8 format")
+        from .models.migan import migan_compute
+
+        out = migan_compute(model, imgs[0], imgs[1])
+    elif family == "esrgan":
+        _expect(imgs, 1)
+        from .models.esrgan import esrgan_compute
+
+        out = esrgan_compute(model, imgs[0])
+    else:
+        raise ValueError(f"Unsupported model family {family_int}")
+
+    data = np.ascontiguousarray(out.data)
+    fmt_int = FORMATS.index(out.format)
+    stride = data.shape[1] * data.shape[2] * data.itemsize
+    return (data.reshape(-1).view(np.uint8), out.width, out.height, stride, fmt_int)
+
+
+def _expect(imgs, n):
+    if len(imgs) != n:
+        raise ValueError(f"Expected {n} input images, but got {len(imgs)}.")
