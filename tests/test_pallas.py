@@ -33,27 +33,3 @@ def test_flash_attention_cross():
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=1e-4)
 
 
-def test_rdb_fused_matches_xla_chain():
-    """Experimental fused RDB kernel (interpret mode): numerically matches
-    the XLA dense-block chain incl. image-border semantics."""
-    import jax.numpy as jnp
-
-    from vision_tpu.core.params import Params
-    from vision_tpu.models.esrgan import residual_dense_block
-    from vision_tpu.ops.pallas.rdb import rdb_fused, rdb_weights_from_params
-
-    rng = np.random.default_rng(0)
-    nf, gc = 64, 32
-    store = {}
-    cins = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
-    couts = [gc, gc, gc, gc, nf]
-    for i, (ci, co) in enumerate(zip(cins, couts), 1):
-        store[f"conv{i}.0.weight"] = (rng.standard_normal((co, ci, 3, 3)) * 0.05).astype(np.float32)
-        store[f"conv{i}.0.bias"] = (rng.standard_normal(co) * 0.01).astype(np.float32)
-    p = Params(store)
-    x = rng.standard_normal((1, 64, 128, nf)).astype(np.float32)
-    expected = np.asarray(residual_dense_block(p, jnp.asarray(x)))
-    weights = rdb_weights_from_params(p, dtype=jnp.float32)
-    got = np.asarray(rdb_fused(jnp.asarray(x), weights, tile=32, interpret=True))
-    diff = np.abs(expected - got)
-    assert diff.max() < 5e-3 and np.sqrt((diff**2).mean()) < 1e-4

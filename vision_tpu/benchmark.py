@@ -210,24 +210,30 @@ def _make_yolo(dev, dtype):
     return _bench_generic(random_yolov9t_params, forward, (1, 640, 640, 3))(dev, dtype)
 
 
-def _make_birefnet(dev, dtype):
-    from .core.device import BackendType
-    from .core.params import Params
-    from .models.birefnet import BirefnetParams, birefnet_predict
-    from .models.random_weights import random_birefnet_params
-    from .models.swin import SWIN_T_PARAMS
-    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+def _make_birefnet(variant):
+    def build(dev, dtype):
+        from .core.device import BackendType
+        from .core.params import Params
+        from .models.birefnet import BirefnetParams, birefnet_predict
+        from .models.random_weights import random_birefnet_params
+        from .models.swin import SWIN_L_PARAMS, SWIN_T_PARAMS
+        from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
 
-    p = BirefnetParams(image_size=1024, image_extent=(1024, 1024), encoder=SWIN_T_PARAMS)
-    bound = 2 if dev.type & BackendType.tpu else None
+        enc = SWIN_T_PARAMS if variant == "tiny" else SWIN_L_PARAMS
+        p = BirefnetParams(image_size=1024, image_extent=(1024, 1024), encoder=enc)
+        bound = 2 if dev.type & BackendType.tpu else None
 
-    def forward(w, x, dt):
-        return birefnet_predict(
-            Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p,
-            flash=True, deform_bound=bound,
-        )
+        def forward(w, x, dt):
+            return birefnet_predict(
+                Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p,
+                flash=True, deform_bound=bound,
+            )
 
-    return _bench_generic(random_birefnet_params, forward, (1, 1024, 1024, 3))(dev, dtype)
+        return _bench_generic(
+            lambda: random_birefnet_params(variant), forward, (1, 1024, 1024, 3)
+        )(dev, dtype)
+
+    return build
 
 
 BENCHMARKS = {
@@ -238,7 +244,8 @@ BENCHMARKS = {
     "depthany-small": _make_depthany,
     "migan-512": _make_migan,
     "yolov9t-640": _make_yolo,
-    "birefnet-1024": _make_birefnet,
+    "birefnet-1024": _make_birefnet("tiny"),
+    "birefnet-full-1024": _make_birefnet("large"),
 }
 
 
@@ -252,6 +259,9 @@ def run_benchmark(names=None, k=8, repeats=3):
     for name in names:
         step, params, x = BENCHMARKS[name](dev, dtype)
         mean, stdev, n = _loop_time(step, params, x, k=k, repeats=repeats)
+        if mean < 1.0 and k < 256:
+            # sub-ms workloads drown in timing noise at small K
+            mean, stdev, n = _loop_time(step, params, x, k=256, repeats=repeats)
         rows.append((name, mean, stdev, n))
     return rows
 
