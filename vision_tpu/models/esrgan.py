@@ -203,8 +203,11 @@ def _pack_impl(params: dict, p: EsrganParams, dtype, s2d: bool):
         for j in range(5):  # source 0 = x, 1..4 = x_j
             lo = 0 if j == 0 else nf + gc * (j - 1)
             width = nf if j == 0 else gc
-            # source j feeds conv_{j+1}..conv_5 (ws indices j..4)
-            parts = [ws[k][:, lo : lo + width] for k in range(j, 5)]
+            # source j feeds conv_{j+1}..conv_5 (ws indices j..4); the
+            # conv5 contribution is ordered FIRST so the x5 tail sum reads
+            # every pack at lane offset 0 (a 128-aligned tile boundary —
+            # sub-128 lane offsets force relayouts on TPU)
+            parts = [ws[4][:, lo : lo + width]] + [ws[k][:, lo : lo + width] for k in range(j, 4)]
             packs.append(_hwio(jnp.concatenate(parts, axis=0)).astype(dtype))
         return packs, bs
 
@@ -274,23 +277,23 @@ def _rdb_packed(x, packs, biases, gc: int, nf: int):
 
     lrelu = lambda t: jnp.where(t >= 0, t, 0.2 * t)
     b1, b2, b3, b4, b5 = (b.astype(x.dtype) for b in biases)
-    p0 = conv(x, packs[0])  # [c1 c2 c3 c4 | c5]
-    x1 = lrelu(p0[..., :gc] + b1)
-    p1 = conv(x1, packs[1])  # [c2 c3 c4 | c5]
-    x2 = lrelu(p0[..., gc : 2 * gc] + p1[..., :gc] + b2)
-    p2 = conv(x2, packs[2])  # [c3 c4 | c5]
-    x3 = lrelu(p0[..., 2 * gc : 3 * gc] + p1[..., gc : 2 * gc] + p2[..., :gc] + b3)
-    p3 = conv(x3, packs[3])  # [c4 | c5]
-    x4 = lrelu(p0[..., 3 * gc : 4 * gc] + p1[..., 2 * gc : 3 * gc] + p2[..., gc : 2 * gc] + p3[..., :gc] + b4)
-    p4 = conv(x4, packs[4])  # [c5]
-    x5 = (
-        p0[..., 4 * gc :]
-        + p1[..., 3 * gc :]
-        + p2[..., 2 * gc :]
-        + p3[..., gc :]
-        + p4
-        + b5
+    o = nf  # every pack leads with its conv5 contribution (see pack_rdb)
+    p0 = conv(x, packs[0])  # [c5 | c1 c2 c3 c4]
+    x1 = lrelu(p0[..., o : o + gc] + b1)
+    p1 = conv(x1, packs[1])  # [c5 | c2 c3 c4]
+    x2 = lrelu(p0[..., o + gc : o + 2 * gc] + p1[..., o : o + gc] + b2)
+    p2 = conv(x2, packs[2])  # [c5 | c3 c4]
+    x3 = lrelu(p0[..., o + 2 * gc : o + 3 * gc] + p1[..., o + gc : o + 2 * gc] + p2[..., o : o + gc] + b3)
+    p3 = conv(x3, packs[3])  # [c5 | c4]
+    x4 = lrelu(
+        p0[..., o + 3 * gc : o + 4 * gc]
+        + p1[..., o + 2 * gc : o + 3 * gc]
+        + p2[..., o + gc : o + 2 * gc]
+        + p3[..., o : o + gc]
+        + b4
     )
+    p4 = conv(x4, packs[4])  # [c5]
+    x5 = p0[..., :o] + p1[..., :o] + p2[..., :o] + p3[..., :o] + p4 + b5
     return x + 0.2 * x5
 
 
@@ -390,16 +393,23 @@ def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
 
     lrelu = lambda t: jnp.where(t >= 0, t, 0.2 * t)
     b1, b2, b3, b4, b5 = (b.astype(xs.dtype) for b in biases)
+    o = nf  # packs lead with the conv5 contribution (see pack_rdb)
     q0 = conv_m(xs, packs[0])
-    x1 = jnp.concatenate([lrelu(view(q0, t, 0, gc) + b1) for t in range(2)], axis=-1)
+    x1 = jnp.concatenate([lrelu(view(q0, t, o, o + gc) + b1) for t in range(2)], axis=-1)
     q1 = conv_m(x1, packs[1])
     x2 = jnp.concatenate(
-        [lrelu(view(q0, t, gc, 2 * gc) + view(q1, t, 0, gc) + b2) for t in range(2)], axis=-1
+        [lrelu(view(q0, t, o + gc, o + 2 * gc) + view(q1, t, o, o + gc) + b2) for t in range(2)],
+        axis=-1,
     )
     q2 = conv_m(x2, packs[2])
     x3 = jnp.concatenate(
         [
-            lrelu(view(q0, t, 2 * gc, 3 * gc) + view(q1, t, gc, 2 * gc) + view(q2, t, 0, gc) + b3)
+            lrelu(
+                view(q0, t, o + 2 * gc, o + 3 * gc)
+                + view(q1, t, o + gc, o + 2 * gc)
+                + view(q2, t, o, o + gc)
+                + b3
+            )
             for t in range(2)
         ],
         axis=-1,
@@ -408,10 +418,10 @@ def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
     x4 = jnp.concatenate(
         [
             lrelu(
-                view(q0, t, 3 * gc, 4 * gc)
-                + view(q1, t, 2 * gc, 3 * gc)
-                + view(q2, t, gc, 2 * gc)
-                + view(q3, t, 0, gc)
+                view(q0, t, o + 3 * gc, o + 4 * gc)
+                + view(q1, t, o + 2 * gc, o + 3 * gc)
+                + view(q2, t, o + gc, o + 2 * gc)
+                + view(q3, t, o, o + gc)
                 + b4
             )
             for t in range(2)
@@ -419,14 +429,13 @@ def _rdb_s2d(xs, packs, biases, gc: int, nf: int):
         axis=-1,
     )
     q4 = conv_m(x4, packs[4])
-    c5 = 4 * gc + nf
     x5 = jnp.concatenate(
         [
-            view(q0, t, 4 * gc, c5)
-            + view(q1, t, 3 * gc, 3 * gc + nf)
-            + view(q2, t, 2 * gc, 2 * gc + nf)
-            + view(q3, t, gc, gc + nf)
-            + view(q4, t, 0, nf)
+            view(q0, t, 0, o)
+            + view(q1, t, 0, o)
+            + view(q2, t, 0, o)
+            + view(q3, t, 0, o)
+            + view(q4, t, 0, o)
             + b5
             for t in range(2)
         ],
