@@ -378,3 +378,53 @@ def test_convert_yolov9t_ultralytics_naming(tmp_path):
     names = f.tensor_names()
     assert any(n.startswith("detect.") for n in names)
     assert not any(n.startswith("model.22.") for n in names)
+
+
+def test_convert_esrgan_params_ema_wrapper(tmp_path):
+    """Official Real-ESRGAN releases wrap weights in {'params_ema': ...}."""
+    from test_esrgan import RRDBNet
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    new_sd = {}
+    for k, v in t.state_dict().items():
+        parts = k.split(".")
+        if k.startswith("model.0."):
+            new_sd["conv_first." + parts[-1]] = v
+        elif k.startswith("model.1.sub.1."):
+            new_sd["conv_body." + parts[-1]] = v
+        elif k.startswith("model.1.sub."):
+            new_sd[f"body.{parts[3]}.rdb{parts[4][-1]}.{parts[5]}.{parts[-1]}"] = v
+        elif k.startswith("model.3."):
+            new_sd["conv_up1." + parts[-1]] = v
+        elif k.startswith("model.6."):
+            new_sd["conv_up2." + parts[-1]] = v
+        elif k.startswith("model.8."):
+            new_sd["conv_hr." + parts[-1]] = v
+        elif k.startswith("model.10."):
+            new_sd["conv_last." + parts[-1]] = v
+    ckpt = tmp_path / "wrapped.pth"
+    torch.save({"params_ema": new_sd}, ckpt)
+    out = convert_model("esrgan", ckpt, tmp_path / "wrapped.gguf")
+    f = GGUFFile(out)
+    assert f.get_int("esrgan.scale") == 4 and f.get_int("esrgan.block_count") == 1
+
+
+def test_convert_esrgan_pixel_unshuffle_rejected(tmp_path):
+    """x2 models (conv_first in_ch=12 via pixel_unshuffle) must fail with a
+    clear error, not mis-convert as scale 4."""
+    from vision_tpu.core.errors import VispError
+
+    sd = {
+        "conv_first.weight": torch.zeros(8, 12, 3, 3),
+        "conv_first.bias": torch.zeros(8),
+        "body.0.rdb1.conv1.weight": torch.zeros(4, 8, 3, 3),
+        "body.0.rdb1.conv1.bias": torch.zeros(4),
+        "conv_up1.weight": torch.zeros(8, 8, 3, 3),
+        "conv_up1.bias": torch.zeros(8),
+        "conv_up2.weight": torch.zeros(8, 8, 3, 3),
+        "conv_up2.bias": torch.zeros(8),
+    }
+    ckpt = tmp_path / "x2.pth"
+    torch.save(sd, ckpt)
+    with pytest.raises(VispError, match="pixel-unshuffled"):
+        convert_model("esrgan", ckpt, tmp_path / "x2.gguf")

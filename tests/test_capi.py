@@ -15,7 +15,12 @@ import torch
 REPO = Path(__file__).resolve().parent.parent
 LIB = REPO / "vision_tpu" / "native" / "libvisp_capi.so"
 
-pytestmark = pytest.mark.skipif(not LIB.exists(), reason="libvisp_capi.so not built")
+if not LIB.exists():  # build in-place (same on-demand policy as host ops)
+    from vision_tpu import native
+
+    native.build()
+
+pytestmark = pytest.mark.skipif(not LIB.exists(), reason="libvisp_capi.so could not be built")
 
 
 class VispImageView(ctypes.Structure):
@@ -160,3 +165,19 @@ int main(int argc, char** argv) {
     r = subprocess.run([str(exe), str(REPO)], capture_output=True, text=True, env=env, timeout=240)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "C-EMBED-OK" in r.stdout and "device type 1" in r.stdout, r.stdout
+
+
+def test_c_api_family_mismatch_rejected(tmp_path):
+    """Loading with an explicit wrong family must fail at load time
+    (the reference validates family against the file)."""
+    from test_esrgan import RRDBNet, _write_gguf
+    from workbench import randomize
+
+    gguf = _write_gguf(tmp_path / "es.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+    lib = _load_lib()
+    dev = ctypes.c_void_p()
+    assert lib.visp_device_init(1, ctypes.byref(dev)) == 1
+    model = ctypes.c_void_p()
+    assert lib.visp_model_load(str(gguf).encode(), dev, 0, ctypes.byref(model)) == 0  # 0 = sam
+    assert "esrgan" in lib.visp_get_last_error().decode()
+    lib.visp_device_destroy(dev)

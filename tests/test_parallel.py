@@ -86,9 +86,13 @@ def test_training_step_runs_and_updates():
 
 
 def test_graft_entry_dryrun():
+    """Smoke the driver entrypoint on a 2-device mesh — the full 8-device
+    dp x tp inference parity is covered (once) by
+    test_sam_encoder_dp_sharded_matches_single_device; rerunning the 1024^2
+    encoder here at 8 devices would double the suite's slowest section."""
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)
+    g.dryrun_multichip(2)
 
 
 def test_sam_encoder_dp_sharded_matches_single_device():
@@ -120,6 +124,11 @@ def test_sam_encoder_dp_sharded_matches_single_device():
     np.testing.assert_allclose(emb[0], e0, atol=2e-5)
     np.testing.assert_allclose(emb[1], e1, atol=2e-5)
     np.testing.assert_allclose(emb[2], e0, atol=2e-5)
+
+    # single-image encode() must also work on the mesh model (batch of 1
+    # cannot dp-shard; it runs through the unsharded executable)
+    sharded_model.encode(images[1])
+    np.testing.assert_allclose(np.asarray(sharded_model.embed)[0], e1, atol=2e-5)
 
 
 def test_esrgan_tiled_dp_sharded_matches_single_device():

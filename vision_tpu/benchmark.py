@@ -31,6 +31,7 @@ def _loop_time(step, params, x, k: int = 8, repeats: int = 3):
     """Loop-differencing device time: run ``step`` k times inside one jitted
     program (iterations serialized through the accumulated scalar), subtract
     the single-iteration run, divide by k-1. Returns (mean_ms, stdev_ms, k)."""
+    k = max(k, 2)  # differencing needs at least two iterations
     import jax
     import jax.numpy as jnp
 

@@ -67,17 +67,25 @@ def model_detect_family(filepath: str) -> int:
     from . import api
 
     fam = api.model_detect_family(filepath)
-    name = {"depth_anything": "depth_anything"}.get(fam.value, fam.value)
-    return FAMILIES.index(name)
+    if fam.value not in FAMILIES:
+        raise ValueError(
+            f"model family '{fam.value}' is not exposed through the C API "
+            f"(supported: {', '.join(FAMILIES)})"
+        )
+    return FAMILIES.index(fam.value)
 
 
 def model_load(filepath: str, device, family_int: int):
     from . import api
 
-    if family_int < 0 or family_int >= len(FAMILIES):
-        family_int = model_detect_family(filepath)
+    detected = model_detect_family(filepath)
+    if 0 <= family_int < len(FAMILIES) and family_int != detected:
+        raise ValueError(
+            f"model file is '{FAMILIES[detected]}' but family "
+            f"{FAMILIES[family_int]!r} was requested"
+        )
     model = api.load_model(filepath, device)
-    return (model, family_int)
+    return (model, detected)
 
 
 def _image_from_raw(width: int, height: int, stride: int, fmt_int: int, data: bytes) -> Image:

@@ -43,8 +43,13 @@ def _load_checkpoint(path: Path) -> dict[str, np.ndarray]:
         with safe_open(str(path), "pt") as f:
             return {k: f.get_tensor(k).float().numpy() for k in f.keys()}
     sd = torch.load(str(path), map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    # unwrap common checkpoint containers (BasicSR/Real-ESRGAN releases use
+    # {'params'|'params_ema': {...}}; lightning etc. use 'state_dict')
+    if isinstance(sd, dict):
+        for key in ("state_dict", "params_ema", "params"):
+            if key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
+                break
     return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
 
@@ -411,11 +416,21 @@ def normalize_esrgan_names(model: dict) -> tuple[dict, int]:
         # already old-arch; infer scale from the upsample layer indices
         last = max(int(k.split(".")[1]) for k in model if k.startswith("model.") and k.split(".")[1].isdigit())
         return dict(model), {10: 4, 7: 2, 4: 1}.get(last, 4)
+    in_ch = model["conv_first.weight"].shape[1]
+    if in_ch != 3:
+        # x2/x1 Real-ESRGAN variants pixel-unshuffle the input (in_ch 12/48)
+        # and keep both conv_up layers — a different inference graph, not a
+        # rename away (the reference inherits this limitation via spandrel's
+        # shuffle_factor check, convert.py:511-512)
+        raise_error(
+            "ESRGAN checkpoints with pixel-unshuffled input (conv_first in_ch={}) are not supported",
+            in_ch,
+        )
     n_up = len({k.split(".")[0] for k in model if k.startswith("conv_up")})
     scale = 2 ** n_up
     nb = 1 + max(int(k.split(".")[1]) for k in model if k.startswith("body."))
     out = {}
-    up_seq = {1: 3, 2: 6}
+    up_seq = {n: 3 * n for n in range(1, n_up + 1)}  # conv_upN -> model.3N
     hr_idx = 2 + 3 * n_up
     for k, t in model.items():
         if k.startswith("conv_first."):

@@ -199,7 +199,6 @@ _DEQUANTIZE = {
 }
 
 
-@dataclass
 class _RawBlob:
     """Pre-encoded tensor payload for GGUFWriter.add_raw_tensor."""
 

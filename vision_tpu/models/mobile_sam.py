@@ -543,8 +543,12 @@ class SamModel:
                 in_shardings=(None, batch_sharding(mesh)),
                 out_shardings=batch_sharding(mesh),
             )
+            # single-image encode() can't shard a batch of 1 over dp —
+            # keep an unsharded executable for the one-request path
+            self._enc_single = jax.jit(enc_fn)
         else:
             enc = jax.jit(enc_fn)
+            self._enc_single = enc
 
         @jax.jit
         def dec_point(weights, embed, coords):
@@ -578,7 +582,7 @@ class SamModel:
         vision.cpp:36-52 — the embed copy at vision.cpp:76 becomes a no-op)."""
         self.image_extent = image.extent
         x = sam_process_input_u8(image, self.p)
-        self.embed = self._enc(self.params, jnp.asarray(x[None]))
+        self.embed = self._enc_single(self.params, jnp.asarray(x[None]))
 
     def encode_batch(self, images: list[Image]):
         """Encode a batch of images in one program; with a mesh, the batch is

@@ -53,6 +53,24 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
                 np.where(t < 2, ((A * t - 5 * A) * t + 8 * A) * t - 4 * A, 0.0),
             )
 
+        if method == "catmullrom" and n_out < n_in:
+            # stbir DOWNSCALE semantics: the filter support scales with the
+            # minification ratio (anti-aliasing) and each row is normalized
+            # — a fixed 4-tap kernel would alias. torch 'bicubic'
+            # (antialias=False) keeps fixed taps, so only the stb filter
+            # takes this path.
+            scale = n_out / n_in
+            support = 2.0 / scale
+            first = np.floor(x - support).astype(np.int64)
+            n_taps = int(np.ceil(2 * support)) + 2
+            for j in range(n_taps):
+                tap = first + j
+                tw = k((tap - x) * scale)
+                idx = np.clip(tap, 0, n_in - 1)
+                np.add.at(w, (np.arange(n_out), idx), tw.astype(np.float32))
+            w /= w.sum(axis=1, keepdims=True)
+            return w
+
         x0 = np.floor(x).astype(np.int64)
         f = x - x0
         for j in range(-1, 3):
