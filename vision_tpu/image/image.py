@@ -142,6 +142,16 @@ class Image:
     def channels(self) -> int:
         return self.data.shape[2]
 
+    @property
+    def n_pixels(self) -> int:
+        """(reference image.h:60)."""
+        return self.data.shape[0] * self.data.shape[1]
+
+    @property
+    def n_bytes(self) -> int:
+        """(reference image.h:61)."""
+        return self.data.nbytes
+
     def load_f32x4(self) -> np.ndarray:
         """Read pixels through the reference's 4-lane load semantics
         (image-impl.h:17-55): u8 normalized to [0,1]; alpha splats to all
