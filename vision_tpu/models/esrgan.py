@@ -250,7 +250,102 @@ def _pack_impl(params: dict, p: EsrganParams, dtype, s2d: bool):
         seq += 3
     packed["hr"] = conv_wb(m[seq])
     packed["last"] = conv_wb(m[seq + 2])
+    # block-domain tail (see _tail_packed): pre-transform the up convs to
+    # subpixel form and hr/last to block form
+    packed["up_sub"] = [(_subpixel_kernel(w), b) for w, b in packed["up"]]
+    if packed["up_sub"]:
+        packed["hr_blk"] = (_block_kernel(packed["hr"][0]), packed["hr"][1])
+        packed["last_blk"] = (_block_kernel(packed["last"][0]), packed["last"][1])
     return packed
+
+
+# --- upsample tail in the 2x block domain -----------------------------------
+#
+# The reference tail (esrgan.cpp:13-19,75-82) runs `nearest 2x + 3x3 conv`
+# stages plus two final convs at the FULL output resolution, where 64->64
+# convs measure ~26 TF/s and the 64->3 last conv is Cout-3 tiling-bound
+# (53 ms alone at 4096^2 on v5e). Exact rewrites keep that work at lower
+# resolution with 4x the channels (full MXU lane fill):
+#
+#  * nearest-up 2x + conv == conv AT LOW RES with a (di,dj)-merged kernel
+#    followed by depth-to-space: output sub-row di reads source block row
+#    i + floor((di+u-1)/2), so each sub-position is a 2x2 sub-kernel of
+#    summed taps, packed as Cout -> 4*Cout (`_subpixel_kernel`).
+#  * a 3x3 conv at resolution 2R == a 3x3 conv on the (R, R, 4C) block
+#    tensor with kernel W_blk[ry,rx,(s,sx,ci),(di,dj,co)] = w[u,v,ci,co]
+#    where u = 2*ry + s - di + 1 in [0,2] (`_block_kernel`); zero padding
+#    at block granularity reproduces the logical zero padding exactly.
+#
+# So the tail becomes: subpixel up stages (d2s between them), with the LAST
+# up stage left in block form and hr + last run as block-domain convs; one
+# depth-to-space on the 3-channel result materializes the full-res image.
+# Measured on v5e at 1024^2 input, scale 4: 130 ms -> 65 ms (exact same
+# math; see scripts/exp_tail.py).
+
+# _SUB_MAP[ry, s, di, u] = 1 iff tap u of the logical kernel lands on block
+# row offset ry-1 with sub-row s for output sub-position di.
+_SUB_MAP = np.zeros((3, 2, 2, 3), np.float32)
+for _di in (0, 1):
+    for _s in (0, 1):
+        for _ry in (-1, 0, 1):
+            _u = 2 * _ry + _s - _di + 1
+            if 0 <= _u <= 2:
+                _SUB_MAP[_ry + 1, _s, _di, _u] = 1.0
+del _di, _s, _ry, _u
+
+
+def _subpixel_kernel(w_hwio):
+    """(3,3,Cin,Cout) -> (3,3,Cin,4*Cout): nearest-up 2x + conv as one
+    low-res conv; output channel order (di, dj, co)."""
+    # input is NOT block-form: sum the sub-map over s (source rows collapse)
+    m = jnp.asarray(_SUB_MAP.sum(axis=1))  # (3, 2, 3): [ry, di, u]
+    k = jnp.einsum("rdu,cev,uvio->rcideo", m, m, w_hwio.astype(jnp.float32))
+    return k.reshape(3, 3, k.shape[2], -1).astype(w_hwio.dtype)
+
+
+def _block_kernel(w_hwio):
+    """(3,3,Cin,Cout) -> (3,3,4*Cin,4*Cout): logical 3x3 conv at 2R on the
+    (R, R, 4C) block tensor; channel order (s, sx, ci) in, (di, dj, co) out."""
+    m = jnp.asarray(_SUB_MAP)  # (3, 2, 2, 3): [ry, s, di, u]
+    k = jnp.einsum("rsdu,cxev,uvio->rcsxideo", m, m, w_hwio.astype(jnp.float32))
+    r = k.shape
+    return k.reshape(3, 3, 4 * r[4], 4 * r[7]).astype(w_hwio.dtype)
+
+
+def _block_to_space(x, cout: int):
+    """(N, H, W, 4*cout) block tensor -> (N, 2H, 2W, cout)."""
+    n, h, w, _ = x.shape
+    x = x.reshape(n, h, w, 2, 2, cout)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h, 2 * w, cout)
+
+
+def _conv_b(x, w, b, act: bool = False):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b
+    if act:
+        y = jnp.where(y >= 0, y, 0.2 * y)
+    return y.astype(x.dtype)
+
+
+def _tail_packed(packed: dict, x):
+    """Upsample + hr + last over pre-transformed weights (see above)."""
+    ups = packed.get("up_sub", ())
+    if not ups:  # scale 1: no block domain to ride
+        x = _conv_p(x, packed["hr"], act=True)
+        return _conv_p(x, packed["last"])
+    nf = x.shape[-1]
+    for w, b in ups[:-1]:
+        x = _block_to_space(_conv_b(x, w, jnp.tile(b, 4), act=True), nf)
+    w, b = ups[-1]
+    x = _conv_b(x, w, jnp.tile(b, 4), act=True)  # stays in block form
+    w, b = packed["hr_blk"]
+    x = _conv_b(x, w, jnp.tile(b, 4), act=True)
+    w, b = packed["last_blk"]
+    x = _conv_b(x, w, jnp.tile(b, 4))
+    return _block_to_space(x, packed["last"][0].shape[-1])
 
 
 def _conv_p(x, wb, act: bool = False):
@@ -314,13 +409,7 @@ def esrgan_generate_packed(packed: dict, x, p: EsrganParams):
     sub, _ = jax.lax.scan(rrdb_body, sub, (packed["rdb_packs"], packed["rdb_biases"]))
     sub = _conv_p(sub, packed["trunk"])
     x = x + sub
-    for up in packed["up"]:
-        n, h, w, c = x.shape
-        x = resize_nhwc(x, (h * 2, w * 2), "nearest")
-        x = _conv_p(x, up, act=True)
-    x = _conv_p(x, packed["hr"], act=True)
-    x = _conv_p(x, packed["last"])
-    return x
+    return _tail_packed(packed, x)
 
 
 # ---------------------------------------------------------------------------
@@ -462,13 +551,7 @@ def esrgan_generate_s2d(packed: dict, x, p: EsrganParams):
     sub = _depth_to_space(xs)
     sub = _conv_p(sub, packed["trunk"])
     x = x + sub
-    for up in packed["up"]:
-        n, h, w, c = x.shape
-        x = resize_nhwc(x, (h * 2, w * 2), "nearest")
-        x = _conv_p(x, up, act=True)
-    x = _conv_p(x, packed["hr"], act=True)
-    x = _conv_p(x, packed["last"])
-    return x
+    return _tail_packed(packed, x)
 
 
 class EsrganModel:
