@@ -1,0 +1,143 @@
+"""Batched request serving (vision_tpu/serve.py).
+
+The reference engine is single-request (vision.cpp:36-95); the serving
+facade groups concurrent requests into fixed-shape device programs. These
+tests drive the generic BatchServer with plain Python functions and the
+SamServer end-to-end on random production-shaped weights (CPU, f32).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vision_tpu.serve import BatchServer
+
+
+def test_batch_server_orders_results():
+    calls = []
+
+    def fn(items):
+        calls.append(list(items))
+        return [x * 2 for x in items]
+
+    with BatchServer(fn, batch_size=4, max_delay_ms=20) as srv:
+        futs = [srv.submit(i) for i in range(10)]
+        results = [f.result(timeout=10) for f in futs]
+    assert results == [i * 2 for i in range(10)]
+    assert sum(len(c) for c in calls) == 10
+    assert all(len(c) <= 4 for c in calls)
+    assert srv.stats.requests == 10
+    assert srv.stats.batches == len(calls)
+    assert srv.stats.occupancy > 1.0  # at least some grouping happened
+
+
+def test_batch_server_groups_concurrent_requests():
+    def slow_fn(items):
+        time.sleep(0.01)
+        return items
+
+    with BatchServer(slow_fn, batch_size=8, max_delay_ms=100) as srv:
+        futs = []
+
+        def client(i):
+            futs.append(srv.submit(i))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(f.result(timeout=10) for f in futs) == list(range(8))
+    # 8 concurrent requests within one 100 ms window -> few (ideally 1) batches
+    assert srv.stats.batches <= 3
+
+
+def test_batch_server_buckets_never_mix():
+    seen = []
+
+    def fn(items):
+        seen.append(list(items))
+        assert len({x % 2 for x in items}) == 1, "mixed shape buckets in one batch"
+        return items
+
+    with BatchServer(fn, batch_size=4, max_delay_ms=20, bucket_key=lambda x: x % 2) as srv:
+        futs = [srv.submit(i) for i in range(9)]
+        assert [f.result(timeout=10) for f in futs] == list(range(9))
+
+
+def test_batch_server_propagates_exceptions():
+    def fn(items):
+        raise ValueError("boom")
+
+    with BatchServer(fn, batch_size=2, max_delay_ms=5) as srv:
+        fut = srv.submit(1)
+        with pytest.raises(ValueError, match="boom"):
+            fut.result(timeout=10)
+    # server survives a failing batch
+    assert srv.stats.batches == 0
+
+
+def test_batch_server_close_drains_pending():
+    def fn(items):
+        time.sleep(0.005)
+        return items
+
+    srv = BatchServer(fn, batch_size=4, max_delay_ms=1)
+    futs = [srv.submit(i) for i in range(17)]
+    srv.close()
+    assert [f.result(timeout=1) for f in futs] == list(range(17))
+    with pytest.raises(RuntimeError):
+        srv.submit(99)
+
+
+def test_batch_server_result_count_mismatch():
+    def fn(items):
+        return items[:-1] if len(items) > 1 else items
+
+    with BatchServer(fn, batch_size=2, max_delay_ms=50) as srv:
+        f1, f2 = srv.submit(1), srv.submit(2)
+        with pytest.raises(RuntimeError, match="results"):
+            f1.result(timeout=10)
+        with pytest.raises(RuntimeError):
+            f2.result(timeout=10)
+
+
+@pytest.mark.slow
+def test_sam_server_end_to_end():
+    """Point + box requests batched through one program match the
+    single-request SamModel path."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.image import Image, ImageFormat
+    from vision_tpu.models.mobile_sam import SamModel, SamParams
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+    from vision_tpu.serve import SamServer
+
+    dev = backend_init()
+    params = {k: np.asarray(v) for k, v in random_mobile_sam_params(0).items()}
+    model = SamModel(params, SamParams(), dev)
+
+    rng = np.random.default_rng(7)
+    img_a = Image(rng.integers(0, 255, (96, 128, 4), np.uint8), ImageFormat.rgba_u8)
+    img_b = Image(rng.integers(0, 255, (96, 128, 4), np.uint8), ImageFormat.rgba_u8)
+
+    # generous batch window: request prep (1024^2 resize) happens on the
+    # client thread before submit, so a small window can miss the grouping
+    with SamServer(model, batch_size=2, max_delay_ms=2000) as srv:
+        f1 = srv.submit(img_a, point=(40, 30))
+        f2 = srv.submit(img_b, point=(80, 60))
+        f3 = srv.submit(img_a, box=((10, 10), (100, 80)))
+        m1, m2, m3 = (f.result(timeout=600) for f in (f1, f2, f3))
+
+    assert m1.extent == img_a.extent and m1.format == ImageFormat.alpha_u8
+    assert m2.extent == img_b.extent
+    assert m3.extent == img_a.extent
+    # the two point requests shared one batched program
+    assert srv.stats.batches == 2
+    assert srv.stats.requests == 3
+
+    # parity with the single-request path (reference vision.cpp:54-95)
+    model.encode(img_a)
+    direct = model.compute(point=(40, 30))
+    assert np.array_equal(np.asarray(direct.data), np.asarray(m1.data))

@@ -1,0 +1,303 @@
+"""Batched request serving over one chip or a dp mesh.
+
+The reference engine is strictly single-request: one image in, one result
+out per call (``src/visp/vision.cpp:36-95``). On TPU the per-dispatch cost
+(RPC + program launch) and the MXU's preference for large batches make
+request batching the scaling axis (SURVEY.md §5 last row): many concurrent
+client requests are grouped into ONE fixed-shape jitted program, and with a
+``jax.sharding.Mesh`` the grouped batch additionally shards over chips via
+the dp axis (``parallel/sharding.py``), so N chips serve N requests per
+step over ICI.
+
+Two layers:
+
+* :class:`BatchServer` — model-agnostic batching queue. Clients ``submit()``
+  items and get ``concurrent.futures.Future`` results; a worker thread
+  drains the queue, groups items that share a shape bucket (different
+  extents must not share a compiled program), pads each group to the fixed
+  batch size (static shapes => one compiled program per bucket), and runs
+  the supplied batch function.
+* :class:`SamServer` — end-to-end promptable-segmentation service on a
+  :class:`~vision_tpu.models.mobile_sam.SamModel`: each request is an
+  (image, point-or-box prompt) pair; encode + prompt-encode + mask decode
+  for the whole group run as one device program.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+__all__ = ["BatchServer", "ServerStats", "SamServer"]
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    batched_items: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    @property
+    def occupancy(self) -> float:
+        """Mean fraction of the nominal batch each executed program carried."""
+        return self.batched_items / self.batches if self.batches else 0.0
+
+
+class BatchServer:
+    """Group concurrent requests into fixed-size batches for one device program.
+
+    Parameters
+    ----------
+    fn: called with a list of 1..batch_size items (one shape bucket), must
+        return a sequence of per-item results in order. It sees only real
+        items — padding to the program's static batch is the adapter's job.
+    batch_size: maximum items per call (with a dp mesh, use a multiple of
+        the mesh's dp extent so the shard is even).
+    max_delay_ms: how long the worker waits for more same-bucket items
+        before dispatching a partial batch. Latency/throughput knob.
+    bucket_key: items whose key differs are never batched together (use the
+        processed input shape — mixed shapes would retrace the program).
+    """
+
+    def __init__(
+        self,
+        fn: Callable[[list], Sequence],
+        batch_size: int = 8,
+        max_delay_ms: float = 2.0,
+        bucket_key: Callable[[Any], Any] = lambda item: None,
+    ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self._fn = fn
+        self.batch_size = batch_size
+        self.max_delay = max_delay_ms / 1e3
+        self._bucket_key = bucket_key
+        self._queue: queue.Queue = queue.Queue()
+        self._pending: dict[Any, list] = {}
+        self.stats = ServerStats()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, item) -> Future:
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        with self.stats._lock:
+            self.stats.requests += 1
+        self._queue.put((item, fut))
+        return fut
+
+    def compute(self, item):
+        """Synchronous convenience: submit and wait."""
+        return self.submit(item).result()
+
+    def close(self):
+        """Drain outstanding requests, then stop the worker."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker side --------------------------------------------------------
+
+    def _take(self, timeout) -> bool:
+        """Move one queue entry into the pending buckets. False = shutdown."""
+        try:
+            entry = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return True
+        if entry is None:
+            return False
+        item, fut = entry
+        self._pending.setdefault(self._bucket_key(item), []).append((item, fut))
+        return True
+
+    def _dispatch(self, group: list) -> None:
+        items = [it for it, _ in group]
+        try:
+            results = self._fn(items)
+            if len(results) != len(items):
+                raise RuntimeError(
+                    f"batch fn returned {len(results)} results for {len(items)} items"
+                )
+        except BaseException as e:  # noqa: BLE001 — failures travel to callers
+            for _, fut in group:
+                fut.set_exception(e)
+            return
+        with self.stats._lock:
+            self.stats.batches += 1
+            self.stats.batched_items += len(items)
+        for (_, fut), res in zip(group, results):
+            fut.set_result(res)
+
+    def _drain_queue(self) -> None:
+        while True:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if entry is not None:
+                item, fut = entry
+                self._pending.setdefault(self._bucket_key(item), []).append((item, fut))
+
+    def _run(self) -> None:
+        import time
+
+        alive = True
+        while alive or self._pending:
+            if alive:
+                alive = self._take(timeout=0.05)
+                if not self._pending:
+                    continue
+                # batch window: wait for more same-bucket items until one
+                # bucket fills or the delay budget runs out
+                deadline = time.monotonic() + self.max_delay
+                while alive and max(len(v) for v in self._pending.values()) < self.batch_size:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    alive = self._take(timeout=left)
+            if not alive:
+                self._drain_queue()
+            for key in list(self._pending):
+                bucket = self._pending.pop(key)
+                for i in range(0, len(bucket), self.batch_size):
+                    self._dispatch(bucket[i : i + self.batch_size])
+
+
+class SamServer:
+    """Concurrent promptable segmentation on a SamModel.
+
+    Each request is ``(image, prompt)`` where prompt is a 2-tuple point or a
+    ``((x0, y0), (x1, y1))`` box (the reference prompt forms,
+    ``vision.cpp:54-95``). Requests are grouped (points and boxes bucket
+    separately — they run different prompt encoders) and the whole group is
+    encoded AND decoded in one jitted program; with a mesh the group batch
+    is dp-sharded.
+    """
+
+    def __init__(self, model, batch_size: int = 4, max_delay_ms: float = 2.0):
+        import jax
+        import jax.numpy as jnp
+
+        from .core.params import Params
+        from .models.mobile_sam import (
+            sam_encode_box,
+            sam_encode_image,
+            sam_encode_points,
+            sam_predict_mask,
+        )
+        from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+
+        self.model = model
+        self.batch_size = batch_size
+        dtype = model.device.preferred_float_type
+        from .core.device import BuildFlag
+
+        flash = bool(model.device.flags & BuildFlag.flash_attention)
+
+        def pipeline(encode_prompt):
+            def run(weights, x_u8, coords):
+                pp = Params(weights)
+                x = normalize_u8(x_u8, IMAGENET_MEAN, IMAGENET_STD, dtype)
+                embeds = sam_encode_image(pp, x, flash=flash)
+
+                def one(embed, c):
+                    pred = sam_predict_mask(pp, embed[None], encode_prompt(pp, c))
+                    return pred.masks[0], pred.iou[0]
+
+                masks, ious = jax.vmap(one)(embeds, coords)
+                return masks.astype(jnp.float32), ious.astype(jnp.float32)
+
+            if model.mesh is not None:
+                from .parallel import batch_sharding
+
+                bs = batch_sharding(model.mesh)
+                return jax.jit(run, in_shardings=(None, bs, bs), out_shardings=(bs, bs))
+            return jax.jit(run)
+
+        self._pipelines = {
+            "point": pipeline(sam_encode_points),
+            "box": pipeline(sam_encode_box),
+        }
+        if model.mesh is not None:
+            dp = model.mesh.shape["dp"]
+            if batch_size % dp:
+                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
+        self._server = BatchServer(
+            self._run_group,
+            batch_size=batch_size,
+            max_delay_ms=max_delay_ms,
+            bucket_key=lambda item: item[1],  # prompt kind
+        )
+
+    # one request = (image, kind, processed_input, processed_coords, extent)
+    def _prepare(self, image, point=None, box=None):
+        from .models.mobile_sam import (
+            sam_process_box,
+            sam_process_input_u8,
+            sam_process_point,
+        )
+
+        x = sam_process_input_u8(image, self.model.p)
+        if point is not None:
+            kind, coords = "point", sam_process_point(point, image.extent, self.model.p)
+        else:
+            kind, coords = "box", sam_process_box(box[0], box[1], image.extent, self.model.p)
+        return (x, kind, coords, image.extent)
+
+    def _run_group(self, items: list):
+        import jax.numpy as jnp
+
+        from .models.mobile_sam import sam_process_mask
+
+        kind = items[0][1]
+        n = len(items)
+        # pad to the static batch with the first item (one compiled program)
+        padded = items + [items[0]] * (self.batch_size - n)
+        x = np.stack([it[0] for it in padded])
+        coords = np.stack([it[2] for it in padded])
+        masks, ious = self._pipelines[kind](self.model.params, jnp.asarray(x), jnp.asarray(coords))
+        masks = np.asarray(masks)[:n]
+        ious = np.asarray(ious)[:n]
+        out = []
+        for i, (_, _, _, extent) in enumerate(items):
+            idx = int(np.argmax(ious[i, :3]))
+            out.append(sam_process_mask(masks[i], idx, extent, self.model.p))
+        return out
+
+    def submit(self, image, point=None, box=None) -> Future:
+        if (point is None) == (box is None):
+            raise ValueError("exactly one of point/box must be given")
+        return self._server.submit(self._prepare(image, point, box))
+
+    def compute(self, image, point=None, box=None):
+        return self.submit(image, point=point, box=box).result()
+
+    @property
+    def stats(self) -> ServerStats:
+        return self._server.stats
+
+    def close(self):
+        self._server.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
