@@ -181,3 +181,59 @@ def test_c_api_family_mismatch_rejected(tmp_path):
     assert lib.visp_model_load(str(gguf).encode(), dev, 0, ctypes.byref(model)) == 0  # 0 = sam
     assert "esrgan" in lib.visp_get_last_error().decode()
     lib.visp_device_destroy(dev)
+
+
+def test_c_api_yolov9t_detections_drawn(tmp_path):
+    """Family 5 (yolov9t) — an extension past the reference's five
+    image->image families: one image in + [conf, iou] permille args,
+    annotated image out (the reference exposes YOLO only via its CLI)."""
+    from vision_tpu.core.gguf import GGUFWriter
+    from vision_tpu.models.random_weights import random_yolov9t_params
+
+    path = tmp_path / "y.gguf"
+    w = GGUFWriter(path, "yolov9t")
+    w.add("yolov9t.tensor_data_layout", "whcn")
+    for k, v in random_yolov9t_params().items():
+        w.add_tensor(k, v)
+    w.write()
+
+    lib = _load_lib()
+    dev = ctypes.c_void_p()
+    assert lib.visp_device_init(1, ctypes.byref(dev)) == 1, lib.visp_get_last_error()
+
+    fam = ctypes.c_int32(-1)
+    assert lib.visp_model_detect_family(str(path).encode(), ctypes.byref(fam)) == 1
+    assert fam.value == 5  # yolov9t
+
+    model = ctypes.c_void_p()
+    assert lib.visp_model_load(str(path).encode(), dev, -1, ctypes.byref(model)) == 1, (
+        lib.visp_get_last_error()
+    )
+
+    rgb = np.ascontiguousarray(
+        np.random.default_rng(3).integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    )
+    inputs = (VispImageView * 1)(_view_from_u8(rgb, 3))  # 3 = rgb_u8
+    args = (ctypes.c_int32 * 2)(10, 450)  # conf 0.01, iou 0.45 (permille)
+    out_view = VispImageView()
+    out_data = ctypes.c_void_p()
+    ok = lib.visp_model_compute(
+        model, 5, inputs, 1, args, 2, ctypes.byref(out_view), ctypes.byref(out_data)
+    )
+    assert ok == 1, lib.visp_get_last_error()
+    assert (out_view.width, out_view.height) == (128, 96)
+    assert out_view.format == 3  # rgb_u8, annotated copy of the input
+
+    # bad arg count is a clean error, not a crash
+    bad = (ctypes.c_int32 * 1)(10)
+    assert (
+        lib.visp_model_compute(
+            model, 5, inputs, 1, bad, 1, ctypes.byref(out_view), ctypes.byref(out_data)
+        )
+        == 0
+    )
+    assert "yolov9t" in lib.visp_get_last_error().decode()
+
+    lib.visp_image_destroy(out_data)
+    lib.visp_model_destroy(model, 5)
+    lib.visp_device_destroy(dev)

@@ -4,14 +4,17 @@ The native shim ``native/c_api.cpp`` embeds CPython and calls the functions
 in this module with primitive-typed arguments (ints, bytes), keeping all
 marshalling logic here. Families and formats cross the ABI as integers:
 
-  family: 0=sam 1=birefnet 2=depth_anything 3=migan 4=esrgan
+  family: 0=sam 1=birefnet 2=depth_anything 3=migan 4=esrgan 5=yolov9t
           (reference vision.h model_family order; -1 = detect from file)
   format: index into FORMATS below (reference image.h image_format order)
 
 ``model_compute`` mirrors the reference's per-family model_funcs
 (c-api.cpp:30-118): sam consumes one image + a 2-int point or 4-int box
 prompt; migan consumes image + alpha_u8 mask; the rest consume one image.
-"""
+Family 5 (yolov9t) extends past the reference's five image->image families:
+it consumes one image plus optional [conf, iou] thresholds in permille and
+returns the image with the detections drawn (the reference exposes YOLO
+only through its CLI, src/cli/inference_yolov9t.cpp)."""
 
 from __future__ import annotations
 
@@ -20,7 +23,7 @@ import numpy as np
 from .core.device import BackendType, backend_init
 from .image import Image, ImageFormat, image_f32_to_u8, image_normalize
 
-FAMILIES = ("sam", "birefnet", "depth_anything", "migan", "esrgan")
+FAMILIES = ("sam", "birefnet", "depth_anything", "migan", "esrgan", "yolov9t")
 FORMATS = (
     ImageFormat.rgba_u8,
     ImageFormat.bgra_u8,
@@ -139,6 +142,19 @@ def model_compute(handle, images: list, args: list[int]):
         from .models.esrgan import esrgan_compute
 
         out = esrgan_compute(model, imgs[0])
+    elif family == "yolov9t":
+        _expect(imgs, 1)
+        if len(args) not in (0, 2):
+            raise ValueError(
+                f"yolov9t: bad number of arguments ({len(args)}), must be 0 or 2 "
+                "([conf, iou] thresholds in permille)"
+            )
+        conf = args[0] / 1000.0 if args else 0.25
+        iou = args[1] / 1000.0 if args else 0.45
+        from .models.yolov9t import draw_detections
+
+        dets = model.compute(imgs[0], conf_thres=conf, iou_thres=iou)
+        out = draw_detections(imgs[0], dets)
     else:
         raise ValueError(f"Unsupported model family {family_int}")
 
