@@ -50,34 +50,43 @@ def deform_conv_2d_shift(x, weight, offset, mask=None, stride: int = 1, pad: int
     bilinear gather with a dense sum of statically-shifted windows: for tap k
     the sample at ``p + k + off`` expands to
 
-        s_k(p) = sum_{dy,dx in [-B, B+1]} relu(1-|off_y-dy|) * relu(1-|off_x-dx|)
+        s_k(p) = sum_{dy,dx in [-B, B]} relu(1-|off_y-dy|) * relu(1-|off_x-dx|)
                  * x[p + k + (dy, dx)]
 
     because the bilinear tent weight for integer shift d is exactly
     ``relu(1 - |off - d|)`` — at most two consecutive shifts are non-zero, so
     the dense sum reproduces bilinear interpolation EXACTLY whenever
-    |off| <= bound. Offsets are clamped to the bound (the only divergence
-    from torchvision semantics; trained BiRefNet offsets are small). Every
-    term is a static slice of the zero-padded input — pure VPU multiply-adds,
-    no gathers, out-of-image samples zero by construction.
+    |off| <= bound (with off clamped to [-B, B] the shift d = B+1 always has
+    tent weight relu(1 - |off - (B+1)|) = 0, so (2B+1)^2 windows suffice).
+    Offsets are clamped to the bound (the only divergence from torchvision
+    semantics; trained BiRefNet offsets are small). Every term is a static
+    slice of the zero-padded input — pure VPU multiply-adds, no gathers,
+    out-of-image samples zero by construction.
+
+    Offsets and mask are consumed in tap-major layout internally: per-tap
+    reads of the (..., 2*K*K) tensor are 1-wide lane slices (sub-128 lane
+    offsets relayout on TPU), so the whole tensor is transposed once up
+    front and each tap reads a free leading-axis plane.
     """
     b, h, w, cin = x.shape
     cout, cin_w, kh, kw = weight.shape
     assert cin_w == cin
     ho, wo = offset.shape[1], offset.shape[2]
     f32 = jnp.float32
-    off = jnp.clip(offset.astype(f32), -bound, bound)
+    # (B, Ho, Wo, 2KK) -> (2KK, B, Ho, Wo): tap reads become leading-axis
+    off = jnp.clip(jnp.transpose(offset, (3, 0, 1, 2)).astype(f32), -bound, bound)
+    mask_t = None if mask is None else jnp.transpose(mask, (3, 0, 1, 2)).astype(f32)
 
-    pw = pad + bound + 1
+    pw = pad + bound
     xp = jnp.pad(x, ((0, 0), (pw, pw), (pw, pw), (0, 0)))
 
     out = jnp.zeros((b, ho, wo, cout), f32)
     for k in range(kh * kw):
         ky, kx = divmod(k, kw)
-        offy = off[..., 2 * k, None]  # (B, Ho, Wo, 1)
-        offx = off[..., 2 * k + 1, None]
+        offy = off[2 * k][..., None]  # (B, Ho, Wo, 1)
+        offx = off[2 * k + 1][..., None]
         acc = jnp.zeros((b, ho, wo, cin), f32)
-        for dy in range(-bound, bound + 2):
+        for dy in range(-bound, bound + 1):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(offy - dy))
             r0 = pw - pad + ky + dy
             rows = jax.lax.slice(
@@ -85,7 +94,7 @@ def deform_conv_2d_shift(x, weight, offset, mask=None, stride: int = 1, pad: int
                 (1, stride, 1, 1),
             )
             inner = jnp.zeros((b, ho, wo, cin), f32)
-            for dx in range(-bound, bound + 2):
+            for dx in range(-bound, bound + 1):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(offx - dx))
                 c0 = pw - pad + kx + dx
                 win = jax.lax.slice(
@@ -94,8 +103,8 @@ def deform_conv_2d_shift(x, weight, offset, mask=None, stride: int = 1, pad: int
                 )
                 inner = inner + win.astype(f32) * wx
             acc = acc + inner * wy
-        if mask is not None:
-            acc = acc * mask[..., k, None].astype(f32)
+        if mask_t is not None:
+            acc = acc * mask_t[k][..., None]
         wk = weight[:, :, ky, kx].astype(f32)  # (Cout, Cin)
         out = out + jnp.matmul(acc, wk.T, preferred_element_type=f32)
     return out.astype(x.dtype)
