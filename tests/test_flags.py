@@ -114,3 +114,27 @@ def test_tpu_default_flags_include_fast_paths():
     assert flags & BuildFlag.flash_attention
     assert flags & BuildFlag.deform_shift
     assert not backend_default_flags(BackendType.cpu) & BuildFlag.deform_shift
+
+
+def test_compile_cache_env_persists_programs(tmp_path, monkeypatch):
+    """VISP_COMPILE_CACHE=<dir> turns on JAX's persistent compilation cache
+    so serving cold starts reuse compiled programs across processes (the
+    TPU answer to the reference's <100 ms init, README.md:195-197)."""
+    import jax
+    import jax.numpy as jnp
+
+    cache = tmp_path / "xla-cache"
+    cache.mkdir()
+    monkeypatch.setenv("VISP_COMPILE_CACHE", str(cache))
+    try:
+        backend_init(BackendType.cpu)
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x) @ x.T
+
+        np_x = np.random.default_rng(0).standard_normal((192, 192)).astype(np.float32)
+        f(jnp.asarray(np_x)).block_until_ready()
+        assert any(cache.iterdir()), "no programs written to the compilation cache"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)  # global config

@@ -149,9 +149,21 @@ def backend_init(btype: BackendType | None = None) -> Device:
     Debug env vars (the analog of the reference's assert/ASan build modes,
     CMakeLists.txt:41-65): ``VISP_DEBUG_NANS=1`` enables jax_debug_nans so
     any NaN produced inside a jitted program raises at the faulting op.
+
+    ``VISP_COMPILE_CACHE=<dir>`` enables JAX's persistent compilation cache:
+    compiled programs for each (model, shape-bucket) are written to disk and
+    reused across processes, so a serving cold start skips the multi-minute
+    first compile (the reference's "< 100 ms init" story — ml.cpp builds
+    graphs in milliseconds, XLA does not; the cache is the TPU answer).
     """
     if os.environ.get("VISP_DEBUG_NANS") not in (None, "", "0", "off", "false"):
         jax.config.update("jax_debug_nans", True)
+    cache_dir = os.environ.get("VISP_COMPILE_CACHE")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every program regardless of compile time or size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     devices = _all_devices()
     classified = [(d, _classify(d)) for d in devices]
     if btype is not None:
