@@ -211,6 +211,27 @@ def _make_yolo(dev, dtype):
     return _bench_generic(random_yolov9t_params, forward, (1, 640, 640, 3))(dev, dtype)
 
 
+def _make_sam3_vision(dev, dtype):
+    import jax.numpy as jnp
+
+    from .core.params import Params
+    from .models.random_weights import random_sam3_vision_params
+    from .models.sam3 import Sam3VitParams, encode_vision
+
+    p = Sam3VitParams()
+
+    def forward(w, x, dt):
+        # [-1, 1] input mapping (sam3_process_input, reference sam3.h:619-622)
+        img = x.astype(dt) / 127.5 - 1.0
+        out = encode_vision(Params(w), img, p, flash=True)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in out.fpn_hidden_states)
+
+    return _bench_generic(
+        random_sam3_vision_params, forward, (1, 1008, 1008, 3),
+        keep_f32=("position_embeddings",),
+    )(dev, dtype)
+
+
 def _make_birefnet(variant):
     def build(dev, dtype):
         from .core.device import BackendType
@@ -247,6 +268,7 @@ BENCHMARKS = {
     "yolov9t-640": _make_yolo,
     "birefnet-1024": _make_birefnet("tiny"),
     "birefnet-full-1024": _make_birefnet("large"),
+    "sam3-vision-1008": _make_sam3_vision,
 }
 
 
