@@ -68,14 +68,14 @@ def timeit(fn, x, K=8):
     def run(w, x, kk):
         def body(i, acc):
             xi = (x.astype(jnp.float32) + acc * 0).astype(x.dtype)
-            return acc + jnp.sum(fn(w, xi).astype(jnp.float32))
+            return acc + jnp.sum(fn(Params(w)["enc"], xi).astype(jnp.float32))
         return jax.lax.fori_loop(0, kk, body, 0.0)
 
-    float(run(enc, x, K)); float(run(enc, x, 1))
+    float(run(params, x, K)); float(run(params, x, 1))
     def best(kk, n=3):
         ts = []
         for _ in range(n):
-            t0 = time.perf_counter(); float(run(enc, x, kk)); ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(run(params, x, kk)); ts.append(time.perf_counter() - t0)
         return min(ts)
     return (best(K) - best(1)) / (K - 1)
 
