@@ -45,7 +45,9 @@ def main() -> None:
         def body(i, acc):
             img = normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, jnp.bfloat16)
             img = img + (acc * 0).astype(img.dtype)  # serialize iterations
-            e = sam_encode_image(Params(weights), img)
+            # flash=True matches the production SamModel path (device.flags
+            # enables flash_attention on TPU, core/device.py:83)
+            e = sam_encode_image(Params(weights), img, flash=True)
             return acc + jnp.sum(e.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, k, body, 0.0)

@@ -228,6 +228,17 @@ def attention_core(q, k, v, mask=None, scale: float | None = None, flash: bool =
 
         if pallas_available():
             return flash_attention(q, k, v, scale=float(scale))
+    if flash and mask is not None and q.shape[2] <= 512:
+        # windowed attention (TinyViT/SWIN, T = 49..196): the fused-attention
+        # libraries don't help at these sizes (measured: dot_product_attention
+        # == naive on the SAM encoder), but the logits tensor traffic does —
+        # input-dtype (bf16) logits with f32 softmax cut the attention-core
+        # time ~20% (scripts/exp_winattn.py). Mirrors the reference flash
+        # path's reduced-precision logits (f16 K/V, nn.cpp:221-227).
+        attn = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * jnp.asarray(scale, q.dtype)
+        attn = attn + mask.astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.matmul(attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
     if flash:
         # jax.nn.dot_product_attention expects (B, T, H, D)
         bias = None
