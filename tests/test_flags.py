@@ -27,23 +27,31 @@ def _record_attention_core(monkeypatch, calls):
     monkeypatch.setattr(nn, "attention_core", spy)
 
 
-def test_sam_model_consumes_flash_flag(monkeypatch, cpu_device):
+def test_sam_model_uses_fused_window_attention(monkeypatch, cpu_device):
+    """TinyViT windowed attention routes through the no-transpose fused
+    path (ops.nn.attention_windows) unconditionally — it is exact and
+    strictly faster than both the naive and dot_product_attention paths
+    (scripts/exp_winattn3.py), so the flash flag is subsumed for windows.
+    The decoder's cross-attention still uses attention_core."""
     import jax.numpy as jnp
 
+    import vision_tpu.models.mobile_sam as ms
     from vision_tpu.models.mobile_sam import SamModel, SamParams
     from vision_tpu.models.random_weights import random_mobile_sam_params
 
-    calls: list[bool] = []
-    _record_attention_core(monkeypatch, calls)
+    calls: list[int] = []
+    orig = ms.attention_windows
+
+    def spy(p, x, n_heads, split_dim, mask, scale):
+        calls.append(n_heads)
+        return orig(p, x, n_heads, split_dim, mask, scale)
+
+    monkeypatch.setattr(ms, "attention_windows", spy)
     params = random_mobile_sam_params(seed=0)
     model = SamModel(params, SamParams(), cpu_device.with_flags(BuildFlag.flash_attention))
     model._enc.lower(params, jnp.zeros((1, 1024, 1024, 3), jnp.uint8))
-    assert calls and all(calls), "flash_attention flag must reach every attention site"
-
-    calls.clear()
-    model = SamModel(params, SamParams(), cpu_device)
-    model._enc.lower(params, jnp.zeros((1, 1024, 1024, 3), jnp.uint8))
-    assert calls and not any(calls)
+    # 2 + 6 + 2 attention blocks across stages 1-3
+    assert len(calls) == 10, calls
 
 
 def test_sam3_model_consumes_flash_flag(monkeypatch, cpu_device):

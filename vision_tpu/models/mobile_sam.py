@@ -56,7 +56,7 @@ from ..ops import (
     relu,
     split_qkv,
 )
-from ..ops.nn import attention_core
+from ..ops.nn import attention_core, attention_windows
 
 __all__ = [
     "SamParams",
@@ -176,12 +176,23 @@ def mlp(p: Params, x):
 
 def attention_rel_bias(p: Params, x, dim: int, n_heads: int, flash: bool = False):
     """Windowed attention with precomputed relative bias (mobile-sam.cpp:124-132).
-    x: (B, T, C); bias `attention_biases_indexed`: (heads, T, T)."""
+    x: (B, T, C); bias `attention_biases_indexed`: (heads, T, T).
+
+    TPU-shaped formulation: the fused qkv weight is split into three (C, C)
+    mats at trace time so q/k/v come out channel-compact, and the per-head
+    attention runs as einsums directly on (B, T, H, hd) views — no head
+    split/merge transposes, which measured as ~1/3 of the block time
+    (scripts/exp_winattn3.py: 1.33 -> 0.90 ms per stage1 block, exact same
+    numerics). Logits stay in the input dtype (f32 on the test path, bf16
+    on TPU) with f32 softmax, mirroring the reference flash path's reduced
+    precision (nn.cpp:221-227); `flash` is accepted for API parity but this
+    path is already fused as far as XLA allows.
+    """
+    del flash
     scale = 1.0 / math.sqrt(dim / n_heads)
-    mask = p.weight("attention_biases_indexed")[None]
+    bias = p.weight("attention_biases_indexed")  # (H, T, T)
     x = layer_norm(p["norm"], x)
-    q, k, v = split_qkv(p["qkv"], x, n_heads, split_dim=1)
-    return attention(p["proj"], q, k, v, mask, scale, flash=flash)
+    return attention_windows(p, x, n_heads, 1, bias[None], scale)
 
 
 def tiny_vit_block(p: Params, x, resolution: int, dim: int, num_heads: int, window: int, flash=False):

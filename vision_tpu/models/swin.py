@@ -26,7 +26,7 @@ import numpy as np
 from ..core.errors import raise_error
 from ..core.gguf import GGUFFile
 from ..core.params import Params
-from ..ops import attention, gelu, layer_norm, linear, patch_embed, split_qkv
+from ..ops import attention_windows, gelu, layer_norm, linear, patch_embed
 
 __all__ = [
     "SwinLayerParams",
@@ -179,9 +179,11 @@ def window_attention(p: Params, x, mask, n_heads: int, window: int, flash: bool 
         attn_mask = m + bias
     else:
         attn_mask = bias
-    q, k, v = split_qkv(p["qkv"], x, n_heads, split_dim=2)
+    del flash
     scale = 1.0 / math.sqrt(c / n_heads)
-    return attention(p["proj"], q, k, v, attn_mask, scale, flash=flash)
+    # no-transpose einsum path (ops/nn.py attention_windows) — the head
+    # split/merge transposes measured as ~1/3 of the TinyViT window block
+    return attention_windows(p, x, n_heads, 2, attn_mask, scale)
 
 
 @dataclass(frozen=True)

@@ -262,6 +262,52 @@ def attention_core(q, k, v, mask=None, scale: float | None = None, flash: bool =
     return jnp.matmul(attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def attention_windows(p: Params, x, n_heads: int, split_dim: int, mask, scale: float):
+    """Windowed attention from the fused qkv weight WITHOUT head transposes.
+
+    The fused qkv weight is split into three (C, C) mats at trace time so
+    q/k/v come out channel-compact, and the per-head attention runs as
+    einsums directly on (B, T, H, hd) views. The head split/merge
+    transposes this removes measured as ~1/3 of a TinyViT window block
+    (scripts/exp_winattn3.py: 1.33 -> 0.90 ms, identical numerics). Logits
+    stay in the input dtype (f32 on the test path, bf16 on TPU) with f32
+    softmax — mirroring the reference flash path's reduced-precision logits
+    (nn.cpp:221-227).
+
+    p: params with `qkv` and `proj` children; x: (B, T, C);
+    mask: broadcastable to (B_or_1, heads, T, T) or None; returns (B, T, C).
+    """
+    b, t, c = x.shape
+    hd = c // n_heads
+    w = p["qkv"].weight("weight")
+    bb = p["qkv"].weight("bias")
+    if split_dim == 1:  # per-head [q|k|v] interleaving (TinyViT style)
+        w3 = w.reshape(n_heads, 3, hd, c)
+        b3 = bb.reshape(n_heads, 3, hd)
+        wi = lambda i: w3[:, i].reshape(c, c)
+        bi = lambda i: b3[:, i].reshape(c)
+    elif split_dim == 2:  # global [q..|k..|v..] ordering (torch style)
+        w3 = w.reshape(3, c, c)
+        b3 = bb.reshape(3, c)
+        wi = lambda i: w3[i]
+        bi = lambda i: b3[i]
+    else:
+        raise ValueError("Unsupported split_dim")
+    mm = lambda i: (
+        jnp.matmul(x, wi(i).T.astype(x.dtype), preferred_element_type=jnp.float32)
+        + bi(i).astype(jnp.float32)
+    ).astype(x.dtype)
+    qh = mm(0).reshape(b, t, n_heads, hd)
+    kh = mm(1).reshape(b, t, n_heads, hd)
+    vh = mm(2).reshape(b, t, n_heads, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * jnp.asarray(scale, x.dtype)
+    if mask is not None:
+        attn = attn + mask.astype(attn.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, t, c)
+    return linear(p["proj"], o)
+
+
 def attention(p_out: Params, q, k, v, mask=None, scale: float | None = None, flash: bool = False):
     """Full shared attention incl. fused output projection (nn.cpp:210-244).
     Returns (B, T, C)."""
