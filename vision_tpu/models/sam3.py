@@ -263,28 +263,51 @@ def _rotate_pairs(x, cos, sin):
     return jnp.stack([r0, r1], axis=-1).reshape(x.shape)
 
 
-def apply_rope_2d(x, n_rows: int, scale: float = 1.0):
-    """x: (B, heads, T, head_dim)."""
-    t, hd = x.shape[-2], x.shape[-1]
-    cx, sx, cy, sy = _rope_tables(t, n_rows, hd, scale)
-    cx, sx, cy, sy = (jnp.asarray(a).astype(x.dtype) for a in (cx, sx, cy, sy))
+def apply_rope_2d(x, n_rows: int, scale: float = 1.0, layout: str = "bhtd"):
+    """2D RoPE. layout 'bhtd': x is (B, heads, T, head_dim);
+    layout 'bthd': x is (B, T, heads, head_dim) — the transpose-free
+    attention layout (tables broadcast over the heads axis)."""
+    if layout == "bhtd":
+        t, hd = x.shape[-2], x.shape[-1]
+        cx, sx, cy, sy = _rope_tables(t, n_rows, hd, scale)
+        cx, sx, cy, sy = (jnp.asarray(a).astype(x.dtype) for a in (cx, sx, cy, sy))
+    else:
+        t, hd = x.shape[1], x.shape[-1]
+        cx, sx, cy, sy = _rope_tables(t, n_rows, hd, scale)
+        cx, sx, cy, sy = (jnp.asarray(a)[:, None].astype(x.dtype) for a in (cx, sx, cy, sy))
     first = _rotate_pairs(x[..., : hd // 2], cx, sx)
     second = _rotate_pairs(x[..., hd // 2 :], cy, sy)
     return jnp.concatenate([first, second], axis=-1)
 
 
 def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float, flash: bool = False):
-    """(reference rope_attention, sam3.h:440-455). x: (B, T, C)."""
+    """(reference rope_attention, sam3.h:440-455). x: (B, T, C).
+
+    Window layers (flash=False, T <= ~576) use the transpose-free einsum
+    formulation (see ops/nn.py attention_windows): q/k/v stay (B, T, H, hd),
+    RoPE broadcasts over the heads axis, logits in the input dtype with f32
+    softmax. Global layers keep (B, H, T, hd) for the pallas flash kernel.
+    """
     b, t, c = x.shape
     hd = c // n_heads
 
-    def proj(pp):
-        return jnp.transpose(linear(pp, x).reshape(b, t, n_heads, hd), (0, 2, 1, 3))
+    if flash:
+        def proj(pp):
+            return jnp.transpose(linear(pp, x).reshape(b, t, n_heads, hd), (0, 2, 1, 3))
 
+        q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
+        q = apply_rope_2d(q, n_rows, scale)
+        k = apply_rope_2d(k, n_rows, scale)
+        return attention(p["o_proj"], q, k, v, None, 1.0 / math.sqrt(hd), flash=flash)
+
+    proj = lambda pp: linear(pp, x).reshape(b, t, n_heads, hd)
     q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
-    q = apply_rope_2d(q, n_rows, scale)
-    k = apply_rope_2d(k, n_rows, scale)
-    return attention(p["o_proj"], q, k, v, None, 1.0 / math.sqrt(hd), flash=flash)
+    q = apply_rope_2d(q, n_rows, scale, layout="bthd")
+    k = apply_rope_2d(k, n_rows, scale, layout="bthd")
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / math.sqrt(hd), x.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)
+    return linear(p["o_proj"], o)
 
 
 def vision_mlp(p: Params, x):
