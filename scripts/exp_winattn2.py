@@ -11,7 +11,80 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from vision_tpu.ops.pallas.window_attention import window_attention
+
+# The pallas kernel under test was removed from the package (it lost to
+# XLA, see NOTES.md); inlined here so the probe stays runnable.
+import functools
+
+def _kernel(q_ref, kt_ref, v_ref, bias_ref, hmask_ref, o_ref, *, n_heads, g):
+    def body(w, _):
+        qw = q_ref[w]
+        ktw = kt_ref[w]
+        vw = v_ref[w]
+        acc = jnp.zeros(qw.shape, jnp.float32)
+        for h in range(n_heads):
+            m = hmask_ref[h]
+            logits = jax.lax.dot_general(
+                (qw * m).astype(qw.dtype), ktw,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits + bias_ref[h]
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vw.dtype), (vw * m).astype(vw.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + pv
+        o_ref[w] = acc.astype(o_ref.dtype)
+        return _
+    jax.lax.fori_loop(0, g, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "scale", "g", "interpret"))
+def window_attention(q, k, v, bias, n_heads, scale, g=8, interpret=False):
+    from jax.experimental import pallas as pl
+    nw, t, c = q.shape
+    tp = -(-t // 8) * 8
+    hd = c // n_heads
+    if tp != t:
+        q = jnp.pad(q, ((0, 0), (0, tp - t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, tp - t), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tp - t), (0, 0)))
+        bias = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tp - t), (0, tp - t)), constant_values=-1e9)
+        bias = bias.at[:, t:, :].set(0.0)
+    bias = bias.astype(jnp.float32) * 1.0
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    kt = jnp.swapaxes(k, 1, 2)
+    wpad = (-nw) % g
+    if wpad:
+        q = jnp.pad(q, ((0, wpad), (0, 0), (0, 0)))
+        kt = jnp.pad(kt, ((0, wpad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, wpad), (0, 0), (0, 0)))
+    nwp = q.shape[0]
+    hmask = np.zeros((n_heads, c), np.float32)
+    for h in range(n_heads):
+        hmask[h, h * hd : (h + 1) * hd] = 1.0
+    hmask = jnp.asarray(hmask)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_heads=n_heads, g=g),
+        out_shape=jax.ShapeDtypeStruct((nwp, tp, c), q.dtype),
+        grid=(nwp // g,),
+        in_specs=[
+            pl.BlockSpec((g, tp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, c, tp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, tp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((n_heads, tp, tp), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_heads, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, tp, c), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(q, kt, v, bias, hmask)
+    return out[:nw, :t]
+
 
 key = jax.random.PRNGKey(0)
 dtype = jnp.bfloat16
