@@ -75,7 +75,10 @@ def test_sam3_model_consumes_flash_flag(monkeypatch, cpu_device):
     calls.clear()
     model = Sam3Model(params, _Tok(), 32, cpu_device, vp=vp)
     model._vision_fn.lower(params, jnp.zeros((1, 1008, 1008, 3), jnp.float32))
-    assert calls and not any(calls)
+    # without the flag nothing routes through attention_core's flash path:
+    # window layers always use the transpose-free einsum formulation and
+    # global layers fall back to it too (rope_attention non-flash branch)
+    assert not any(calls)
 
 
 def test_birefnet_model_consumes_deform_shift_flag(monkeypatch, cpu_device):

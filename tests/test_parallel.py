@@ -99,10 +99,21 @@ def test_sam_encoder_dp_sharded_matches_single_device():
     """Full TinyViT encoder, batch dp-sharded over the 8-device mesh:
     multi-chip INFERENCE parity — the reference's single-request semantics
     (vision.cpp:36-52) scaled by the chip count."""
+    import gc
+
+    import jax
+
     from vision_tpu.core.device import BackendType, backend_init
     from vision_tpu.image import image_load_array
     from vision_tpu.models.mobile_sam import SamModel, SamParams
     from vision_tpu.models.random_weights import random_mobile_sam_params
+
+    # the heaviest test in the suite (three 1024^2 encoder executables on 8
+    # virtual devices): drop every previously-cached executable first —
+    # with the whole suite's compilation state resident, the XLA CPU client
+    # has been observed to abort mid-execution here
+    jax.clear_caches()
+    gc.collect()
 
     mesh = make_mesh(8, tp=2)  # dp=4 x tp=2: batch sharding + tp collectives
     dev = backend_init(BackendType.cpu)

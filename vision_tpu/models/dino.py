@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..core.gguf import GGUFFile
@@ -77,19 +78,35 @@ def mlp(p: Params, x):
 
 
 def self_attention(p: Params, x, n_heads: int, flash: bool = False):
-    """Separate q/k/v projections (HF Dinov2 layout; reference dino.cpp:57-74)."""
+    """Separate q/k/v projections (HF Dinov2 layout; reference dino.cpp:57-74).
+
+    Non-flash path uses the transpose-free einsum formulation (see
+    ops/nn.py attention_windows): q/k/v stay (B, T, H, hd) views, logits in
+    the input dtype with f32 softmax. The flash path keeps (B, H, T, hd)
+    for the pallas fused-attention kernel (1.3-1.4x on the global layers).
+    """
     b, t, c = x.shape
     hd = c // n_heads
-
-    def project(pp):
-        y = linear(pp, x)
-        return jnp.transpose(y.reshape(b, t, n_heads, hd), (0, 2, 1, 3))
-
-    q = project(p["attention.query"])
-    k = project(p["attention.key"])
-    v = project(p["attention.value"])
     scale = 1.0 / math.sqrt(hd)
-    return attention(p["output.dense"], q, k, v, None, scale, flash=flash)
+
+    if flash:
+        def project(pp):
+            y = linear(pp, x)
+            return jnp.transpose(y.reshape(b, t, n_heads, hd), (0, 2, 1, 3))
+
+        q = project(p["attention.query"])
+        k = project(p["attention.key"])
+        v = project(p["attention.value"])
+        return attention(p["output.dense"], q, k, v, None, scale, flash=flash)
+
+    proj = lambda pp: linear(pp, x).reshape(b, t, n_heads, hd)
+    q = proj(p["attention.query"])
+    k = proj(p["attention.key"])
+    v = proj(p["attention.value"])
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(scale, x.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)
+    return linear(p["output.dense"], o)
 
 
 def layer(p: Params, x, dp: DinoParams, flash: bool = False):
