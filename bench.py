@@ -23,8 +23,20 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the encoder programs compile in minutes
+    # over the remote-compile tunnel; cache them across bench invocations
+    # (VISP_COMPILE_CACHE overrides the location)
+    cache_dir = os.environ.get(
+        "VISP_COMPILE_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vision_tpu.core.params import Params
     from vision_tpu.models.mobile_sam import sam_encode_image
