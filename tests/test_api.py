@@ -428,3 +428,46 @@ def test_convert_esrgan_pixel_unshuffle_rejected(tmp_path):
     torch.save(sd, ckpt)
     with pytest.raises(VispError, match="pixel-unshuffled"):
         convert_model("esrgan", ckpt, tmp_path / "x2.gguf")
+
+
+def test_modular_process_functions_match_reference_surface():
+    """The reference's modular pre/post API (vision.h: *_process_input /
+    *_process_output) is exposed as standalone functions, even though the
+    Model classes fuse these steps into the device program."""
+    import numpy as np
+
+    from vision_tpu.image import ImageFormat, image_load_array
+    from vision_tpu.models.birefnet import (
+        BirefnetParams,
+        birefnet_process_input,
+        birefnet_process_output,
+    )
+    from vision_tpu.models.depth_anything import (
+        DepthAnythingParams,
+        depthany_process_input,
+        depthany_process_output,
+    )
+    from vision_tpu.models.migan import migan_process_output
+    from vision_tpu.models.swin import SWIN_T_PARAMS
+
+    rng = np.random.default_rng(0)
+    img = image_load_array(rng.integers(0, 256, (200, 300, 3)).astype(np.uint8))
+
+    bp = BirefnetParams(image_size=256, image_extent=(256, 256), encoder=SWIN_T_PARAMS)
+    x = birefnet_process_input(img, bp)
+    assert x.shape == (256, 256, 3) and x.dtype == np.float32
+    # ImageNet normalization applied: mean not ~0.5/255-scaled
+    assert -3.0 < x.mean() < 3.0 and x.std() > 0.5
+    m = birefnet_process_output(rng.random((256, 256)).astype(np.float32), img.extent)
+    assert m.extent == img.extent and m.format == ImageFormat.alpha_u8
+
+    dp = DepthAnythingParams()
+    x = depthany_process_input(img, dp)
+    assert x.shape[2] == 3 and x.shape[0] % 14 == 0 and x.shape[1] % 14 == 0
+    d = depthany_process_output(rng.random((518, 784)).astype(np.float32) * 3.0, img.extent)
+    assert d.extent == img.extent and d.format == ImageFormat.alpha_f32
+    assert float(d.data.min()) >= 0.0 and float(d.data.max()) <= 1.0
+
+    mask = image_load_array((rng.random((200, 300, 1)) > 0.5).astype(np.uint8) * 255)
+    out = migan_process_output(rng.random((256, 256, 3)).astype(np.float32) * 2 - 1, img, mask)
+    assert out.extent == img.extent and out.format == ImageFormat.rgba_u8

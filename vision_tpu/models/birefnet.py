@@ -35,7 +35,14 @@ from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_f32_to_u8, image_scale, preprocess_scale_method
+from ..image import (
+    Image,
+    ImageFormat,
+    image_f32_to_u8,
+    image_scale,
+    image_u8_to_f32,
+    preprocess_scale_method,
+)
 from ..ops import batch_norm_2d, conv_2d, relu, resize_nhwc, sigmoid
 from ..ops.deform import deform_conv_2d, deform_conv_2d_shift
 from .swin import SwinParams, swin_detect_params, swin_encode
@@ -48,6 +55,8 @@ __all__ = [
     "BirefnetModel",
     "birefnet_load_model",
     "birefnet_compute",
+    "birefnet_process_input",
+    "birefnet_process_output",
 ]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406, 0.0)
@@ -294,6 +303,33 @@ class BirefnetModel:
         if out.extent != image.extent:
             out = image_scale(out, image.extent, preprocess_scale_method())
         return image_f32_to_u8(out, ImageFormat.alpha_u8)
+
+
+def birefnet_process_input(image: Image, p: BirefnetParams) -> np.ndarray:
+    """Resize to the inference extent + ImageNet normalize, host-side f32
+    (reference birefnet_process_input, birefnet.cpp:263-274). The
+    BirefnetModel path fuses the normalize into the device program and
+    only uses this modular form for reference-compatible pipelines."""
+    if image.extent != p.image_extent:
+        image = image_scale(image, p.image_extent, preprocess_scale_method())
+    out = image_u8_to_f32(
+        image,
+        ImageFormat.rgb_f32,
+        offset=tuple(-m for m in IMAGENET_MEAN),
+        scale=tuple(1.0 / s for s in IMAGENET_STD),
+    )
+    return out.data
+
+
+def birefnet_process_output(mask: np.ndarray, target_extent: tuple[int, int]) -> Image:
+    """(H, W) or (H, W, 1) f32 sigmoid mask -> alpha u8 at the original
+    extent (reference birefnet_process_output, birefnet.cpp:276-286)."""
+    if mask.ndim == 2:
+        mask = mask[:, :, None]
+    out = Image(np.ascontiguousarray(mask.astype(np.float32)), ImageFormat.alpha_f32)
+    if out.extent != tuple(target_extent):
+        out = image_scale(out, tuple(target_extent), preprocess_scale_method())
+    return image_f32_to_u8(out, ImageFormat.alpha_u8)
 
 
 def birefnet_load_model(filepath: str, device: Device | None = None, dynamic_extent=(0, 0)) -> BirefnetModel:

@@ -21,7 +21,14 @@ from ..core.device import Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights, unpermute_cwhn
-from ..image import Image, ImageFormat, image_normalize, image_scale, preprocess_scale_method
+from ..image import (
+    Image,
+    ImageFormat,
+    image_normalize,
+    image_scale,
+    image_u8_to_f32,
+    preprocess_scale_method,
+)
 from ..ops import conv_2d, conv_transpose_2d, relu, resize_nhwc
 from .dino import DinoParams, dino_detect_params, dino_get_intermediate_layers
 
@@ -30,6 +37,8 @@ __all__ = [
     "depthany_detect_params",
     "depthany_image_extent",
     "depthany_predict",
+    "depthany_process_input",
+    "depthany_process_output",
     "DepthAnythingModel",
     "depthany_load_model",
     "depthany_compute",
@@ -203,6 +212,35 @@ class DepthAnythingModel:
         if out.extent != image.extent:
             out = image_scale(out, image.extent, preprocess_scale_method())
         return out
+
+
+def depthany_process_input(image: Image, p: DepthAnythingParams) -> np.ndarray:
+    """Resize to the snapped extent + ImageNet normalize, host-side f32
+    (reference depthany_process_input, depth-anything.cpp:130-140). The
+    DepthAnythingModel path fuses the normalize on device."""
+    extent = depthany_image_extent(image.extent, p)
+    if image.extent != extent:
+        image = image_scale(image, extent, preprocess_scale_method())
+    out = image_u8_to_f32(
+        image,
+        ImageFormat.rgb_f32,
+        offset=tuple(-m for m in IMAGENET_MEAN),
+        scale=tuple(1.0 / s for s in IMAGENET_STD),
+    )
+    return out.data
+
+
+def depthany_process_output(depth: np.ndarray, target_extent: tuple[int, int]) -> Image:
+    """(H, W) or (H, W, 1) raw depth -> min-max normalized alpha f32 at the
+    original extent (reference depthany_process_output,
+    depth-anything.cpp:142-149)."""
+    if depth.ndim == 2:
+        depth = depth[:, :, None]
+    out = Image(np.ascontiguousarray(depth.astype(np.float32)), ImageFormat.alpha_f32)
+    out = image_normalize(out)
+    if out.extent != tuple(target_extent):
+        out = image_scale(out, tuple(target_extent), preprocess_scale_method())
+    return out
 
 
 def depthany_load_model(filepath: str, device: Device | None = None) -> DepthAnythingModel:

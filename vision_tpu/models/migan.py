@@ -49,6 +49,7 @@ __all__ = [
     "migan_detect_params",
     "migan_generate",
     "migan_process_input",
+    "migan_process_output",
     "MiganModel",
     "migan_load_model",
     "migan_compute",
@@ -182,6 +183,21 @@ def migan_process_input(image: Image, mask: Image, p: MiganParams) -> np.ndarray
         alpha = 1.0 - alpha
     color = alpha * (rgb * 2.0 - 1.0)
     return np.concatenate([alpha - 0.5, color], axis=2).astype(np.float32)
+
+
+def migan_process_output(raw: np.ndarray, image: Image, mask: Image) -> Image:
+    """Raw generator output (res, res, 3) in [-1, 1] -> rgba u8 at the
+    original extent with the mask injected as alpha (reference
+    migan_process_output, migan.cpp:197-206 + vision.cpp:183-203)."""
+    from ..image import image_f32_to_u8
+
+    out_img = Image(np.ascontiguousarray(raw.astype(np.float32)), ImageFormat.rgb_f32)
+    if out_img.extent != image.extent:
+        out_img = image_scale(out_img, image.extent, preprocess_scale_method())
+    result = image_f32_to_u8(out_img, ImageFormat.rgba_u8, scale=0.5, offset=0.5)
+    mask_r = mask if mask.extent == image.extent else image_scale(mask, image.extent, preprocess_scale_method())
+    image_set_alpha(result, image_load_array(mask_r.data[:, :, :1], ImageFormat.alpha_u8))
+    return result
 
 
 class MiganModel:
