@@ -165,22 +165,28 @@ def _bench_generic(make_params, forward, input_shape, u8=True, keep_f32=()):
     return build
 
 
-def _make_depthany(dev, dtype):
-    from .core.params import Params
-    from .models.depth_anything import DepthAnythingParams, depthany_predict
-    from .models.dino import DinoParams
-    from .models.random_weights import random_depth_anything_params
-    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+def _make_depthany(variant):
+    def build(dev, dtype):
+        from functools import partial
 
-    p = DepthAnythingParams(dino=DinoParams(14, 384, 6, 12), feature_layers=(2, 5, 8, 11))
+        from .core.params import Params
+        from .models.depth_anything import DepthAnythingParams, depthany_predict
+        from .models.dino import DinoParams
+        from .models.random_weights import random_depth_anything_params
+        from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
 
-    def forward(w, x, dt):
-        return depthany_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p, flash=True)
+        dim, heads = (384, 6) if variant == "small" else (768, 12)
+        p = DepthAnythingParams(dino=DinoParams(14, dim, heads, 12), feature_layers=(2, 5, 8, 11))
 
-    return _bench_generic(
-        random_depth_anything_params, forward, (1, 518, 714, 3),
-        keep_f32=("position_embeddings", "cls_token"),
-    )(dev, dtype)
+        def forward(w, x, dt):
+            return depthany_predict(Params(w), normalize_u8(x, IMAGENET_MEAN, IMAGENET_STD, dt), p, flash=True)
+
+        return _bench_generic(
+            partial(random_depth_anything_params, variant), forward, (1, 518, 714, 3),
+            keep_f32=("position_embeddings", "cls_token"),
+        )(dev, dtype)
+
+    return build
 
 
 def _make_migan(dev, dtype):
@@ -263,7 +269,8 @@ BENCHMARKS = {
     "sam-decode": _bench_sam_decode,
     "esrgan-512": _bench_esrgan(512),
     "esrgan-1024": _bench_esrgan(1024),
-    "depthany-small": _make_depthany,
+    "depthany-small": _make_depthany("small"),
+    "depthany-base": _make_depthany("base"),
     "migan-512": _make_migan,
     "yolov9t-640": _make_yolo,
     "birefnet-1024": _make_birefnet("tiny"),

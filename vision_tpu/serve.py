@@ -219,7 +219,11 @@ class SamServer:
 
                 def one(embed, c):
                     pred = sam_predict_mask(pp, embed[None], encode_prompt(pp, c))
-                    return pred.masks[0], pred.iou[0]
+                    # best-mask selection on device (reference argmax-IoU,
+                    # vision.cpp:80-84): ships ONE mask per request across
+                    # the D2H boundary instead of all four candidates
+                    idx = jnp.argmax(pred.iou[0, :3])
+                    return pred.masks[0, idx], pred.iou[0]
 
                 masks, ious = jax.vmap(one)(embeds, coords)
                 return masks.astype(jnp.float32), ious.astype(jnp.float32)
@@ -273,12 +277,10 @@ class SamServer:
         x = np.stack([it[0] for it in padded])
         coords = np.stack([it[2] for it in padded])
         masks, ious = self._pipelines[kind](self.model.params, jnp.asarray(x), jnp.asarray(coords))
-        masks = np.asarray(masks)[:n]
-        ious = np.asarray(ious)[:n]
+        masks = np.asarray(masks)[:n]  # (n, 256, 256): best mask per request
         out = []
         for i, (_, _, _, extent) in enumerate(items):
-            idx = int(np.argmax(ious[i, :3]))
-            out.append(sam_process_mask(masks[i], idx, extent, self.model.p))
+            out.append(sam_process_mask(masks[i][None], 0, extent, self.model.p))
         return out
 
     def submit(self, image, point=None, box=None) -> Future:
