@@ -46,7 +46,6 @@ from ..image import (
     preprocess_scale_method,
 )
 from ..ops import (
-    attention,
     conv_2d,
     conv_2d_depthwise,
     conv_transpose_2d,
@@ -54,7 +53,6 @@ from ..ops import (
     layer_norm,
     linear,
     relu,
-    split_qkv,
 )
 from ..ops.nn import attention_core, attention_windows
 
