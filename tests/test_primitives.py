@@ -205,3 +205,19 @@ def test_avg_pool():
     expected = to_nhwc(F.avg_pool2d(x, 2, stride=1))
     actual = avg_pool_2d(to_nhwc(x), 2, stride=1)
     tensors_match(torch.from_numpy(expected), actual, label="avgpool", atol=1e-5)
+
+
+@pytest.mark.parametrize("split_dim", [1, 2])
+def test_attention_windows_matches_torch(split_dim):
+    """The transpose-free fused path (ops.nn.attention_windows) must match
+    the torch reference exactly — it is the production window-attention
+    formulation for TinyViT (split_dim=1) and SWIN (split_dim=2)."""
+    from vision_tpu.ops import attention_windows
+
+    m = randomize(TorchAttention(32, 4, split_dim))
+    x = input_tensor(3, 9, 32)
+    mask = torch.randn(4, 9, 9)
+    expected = m(x, mask)
+    p = make_params(m)
+    actual = attention_windows(p, x.numpy(), 4, split_dim, mask.numpy()[None], (32 / 4) ** -0.5)
+    tensors_match(expected, actual, label=f"attn_windows{split_dim}", atol=1e-4)
