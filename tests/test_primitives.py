@@ -221,3 +221,19 @@ def test_attention_windows_matches_torch(split_dim):
     p = make_params(m)
     actual = attention_windows(p, x.numpy(), 4, split_dim, mask.numpy()[None], (32 / 4) ** -0.5)
     tensors_match(expected, actual, label=f"attn_windows{split_dim}", atol=1e-4)
+
+
+def test_attention_flash_masked_small_t_matches_naive():
+    """flash=True with a mask and T <= 512 routes through the reduced-
+    precision logits branch; on f32 inputs (the test path) it must be
+    numerically identical to the naive path."""
+    from vision_tpu.ops.nn import attention_core
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((2, 2, 49, 16)).astype(np.float32)
+    k = rng.standard_normal((2, 2, 49, 16)).astype(np.float32)
+    v = rng.standard_normal((2, 2, 49, 16)).astype(np.float32)
+    mask = rng.standard_normal((1, 2, 49, 49)).astype(np.float32)
+    a = np.asarray(attention_core(q, k, v, mask, None, flash=False))
+    b = np.asarray(attention_core(q, k, v, mask, None, flash=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
