@@ -57,8 +57,8 @@ STAGES = {
     "window_layer": (win_layer, (1, HP, HP, C)),
     "global_layer_flash": (glob_layer_flash, (1, HP, HP, C)),
     "global_layer_xla": (glob_layer_xla, (1, HP, HP, C)),
-    "neck": (lambda p, x: jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in vision_neck(p["neck"], x).features]), (1, HP, HP, C)),
-    "full": (lambda p, x: encode_vision(p, x, vp, flash=True).features[0], (1, 1008, 1008, 3)),
+    "neck": (lambda p, x: jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in vision_neck(p["neck"], x).fpn_hidden_states]), (1, HP, HP, C)),
+    "full": (lambda p, x: encode_vision(p, x, vp, flash=True).fpn_hidden_states[0], (1, 1008, 1008, 3)),
 }
 
 
