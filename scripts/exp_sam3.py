@@ -87,3 +87,19 @@ for name, (fn, shape) in STAGES.items():
         print(f"{name}: {t:8.3f} ms", flush=True)
     except Exception as e:
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+# A/B for the composition gap: 28 chained window layers with DISTINCT
+# weights (no global layers, no neck) — if this times ~28x the isolated
+# layer, the gap lives in the window<->global transitions or the neck.
+def trunk28(p, x):
+    bb = p["backbone"]
+    for i in range(vp.n_layers):
+        if i in vp.global_attn_indexes:
+            continue
+        x = vision_layer(bb["layers"][i], x, vp.window_size, vp.n_heads, vp.window_size, 1.0, flash=False)
+    return x
+
+
+t = timeit(trunk28, dev_normal((1, HP, HP, C))) * 1000
+print(f"trunk28_window_only: {t:8.3f} ms  (isolated x28 = {28 * 1.75:.1f})", flush=True)
