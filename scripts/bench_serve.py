@@ -45,9 +45,9 @@ with SamServer(model, batch_size=BS, max_delay_ms=5.0) as srv:
     for f in futs:
         f.result()
 
-    # concurrent clients: submit() runs host-side preprocessing (PIL resize
-    # + pad) on the calling thread, so a single-threaded client would
-    # serialize the queue and every batch would carry one item
+    # host-side preprocessing runs on the server's prep pool, so even a
+    # single-threaded client fills batches; 8 client threads here model
+    # concurrent callers
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.perf_counter()
@@ -60,6 +60,11 @@ with SamServer(model, batch_size=BS, max_delay_ms=5.0) as srv:
 print(f"device: {dev.jax_device}", flush=True)
 print(f"requests: {N}  wall: {dt*1000:.0f} ms  throughput: {N/dt:.1f} req/s", flush=True)
 print(f"batches: {st.batches}  occupancy: {st.occupancy:.2f}", flush=True)
+print(
+    f"request latency p50: {st.p50_latency_ms:.1f} ms  p99: {st.p99_latency_ms:.1f} ms"
+    " (submit -> result; on this env dominated by the tunnel RPC + transfer, not device time)",
+    flush=True,
+)
 print(f"per-batch: {dt/max(st.batches - 0, 1)*1000:.1f} ms (incl ~27 ms tunnel RPC floor each)", flush=True)
 assert all(m.extent == (640, 640) for m in masks)
 print("OK", flush=True)

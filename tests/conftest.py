@@ -29,3 +29,24 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _serialize_heavy(request):
+    """Tests marked ``heavy`` (8-virtual-device meshes, 1024^2 model traces)
+    hold an inter-process file lock: two concurrent ``pytest tests/`` runs
+    executing a heavy test simultaneously have been observed to SIGABRT the
+    XLA CPU client (NOTES.md). The lock serializes only the heavy tests —
+    everything else still overlaps freely across processes."""
+    if request.node.get_closest_marker("heavy") is None:
+        yield
+        return
+    import fcntl
+
+    path = os.path.join(os.path.dirname(__file__), ".heavy.lock")
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)

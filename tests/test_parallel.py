@@ -85,6 +85,7 @@ def test_training_step_runs_and_updates():
     )
 
 
+@pytest.mark.heavy
 def test_graft_entry_dryrun():
     """Smoke the driver entrypoint on a 2-device mesh — the full 8-device
     dp x tp inference parity is covered (once) by
@@ -95,6 +96,7 @@ def test_graft_entry_dryrun():
     g.dryrun_multichip(2)
 
 
+@pytest.mark.heavy
 def test_sam_encoder_dp_sharded_matches_single_device():
     """Full TinyViT encoder, batch dp-sharded over the 8-device mesh:
     multi-chip INFERENCE parity — the reference's single-request semantics
@@ -142,6 +144,7 @@ def test_sam_encoder_dp_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(sharded_model.embed)[0], e1, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_esrgan_tiled_dp_sharded_matches_single_device():
     """Tile batch dp-sharded over the mesh == single-device tiled output
     (reference per-tile loop, vision.cpp:240-251, scaled by mesh size)."""

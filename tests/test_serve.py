@@ -104,7 +104,102 @@ def test_batch_server_result_count_mismatch():
             f2.result(timeout=10)
 
 
+def test_batch_server_prep_pool_occupancy():
+    """A single-threaded client with slow host-side prep still fills the
+    batch: prepare runs on the prep pool, so submit() returns immediately
+    and all 8 requests land inside one batch window."""
+
+    def prep(x):
+        time.sleep(0.02)
+        return x
+
+    with BatchServer(
+        lambda items: items, batch_size=8, max_delay_ms=2000, prepare=prep, prep_workers=8
+    ) as srv:
+        futs = [srv.submit(i) for i in range(8)]
+        assert sorted(f.result(timeout=10) for f in futs) == list(range(8))
+    assert srv.stats.occupancy >= 6.0, srv.stats
+    assert srv.stats.p50_latency_ms > 0.0
+    assert srv.stats.p99_latency_ms >= srv.stats.p50_latency_ms
+
+
+def test_batch_server_prepare_exception_travels_to_caller():
+    def prep(x):
+        raise ValueError("bad input")
+
+    with BatchServer(lambda items: items, batch_size=2, max_delay_ms=5, prepare=prep) as srv:
+        fut = srv.submit(1)
+        with pytest.raises(ValueError, match="bad input"):
+            fut.result(timeout=10)
+
+
+def test_batch_server_close_race_resolves_all():
+    """submit() racing close(): every future that submit() returned must
+    resolve — an entry landing behind the shutdown sentinel used to hang."""
+    for _ in range(20):
+        srv = BatchServer(lambda items: items, batch_size=4, max_delay_ms=1)
+        futs = []
+
+        def client():
+            for i in range(50):
+                try:
+                    futs.append(srv.submit(i))
+                except RuntimeError:
+                    return
+
+        t = threading.Thread(target=client)
+        t.start()
+        time.sleep(0.002)
+        srv.close()
+        t.join()
+        for f in futs:
+            f.result(timeout=5)  # must not hang
+
+
 @pytest.mark.slow
+@pytest.mark.heavy
+def test_two_model_server_smoke():
+    """SAM + ESRGAN servers coexisting in one process: requests to both
+    interleave and each model's batcher groups only its own requests."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.image import Image, ImageFormat
+    from vision_tpu.models.esrgan import EsrganModel, EsrganParams
+    from vision_tpu.models.mobile_sam import SamModel, SamParams
+    from vision_tpu.models.random_weights import (
+        random_esrgan_params,
+        random_mobile_sam_params,
+    )
+    from vision_tpu.serve import EsrganServer, SamServer
+
+    dev = backend_init()
+    sam = SamModel(
+        {k: np.asarray(v) for k, v in random_mobile_sam_params(0).items()}, SamParams(), dev
+    )
+    esr = EsrganModel(
+        {k: np.asarray(v) for k, v in random_esrgan_params(0, nb=2).items()},
+        EsrganParams(scale=4, n_blocks=2),
+        dev,
+    )
+
+    rng = np.random.default_rng(3)
+    img = Image(rng.integers(0, 255, (48, 64, 4), np.uint8), ImageFormat.rgba_u8)
+    with SamServer(sam, batch_size=2, max_delay_ms=500) as ss, EsrganServer(
+        esr, batch_size=2, max_delay_ms=500
+    ) as es:
+        f1 = ss.submit(img, point=(20, 20))
+        f2 = es.submit(img)
+        f3 = es.submit(img)
+        mask = f1.result(timeout=600)
+        up1, up2 = f2.result(timeout=600), f3.result(timeout=600)
+    assert mask.extent == img.extent and mask.format == ImageFormat.alpha_u8
+    assert up1.extent == (64 * 4, 48 * 4) and up1.format == ImageFormat.rgba_u8
+    assert np.array_equal(np.asarray(up1.data), np.asarray(up2.data))
+    assert es.stats.batches == 1  # the two esrgan requests shared one program
+    assert es.stats.p50_latency_ms > 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
 def test_sam_server_end_to_end():
     """Point + box requests batched through one program match the
     single-request SamModel path."""
@@ -122,9 +217,10 @@ def test_sam_server_end_to_end():
     img_a = Image(rng.integers(0, 255, (96, 128, 4), np.uint8), ImageFormat.rgba_u8)
     img_b = Image(rng.integers(0, 255, (96, 128, 4), np.uint8), ImageFormat.rgba_u8)
 
-    # generous batch window: request prep (1024^2 resize) happens on the
-    # client thread before submit, so a small window can miss the grouping
-    with SamServer(model, batch_size=2, max_delay_ms=2000) as srv:
+    # generous batch window: request prep (1024^2 resize) runs on the prep
+    # pool after submit, so the window must cover the prep time for grouping
+    # even on a loaded CI machine
+    with SamServer(model, batch_size=2, max_delay_ms=10_000) as srv:
         f1 = srv.submit(img_a, point=(40, 30))
         f2 = srv.submit(img_b, point=(80, 60))
         f3 = srv.submit(img_a, box=((10, 10), (100, 80)))

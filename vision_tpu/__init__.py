@@ -30,3 +30,17 @@ from .core import (
     load_weights,
     model_load,
 )
+
+
+def load_model(filepath: str, device=None):
+    """Generic loader: detect the GGUF's family and dispatch to the arch
+    loader (reference vision.cpp high-level API; see vision_tpu.api)."""
+    from .api import load_model as _load_model
+
+    return _load_model(filepath, device)
+
+
+def model_detect_family(file):
+    from .api import model_detect_family as _detect
+
+    return _detect(file)

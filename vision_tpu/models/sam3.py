@@ -280,13 +280,46 @@ def apply_rope_2d(x, n_rows: int, scale: float = 1.0, layout: str = "bhtd"):
     return jnp.concatenate([first, second], axis=-1)
 
 
-def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float, flash: bool = False):
+def _rope_tables_pos(px: np.ndarray, py: np.ndarray, head_dim: int):
+    """cos/sin tables for explicit (possibly permuted) token positions.
+    Attention is permutation-invariant over the token axis, so any token
+    ordering works as long as RoPE sees the matching positions — the fused
+    window-major path (vision_transformer_scan) relies on this."""
+    base = 10000.0
+    d2 = head_dim // 2
+    freqs = base ** (-np.arange(0, d2, 2, dtype=np.float64) / d2)
+    ang_x = px.astype(np.float64)[:, None] * freqs[None, :]
+    ang_y = py.astype(np.float64)[:, None] * freqs[None, :]
+    return (
+        np.cos(ang_x).astype(np.float32),
+        np.sin(ang_x).astype(np.float32),
+        np.cos(ang_y).astype(np.float32),
+        np.sin(ang_y).astype(np.float32),
+    )
+
+
+def _apply_rope_tables(x, tables, layout: str):
+    """Apply rope from precomputed (cx, sx, cy, sy) numpy tables."""
+    hd = x.shape[-1]
+    if layout == "bhtd":
+        cx, sx, cy, sy = (jnp.asarray(a).astype(x.dtype) for a in tables)
+    else:  # bthd: broadcast over the heads axis
+        cx, sx, cy, sy = (jnp.asarray(a)[:, None].astype(x.dtype) for a in tables)
+    first = _rotate_pairs(x[..., : hd // 2], cx, sx)
+    second = _rotate_pairs(x[..., hd // 2 :], cy, sy)
+    return jnp.concatenate([first, second], axis=-1)
+
+
+def rope_attention(
+    p: Params, x, n_heads: int, n_rows: int, scale: float, flash: bool = False, tables=None
+):
     """(reference rope_attention, sam3.h:440-455). x: (B, T, C).
 
     Window layers (flash=False, T <= ~576) use the transpose-free einsum
     formulation (see ops/nn.py attention_windows): q/k/v stay (B, T, H, hd),
     RoPE broadcasts over the heads axis, logits in the input dtype with f32
     softmax. Global layers keep (B, H, T, hd) for the pallas flash kernel.
+    ``tables`` overrides the position tables (permuted token orders).
     """
     b, t, c = x.shape
     hd = c // n_heads
@@ -296,14 +329,22 @@ def rope_attention(p: Params, x, n_heads: int, n_rows: int, scale: float, flash:
             return jnp.transpose(linear(pp, x).reshape(b, t, n_heads, hd), (0, 2, 1, 3))
 
         q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
-        q = apply_rope_2d(q, n_rows, scale)
-        k = apply_rope_2d(k, n_rows, scale)
+        if tables is None:
+            q = apply_rope_2d(q, n_rows, scale)
+            k = apply_rope_2d(k, n_rows, scale)
+        else:
+            q = _apply_rope_tables(q, tables, "bhtd")
+            k = _apply_rope_tables(k, tables, "bhtd")
         return attention(p["o_proj"], q, k, v, None, 1.0 / math.sqrt(hd), flash=flash)
 
     proj = lambda pp: linear(pp, x).reshape(b, t, n_heads, hd)
     q, k, v = proj(p["q_proj"]), proj(p["k_proj"]), proj(p["v_proj"])
-    q = apply_rope_2d(q, n_rows, scale, layout="bthd")
-    k = apply_rope_2d(k, n_rows, scale, layout="bthd")
+    if tables is None:
+        q = apply_rope_2d(q, n_rows, scale, layout="bthd")
+        k = apply_rope_2d(k, n_rows, scale, layout="bthd")
+    else:
+        q = _apply_rope_tables(q, tables, "bthd")
+        k = _apply_rope_tables(k, tables, "bthd")
     attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / math.sqrt(hd), x.dtype)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)

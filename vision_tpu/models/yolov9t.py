@@ -48,11 +48,25 @@ class Yolov9tParams:
     num_classes: int = 80
     input_size: int = 640
     reg_max: int = 16
+    n_csp: int = 3  # RepCSP bottleneck depth (3 in YOLOv9t)
 
 
 def yolov9t_detect_params(file: GGUFFile) -> Yolov9tParams:
-    """Hardcoded 80 classes / 640px (reference yolov9t.cpp:43-53)."""
-    return Yolov9tParams()
+    """The reference hardcodes 80 classes / 640px (yolov9t.cpp:43-53); here
+    num_classes and the RepCSP depth are additionally detected from the
+    tensor shapes so width-reduced checkpoints load through the same path."""
+    from dataclasses import replace
+
+    p = Yolov9tParams()
+    cls_w = "detect.cv3.0.2.weight"
+    if cls_w in file and file.tensor_layout != "cwhn":
+        p = replace(p, num_classes=int(file.tensors[cls_w].shape[0]))
+    n = 0
+    while f"model.4.cv2.0.m.{n}.cv1.conv1.conv.weight" in file:
+        n += 1
+    if n:
+        p = replace(p, n_csp=n)
+    return p
 
 
 def _autopad(k: int, p: int = -1) -> int:
@@ -236,9 +250,11 @@ def detect_forward(p: Params, features, yp: Yolov9tParams) -> DetectOutput:
     return DetectOutput(boxes, sigmoid(cls_logits.astype(jnp.float32)))
 
 
-def yolov9t_forward(params: Params, x, yp: Yolov9tParams = Yolov9tParams(), n_csp: int = 3) -> DetectOutput:
+def yolov9t_forward(
+    params: Params, x, yp: Yolov9tParams = Yolov9tParams(), n_csp: int | None = None
+) -> DetectOutput:
     """(reference yolov9t_forward, yolov9t.cpp:827-840). x: (B, H, W, 3)."""
-    f = yolov9t_backbone(params, x, n_csp)
+    f = yolov9t_backbone(params, x, yp.n_csp if n_csp is None else n_csp)
     return detect_forward(params, [f[15], f[18], f[21]], yp)
 
 

@@ -12,7 +12,9 @@ step over ICI.
 Two layers:
 
 * :class:`BatchServer` — model-agnostic batching queue. Clients ``submit()``
-  items and get ``concurrent.futures.Future`` results; a worker thread
+  items and get ``concurrent.futures.Future`` results; host-side request
+  preparation (resize/normalize/coord transforms) runs on a dedicated prep
+  worker pool so ``submit()`` returns immediately; a batch worker thread
   drains the queue, groups items that share a shape bucket (different
   extents must not share a compiled program), pads each group to the fixed
   batch size (static shapes => one compiled program per bucket), and runs
@@ -27,13 +29,16 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable, Sequence
 
 import numpy as np
 
-__all__ = ["BatchServer", "ServerStats", "SamServer"]
+__all__ = ["BatchServer", "ServerStats", "SamServer", "EsrganServer"]
+
+_LATENCY_WINDOW = 4096  # most recent request latencies kept for percentiles
 
 
 @dataclass
@@ -41,12 +46,34 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     batched_items: int = 0
+    _latencies_ms: list = field(default_factory=list, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @property
     def occupancy(self) -> float:
-        """Mean fraction of the nominal batch each executed program carried."""
+        """Mean items per executed batch (NOT a fraction of batch_size)."""
         return self.batched_items / self.batches if self.batches else 0.0
+
+    def _record_latencies(self, lat_ms: Sequence[float]) -> None:
+        with self._lock:
+            self._latencies_ms.extend(lat_ms)
+            if len(self._latencies_ms) > _LATENCY_WINDOW:
+                del self._latencies_ms[: -_LATENCY_WINDOW]
+
+    def latency_ms(self, pct: float) -> float:
+        """Request latency percentile (submit -> result), in milliseconds."""
+        with self._lock:
+            if not self._latencies_ms:
+                return 0.0
+            return float(np.percentile(self._latencies_ms, pct))
+
+    @property
+    def p50_latency_ms(self) -> float:
+        return self.latency_ms(50.0)
+
+    @property
+    def p99_latency_ms(self) -> float:
+        return self.latency_ms(99.0)
 
 
 class BatchServer:
@@ -63,6 +90,10 @@ class BatchServer:
         before dispatching a partial batch. Latency/throughput knob.
     bucket_key: items whose key differs are never batched together (use the
         processed input shape — mixed shapes would retrace the program).
+    prepare: optional host-side request preparation, run on a worker pool
+        of ``prep_workers`` threads so ``submit()`` never blocks on pixel
+        math (a client thread doing its own prep would serialize the queue
+        and starve the batch window). ``bucket_key`` sees prepared items.
     """
 
     def __init__(
@@ -71,6 +102,8 @@ class BatchServer:
         batch_size: int = 8,
         max_delay_ms: float = 2.0,
         bucket_key: Callable[[Any], Any] = lambda item: None,
+        prepare: Callable[[Any], Any] | None = None,
+        prep_workers: int = 4,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -78,23 +111,46 @@ class BatchServer:
         self.batch_size = batch_size
         self.max_delay = max_delay_ms / 1e3
         self._bucket_key = bucket_key
+        self._prepare = prepare
         self._queue: queue.Queue = queue.Queue()
         self._pending: dict[Any, list] = {}
         self.stats = ServerStats()
         self._closed = False
+        # guards the _closed flag vs. queue writes: nothing may enqueue
+        # after the shutdown sentinel or its Future would never resolve
+        self._close_lock = threading.Lock()
+        self._prep_pool = (
+            ThreadPoolExecutor(max_workers=prep_workers, thread_name_prefix="visp-prep")
+            if prepare is not None
+            else None
+        )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # -- client side --------------------------------------------------------
 
     def submit(self, item) -> Future:
-        if self._closed:
-            raise RuntimeError("server is closed")
         fut: Future = Future()
+        t0 = time.perf_counter()
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            if self._prep_pool is not None:
+                self._prep_pool.submit(self._prep_task, item, fut, t0)
+            else:
+                self._queue.put((item, fut, t0))
         with self.stats._lock:
             self.stats.requests += 1
-        self._queue.put((item, fut))
         return fut
+
+    def _prep_task(self, item, fut: Future, t0: float) -> None:
+        try:
+            prepared = self._prepare(item)
+        except BaseException as e:  # noqa: BLE001 — prep failures travel to the caller
+            fut.set_exception(e)
+            return
+        # no lock needed: close() drains this pool BEFORE the sentinel
+        self._queue.put((prepared, fut, t0))
 
     def compute(self, item):
         """Synchronous convenience: submit and wait."""
@@ -102,10 +158,16 @@ class BatchServer:
 
     def close(self):
         """Drain outstanding requests, then stop the worker."""
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
-            self._queue.put(None)
-            self._worker.join()
+        # in-flight prep tasks still enqueue; wait for them, THEN send the
+        # sentinel so no entry can land behind it (its Future would hang)
+        if self._prep_pool is not None:
+            self._prep_pool.shutdown(wait=True)
+        self._queue.put(None)
+        self._worker.join()
 
     def __enter__(self):
         return self
@@ -123,12 +185,15 @@ class BatchServer:
             return True
         if entry is None:
             return False
-        item, fut = entry
-        self._pending.setdefault(self._bucket_key(item), []).append((item, fut))
+        self._bucket(entry)
         return True
 
+    def _bucket(self, entry) -> None:
+        item = entry[0]
+        self._pending.setdefault(self._bucket_key(item), []).append(entry)
+
     def _dispatch(self, group: list) -> None:
-        items = [it for it, _ in group]
+        items = [it for it, _, _ in group]
         try:
             results = self._fn(items)
             if len(results) != len(items):
@@ -136,14 +201,16 @@ class BatchServer:
                     f"batch fn returned {len(results)} results for {len(items)} items"
                 )
         except BaseException as e:  # noqa: BLE001 — failures travel to callers
-            for _, fut in group:
+            for _, fut, _ in group:
                 fut.set_exception(e)
             return
         with self.stats._lock:
             self.stats.batches += 1
             self.stats.batched_items += len(items)
-        for (_, fut), res in zip(group, results):
+        done = time.perf_counter()
+        for (_, fut, _), res in zip(group, results):
             fut.set_result(res)
+        self.stats._record_latencies([(done - t0) * 1e3 for _, _, t0 in group])
 
     def _drain_queue(self) -> None:
         while True:
@@ -152,12 +219,9 @@ class BatchServer:
             except queue.Empty:
                 return
             if entry is not None:
-                item, fut = entry
-                self._pending.setdefault(self._bucket_key(item), []).append((item, fut))
+                self._bucket(entry)
 
     def _run(self) -> None:
-        import time
-
         alive = True
         while alive or self._pending:
             if alive:
@@ -188,10 +252,17 @@ class SamServer:
     ``vision.cpp:54-95``). Requests are grouped (points and boxes bucket
     separately — they run different prompt encoders) and the whole group is
     encoded AND decoded in one jitted program; with a mesh the group batch
-    is dp-sharded.
+    is dp-sharded. Host-side preparation (the 1024² resize + coordinate
+    transform) runs on the BatchServer's prep pool, off the caller thread.
     """
 
-    def __init__(self, model, batch_size: int = 4, max_delay_ms: float = 2.0):
+    def __init__(
+        self,
+        model,
+        batch_size: int = 4,
+        max_delay_ms: float = 2.0,
+        prep_workers: int = 4,
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -248,16 +319,19 @@ class SamServer:
             batch_size=batch_size,
             max_delay_ms=max_delay_ms,
             bucket_key=lambda item: item[1],  # prompt kind
+            prepare=self._prepare,
+            prep_workers=prep_workers,
         )
 
-    # one request = (image, kind, processed_input, processed_coords, extent)
-    def _prepare(self, image, point=None, box=None):
+    # raw request = (image, point, box); prepared = (x, kind, coords, extent)
+    def _prepare(self, request):
         from .models.mobile_sam import (
             sam_process_box,
             sam_process_input_u8,
             sam_process_point,
         )
 
+        image, point, box = request
         x = sam_process_input_u8(image, self.model.p)
         if point is not None:
             kind, coords = "point", sam_process_point(point, image.extent, self.model.p)
@@ -286,10 +360,80 @@ class SamServer:
     def submit(self, image, point=None, box=None) -> Future:
         if (point is None) == (box is None):
             raise ValueError("exactly one of point/box must be given")
-        return self._server.submit(self._prepare(image, point, box))
+        return self._server.submit((image, point, box))
 
     def compute(self, image, point=None, box=None):
         return self.submit(image, point=point, box=box).result()
+
+    @property
+    def stats(self) -> ServerStats:
+        return self._server.stats
+
+    def close(self):
+        self._server.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class EsrganServer:
+    """Concurrent whole-image super-resolution on an EsrganModel.
+
+    Requests are :class:`~vision_tpu.image.Image` instances; same-extent
+    images batch into ONE device program (the reference runs a sequential
+    per-tile loop, ``vision.cpp:240-251`` — here N requests of one extent
+    are a single batched RRDBNet call; mixed extents bucket separately).
+    Intended for serving-size inputs that fit whole-image execution; large
+    inputs should go through ``EsrganModel.compute``'s tiled path instead.
+    """
+
+    def __init__(
+        self,
+        model,
+        batch_size: int = 4,
+        max_delay_ms: float = 2.0,
+        prep_workers: int = 2,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self._server = BatchServer(
+            self._run_group,
+            batch_size=batch_size,
+            max_delay_ms=max_delay_ms,
+            bucket_key=lambda item: item[1],  # image extent
+            prepare=self._prepare,
+            prep_workers=prep_workers,
+        )
+
+    # raw request = Image; prepared = (rgb_u8 array, extent)
+    def _prepare(self, image):
+        return (image.to_rgb_u8(), image.extent)
+
+    def _run_group(self, items: list):
+        import jax.numpy as jnp
+
+        from .image import Image, ImageFormat
+
+        n = len(items)
+        extent = items[0][1]
+        padded = items + [items[0]] * (self.batch_size - n)
+        x = np.stack([it[0] for it in padded])
+        fn = self.model._fn(("serve", self.batch_size, extent), True, extent)
+        y = np.asarray(fn(jnp.asarray(x)))[:n]
+        alpha = np.full((*y.shape[1:3], 1), 255, np.uint8)
+        return [
+            Image(np.ascontiguousarray(np.concatenate([yi, alpha], axis=2)), ImageFormat.rgba_u8)
+            for yi in y
+        ]
+
+    def submit(self, image) -> Future:
+        return self._server.submit(image)
+
+    def compute(self, image):
+        return self.submit(image).result()
 
     @property
     def stats(self) -> ServerStats:
