@@ -35,10 +35,14 @@ from functools import partial
 
 import numpy as np
 
-# torch CPU eager RRDBNet-23 4x @1024^2 on this machine (see NOTES.md round-3:
-# /tmp/esrgan_torch_cpu.py, 2 warm iterations) — the CPU-baseline proxy for
-# the workload the reference never published a number for.
-ESRGAN_CPU_BASELINE_S = None  # filled in below after measurement lands
+# ESRGAN 4x @1024^2 CPU baseline (the reference publishes none): 450 s on
+# the reference's Ryzen 5600X, derived two independent ways (NOTES.md r3):
+#  * torch-CPU-eager RRDBNet-23 measured 2693 s on this box's single core,
+#    linearly scaled to the reference's 6 cores -> ~449 s;
+#  * exact workload FLOPs (37.6 TFLOP) / the ggml CPU throughput implied by
+#    the reference's own MobileSAM row (40 GFLOP / 0.669 s = 60 GFLOP/s)
+#    -> ~630 s. The smaller (less flattering) anchor is used.
+ESRGAN_CPU_BASELINE_S = 450.0
 SAM_CPU_BASELINE_MS = 669.0  # reference CPU MobileSAM (README.md:205-210)
 
 

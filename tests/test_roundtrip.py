@@ -11,13 +11,17 @@ numpy post). RMS thresholds follow the reference model tests
 (test-models.cpp:34,50: 0.01 cpu / 0.015 gpu).
 """
 
+import json
 import math
+import re
 import sys
 from pathlib import Path
 
 import numpy as np
 import pytest
 import torch
+import torch.nn as nn
+import torch.nn.functional as F
 
 sys.path.insert(0, str(Path(__file__).parent))
 
@@ -214,3 +218,231 @@ def test_roundtrip_yolov9t(tmp_path):
         j = int(np.argmin(dist))
         assert dist[j] < 1.5, f"detection {db} has no torch candidate (min dist {dist[j]})"
         assert abs(scores[j, d.class_id] - d.confidence) < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# MobileSAM (reference sam_load_model/sam_encode/sam_compute, vision.cpp:26-95)
+# ---------------------------------------------------------------------------
+
+SAM_CFG = [  # production TinyViT-5M (reference mobile-sam.h:16-38)
+    {"dim": 64, "depth": 2, "res": 256},
+    {"dim": 128, "depth": 2, "res": 128, "heads": 4, "window": 7},
+    {"dim": 160, "depth": 6, "res": 64, "heads": 5, "window": 14},
+    {"dim": 320, "depth": 2, "res": 64, "heads": 10, "window": 7},
+]
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_roundtrip_mobile_sam(tmp_path):
+    from test_mobile_sam import TMaskDecoder, TTinyVit
+
+    torch.manual_seed(0)
+    enc = TTinyVit(SAM_CFG, 1024)
+    # production 256-channel neck (the twin default is the unit-test size)
+    enc.neck = nn.ModuleList([
+        nn.Conv2d(320, 256, 1, bias=False), nn.LayerNorm(256),
+        nn.Conv2d(256, 256, 3, padding=1, bias=False), nn.LayerNorm(256),
+    ])
+    enc = randomize(enc)
+    dec = randomize(TMaskDecoder(dim=256, up1=64, up2=32), seed=11)
+    rng = np.random.default_rng(3)
+    gaussian = rng.standard_normal((2, 128)).astype(np.float32)
+
+    ckpt = {}
+    for k, v in enc.state_dict().items():
+        ckpt["image_encoder." + k] = v
+    for k, v in dec.state_dict().items():
+        k = (
+            k.replace("cross_attn_t2i", "cross_attn_token_to_image")
+            .replace("cross_attn_i2t", "cross_attn_image_to_token")
+            .replace("final_attn_t2i", "final_attn_token_to_image")
+        )
+        ckpt["mask_decoder." + k] = v
+    ckpt["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = torch.from_numpy(gaussian)
+    for i in range(4):
+        ckpt[f"prompt_encoder.point_embeddings.{i}.weight"] = torch.from_numpy(
+            (rng.standard_normal((1, 256)) * 0.1).astype(np.float32)
+        )
+    ckpt["prompt_encoder.not_a_point_embed.weight"] = torch.from_numpy(
+        (rng.standard_normal((1, 256)) * 0.1).astype(np.float32)
+    )
+    ckpt["prompt_encoder.no_mask_embed.weight"] = torch.from_numpy(
+        (rng.standard_normal((1, 256)) * 0.1).astype(np.float32)
+    )
+    path = tmp_path / "mobile_sam.pth"
+    torch.save(ckpt, path)
+    gguf = convert_model("sam", path, tmp_path / "sam.gguf")
+
+    model = load_model(str(gguf), backend_init(BackendType.cpu))
+    src = smooth_u8(200, 256)
+    img = image_load_array(src)
+    model.encode(img)
+    point = (128, 100)
+    ours = model.compute(point=point)
+    assert ours.extent == img.extent and ours.format == ImageFormat.alpha_u8
+
+    # --- torch-side pipeline (independent pre/post) ---
+    scale = 1024.0 / 256.0
+    resized = pil_resize(src, (1024, 800))
+    padded = np.pad(resized, ((0, 224), (0, 0), (0, 0)), mode="edge")
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (padded.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        embed = enc(torch.from_numpy(x).permute(2, 0, 1)[None])  # NHWC out
+    embed_nchw = embed.permute(0, 3, 1, 2)
+
+    # prompt: reference coord transform + random-Fourier PE
+    def tcoord(v):
+        return 2.0 * ((v * scale + 0.5) / 1024.0) - 1.0
+
+    c = np.array([[tcoord(point[0]), tcoord(point[1])]], np.float32)
+    proj = (c @ gaussian) * (2 * np.pi)
+    pe_pt = np.concatenate([np.sin(proj), np.cos(proj)], axis=-1)
+    fg = pe_pt + ckpt["prompt_encoder.point_embeddings.1.weight"].numpy()
+    sparse = np.concatenate([fg, ckpt["prompt_encoder.not_a_point_embed.weight"].numpy()], 0)
+
+    # dense image PE baked from the gaussian (reference convert.py:265-282)
+    size = 64
+    ye = (np.cumsum(np.ones((size, size)), 0) - 0.5) / size
+    xe = (np.cumsum(np.ones((size, size)), 1) - 0.5) / size
+    coords = np.stack([xe, ye], -1)
+    dproj = (2 * coords - 1) @ gaussian * (2 * np.pi)
+    dense_pe = np.concatenate([np.sin(dproj), np.cos(dproj)], -1).astype(np.float32)
+
+    with torch.no_grad():
+        masks, iou = dec(
+            embed_nchw,
+            torch.from_numpy(dense_pe).permute(2, 0, 1)[None],
+            torch.from_numpy(sparse)[None],
+            ckpt["prompt_encoder.no_mask_embed.weight"][0],
+        )
+    best = int(torch.argmax(iou[0, :3]))
+    m = masks[0, best][None, None]
+    m = F.interpolate(m, (1024, 1024), mode="bilinear", align_corners=False)
+    m = m[:, :, :800, :1024]
+    m = F.interpolate(m, (200, 256), mode="bilinear", align_corners=False)[0, 0].numpy()
+    expected = (m > 0.0).astype(np.uint8) * 255
+
+    agree = float(np.mean(np.asarray(ours.data)[:, :, 0] == expected))
+    assert agree >= 0.995, f"mask agreement {agree}"
+
+
+# ---------------------------------------------------------------------------
+# BiRefNet (reference birefnet_compute, vision.cpp:97-135)
+# ---------------------------------------------------------------------------
+
+
+def _biref_ckpt_names(sd):
+    """Twin (converted) names -> original-checkpoint names, such that the
+    converter's renames (convert.py convert_birefnet) map them back."""
+    out = {}
+    for k, v in sd.items():
+        n = k.replace("decoder.block", "decoder.decoder_block")
+        n = re.sub(r"(aspp(?:1|_deforms\.\d+))\.conv\.", r"\1.atrous_conv.", n)
+        n = n.replace(".atrous_conv.offset.", ".atrous_conv.offset_conv.")
+        n = n.replace(".atrous_conv.modulator.", ".atrous_conv.modulator_conv.")
+        n = n.replace(".atrous_conv.conv.", ".atrous_conv.regular_conv.")
+        out[n] = v
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_roundtrip_birefnet(tmp_path):
+    from test_birefnet import TBirefnet
+
+    t = randomize(TBirefnet())
+    ckpt = _biref_ckpt_names(t.state_dict())
+    # "dynamic" in the filename selects image_size=-1 (converter contract)
+    path = tmp_path / "birefnet-dynamic.pth"
+    torch.save(ckpt, path)
+    gguf = convert_model("birefnet", path, tmp_path / "birefnet.gguf")
+
+    model = load_model(str(gguf), backend_init(BackendType.cpu))
+    assert model.p.image_size == -1
+    assert model.p.encoder.embed_dim == 8  # custom config detected
+    src = smooth_u8(64, 64)
+    img = image_load_array(src)
+    ours = model.compute(img)
+    assert ours.extent == img.extent and ours.format == ImageFormat.alpha_u8
+
+    # torch side: resize to the dynamic extent (multiple of 128 -> 128),
+    # normalize, forward, resize the sigmoid mask back
+    resized = pil_resize(src, (128, 128))
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (resized.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        mask = t(torch.from_numpy(x).permute(2, 0, 1)[None])[0, 0].numpy()
+    expected = pil_resize(mask.astype(np.float32), (64, 64))
+    assert rms(np.asarray(ours.data)[:, :, 0].astype(np.float32) / 255.0, expected) <= 0.015
+
+
+# ---------------------------------------------------------------------------
+# SAM3 (WIP scope: tokenizer + text + vision features, reference sam3.h)
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_sam3(tmp_path):
+    from test_sam3 import TClipText, TFpnLayer, TVit
+
+    from vision_tpu.models.sam3 import Sam3VitParams, sam3_load_model
+
+    # tokenizer files next to the checkpoint (converter contract)
+    tokens = ["<unk>", "a", "b", "c", "a</w>", "b</w>", "c</w>", "ab", "ab</w>",
+              "abc</w>", "1</w>", "!</w>", "<|startoftext|>", "<|endoftext|>"]
+    (tmp_path / "vocab.json").write_text(json.dumps({t: i for i, t in enumerate(tokens)}))
+    (tmp_path / "merges.txt").write_text("#version\na b\nab c</w>\na b</w>\n")
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token_id": 12, "eos_token_id": 13, "pad_token_id": 13,
+        "unk_token_id": 0, "model_max_length": 8,
+    }))
+
+    dim, fpn = 8, 4
+    text = randomize(TClipText(vocab=14, dim=16, heads=4, layers=2, max_pos=8))
+    vit = randomize(TVit(dim=dim, heads=2, layers=3, patch=4, pretrain_grid=4,
+                         window=2, glob=(1,), img=16), seed=5)
+    neck = [randomize(TFpnLayer(dim, fpn, i), seed=20 + i) for i in range(4)]
+
+    ckpt = {}
+    for k, v in text.state_dict().items():
+        ckpt["detector_model.text_encoder.text_model." + k] = v
+    for k, v in vit.state_dict().items():
+        ckpt["detector_model.vision_encoder.backbone." + k] = v
+    for i, lay in enumerate(neck):
+        for k, v in lay.state_dict().items():
+            ckpt[f"detector_model.vision_encoder.neck.fpn_layers.{i}." + k] = v
+    path = tmp_path / "sam3.pth"
+    torch.save(ckpt, path)
+    gguf = convert_model("sam3", path, tmp_path / "sam3.gguf")
+
+    vp = Sam3VitParams(image_size=16, patch_size=4, window_size=2, n_layers=3,
+                       n_heads=2, global_attn_indexes=(1,))
+    model = sam3_load_model(str(gguf), backend_init(BackendType.cpu))
+    # reduced vision config is explicit (production defaults otherwise)
+    from vision_tpu.models.sam3 import Sam3Model
+
+    model = Sam3Model(model.params, model.tokenizer, model.max_tokens, model.device, vp=vp)
+
+    # text: tokenizer + encoder features vs the torch twin on the same ids
+    toks = model.tokenizer.tokenize("ab c!", model.max_tokens)
+    ours_text = np.asarray(model.encode_text("ab c!"))
+    with torch.no_grad():
+        expected_text = text(
+            torch.from_numpy(toks.token_ids[None]), torch.from_numpy(toks.attention_mask)
+        ).numpy()
+    assert rms(ours_text, expected_text) <= 1e-4
+
+    # vision: fpn feature parity on a 16x16 input (no resize on either side)
+    src = smooth_u8(16, 16)
+    feats = model.encode_vision(image_load_array(src))
+    x = (src.astype(np.float32) / 255.0 - 0.5) * 2.0
+    with torch.no_grad():
+        trunk = vit(torch.from_numpy(x).permute(2, 0, 1)[None])  # NHWC
+        trunk_nchw = trunk.permute(0, 3, 1, 2)
+        for i in range(4):
+            exp = neck[i](trunk_nchw).permute(0, 2, 3, 1).numpy()
+            got = np.asarray(feats[i])
+            assert rms(got, exp) <= 1e-3, f"fpn level {i}"

@@ -307,6 +307,28 @@ def test_vision_transformer_full():
     tensors_match(expected, actual, label="sam3_vit", atol=1e-4, rtol=1e-3)
 
 
+def test_vision_transformer_scan_matches_layerwise():
+    """The fused window-major scan trunk (vision_transformer_scan) must be
+    numerically equivalent to the per-layer path: same math, tokens merely
+    visit the global layers in window-major order with permuted RoPE
+    tables (attention is permutation-invariant over tokens)."""
+    from vision_tpu.models.sam3 import sam3_pack_vision_weights, vision_transformer_scan
+
+    t = randomize(TVit())
+    x = input_tensor(1, 3, 16, 16)
+    vp = Sam3VitParams(
+        image_size=16, patch_size=4, window_size=2, n_layers=3, n_heads=2, global_attn_indexes=(1,)
+    )
+    p = make_params(t)
+    expected = vision_transformer(p, to_nhwc(x), vp)
+    from workbench import state_dict_to_params
+
+    flat = state_dict_to_params(t.state_dict())
+    stack = sam3_pack_vision_weights(flat, vp, prefix="")
+    actual = vision_transformer_scan(p, stack, to_nhwc(x), vp)
+    tensors_match(torch.from_numpy(np.asarray(expected)), actual, label="sam3_scan", atol=1e-5)
+
+
 def test_sine_position_embedding():
     """Direct port of the reference loop (sam3.h:524-563)."""
     W, H, NF = 3, 4, 6

@@ -218,24 +218,31 @@ def _make_yolo(dev, dtype):
 
 
 def _make_sam3_vision(dev, dtype):
+    import jax
     import jax.numpy as jnp
 
     from .core.params import Params
     from .models.random_weights import random_sam3_vision_params
-    from .models.sam3 import Sam3VitParams, encode_vision
+    from .models.sam3 import Sam3VitParams, encode_vision, sam3_pack_vision_weights
 
     p = Sam3VitParams()
+    raw = random_sam3_vision_params()
+    params = {}
+    for k, v in raw.items():
+        a = jax.device_put(v, dev.jax_device)
+        if v.dtype == np.float32 and "position_embeddings" not in k:
+            a = a.astype(dtype)
+        params[k] = a
+    # production path: fused window-major scan trunk over stacked weights
+    stack = sam3_pack_vision_weights(params, p)
 
-    def forward(w, x, dt):
+    def step(w, x):
         # [-1, 1] input mapping (sam3_process_input, reference sam3.h:619-622)
-        img = x.astype(dt) / 127.5 - 1.0
-        out = encode_vision(Params(w), img, p, flash=True)
+        img = x.astype(dtype) / 127.5 - 1.0
+        out = encode_vision(Params(w["p"]), img, p, flash=True, win_stack=w["s"])
         return sum(jnp.sum(f.astype(jnp.float32)) for f in out.fpn_hidden_states)
 
-    return _bench_generic(
-        random_sam3_vision_params, forward, (1, 1008, 1008, 3),
-        keep_f32=("position_embeddings",),
-    )(dev, dtype)
+    return step, {"p": params, "s": stack}, _u8((1, 1008, 1008, 3))
 
 
 def _make_birefnet(variant):

@@ -237,7 +237,26 @@ def convert_birefnet(model: dict, w: Writer, filename: str):
         w.add("swin.config", "large")
         w.add("swin.embed_dim", 192)
     else:
-        raise_error("Unsupported Swin Transformer embed dim: {}", x.shape[0])
+        # non-preset checkpoint: derive the full swin config from the state
+        # dict and store it explicitly (swin_detect_params reads it back)
+        w.add("swin.config", "custom")
+        w.add("swin.embed_dim", int(x.shape[0]))
+        depths, heads, dims = [], [], []
+        i = 0
+        while f"bb.layers.{i}.blocks.0.attn.proj.bias" in model:
+            d = 0
+            while f"bb.layers.{i}.blocks.{d}.attn.proj.bias" in model:
+                d += 1
+            tbl = model[f"bb.layers.{i}.blocks.0.attn.relative_position_bias_table"]
+            depths.append(d)
+            heads.append(int(tbl.shape[1]))
+            dims.append(int(model[f"bb.layers.{i}.blocks.0.attn.proj.bias"].shape[0]))
+            i += 1
+        window = (int(round(tbl.shape[0] ** 0.5)) + 1) // 2  # table is (2w-1)^2
+        w.add("swin.window", window)
+        w.add("swin.depths", depths)
+        w.add("swin.num_heads", heads)
+        w.add("swin.dims", dims)
     image_size = 1024
     if "HR" in filename or "2K" in filename:
         image_size = 2048

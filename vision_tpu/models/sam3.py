@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -57,6 +57,9 @@ __all__ = [
     "encode_text",
     "Sam3VitParams",
     "vision_transformer",
+    "vision_transformer_scan",
+    "sam3_pack_vision_weights",
+    "sam3_window_runs",
     "encode_vision",
     "sam3_process_input",
     "sine_position_embedding",
@@ -367,6 +370,17 @@ def _window_reverse(x, w, h, window):
     return window_reverse(x, w, h, window)
 
 
+def _vision_layer_tokens(p: Params, x, n_heads: int, n_rows: int, rope_scale: float, flash: bool = False, tables=None):
+    """Pre-norm attention + MLP on token tensors (B*, T, C) — the layer body
+    shared by the spatial path (vision_layer) and the window-major scan path
+    (vision_transformer_scan)."""
+    res = x
+    y = layer_norm(p["layer_norm1"], x)
+    y = rope_attention(p["attention"], y, n_heads, n_rows, rope_scale, flash=flash, tables=tables)
+    x = res + y
+    return x + vision_mlp(p["mlp"], layer_norm(p["layer_norm2"], x))
+
+
 def vision_layer(p: Params, x, window_size: int, n_heads: int, n_rows: int, rope_scale: float, flash: bool = False):
     """(reference vision_layer, sam3.h:457-483). x: (B, h, w, C)."""
     b, h, w, c = x.shape
@@ -400,6 +414,119 @@ def vision_transformer(p: Params, image, vp: Sam3VitParams, flash: bool = False)
         scale = scale_global if is_global else 1.0
         x = vision_layer(p["layers"][i], x, window, vp.n_heads, n_rows, scale, flash=is_global and flash)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Fused trunk: window-major layout + lax.scan over stacked window layers
+# ---------------------------------------------------------------------------
+#
+# The per-layer path above re-partitions (B, h, w, C) -> windows and back for
+# every one of the 28 window layers (56 relayout transposes of the full 13 MB
+# activation at 1008^2), and XLA schedules 28 distinct layer bodies whose
+# 36 MB weight sets stream from HBM without any sequential-prefetch pattern —
+# measured as ~30 ms of composition overhead that no layer shows in isolation
+# (NOTES.md round-2 SAM3 breakdown; reference builds one fused graph,
+# sam3.h:291-613). The fused trunk removes both:
+#
+#   * the activation lives in WINDOW-MAJOR token order (B*nw, win^2, C) for
+#     the whole trunk — window partition becomes a free reshape; ONE real
+#     transpose converts in after patch-embed and out before the neck.
+#   * global layers run attention directly on the window-major token order:
+#     attention is permutation-invariant over tokens, so only the RoPE
+#     tables must be permuted to match (precomputed numpy, _rope_tables_pos)
+#   * each run of consecutive window layers executes as ONE lax.scan over
+#     stacked weights (sam3_pack_vision_weights): a single layer body whose
+#     weights are dynamic-sliced per iteration — sequential HBM prefetch
+#     instead of 28 independent weight sets, and ~7x less code to compile.
+
+_SAM3_LAYER_LEAVES = tuple(
+    f"{mod}.{leaf}"
+    for mod in ("layer_norm1", "layer_norm2", "attention.q_proj", "attention.k_proj",
+                "attention.v_proj", "attention.o_proj", "mlp.fc1", "mlp.fc2")
+    for leaf in ("weight", "bias")
+)
+
+
+def sam3_window_runs(vp: Sam3VitParams) -> list[tuple[str, int, int]]:
+    """Trunk schedule: [("win", start, count) | ("glb", layer_idx, 1), ...]
+    where start/count index the stacked window-layer arrays."""
+    runs: list[tuple[str, int, int]] = []
+    w = 0
+    for i in range(vp.n_layers):
+        if i in vp.global_attn_indexes:
+            runs.append(("glb", i, 1))
+        else:
+            if runs and runs[-1][0] == "win":
+                runs[-1] = ("win", runs[-1][1], runs[-1][2] + 1)
+            else:
+                runs.append(("win", w, 1))
+            w += 1
+    return runs
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _sam3_pack(params: dict, prefix: str, win_idx: tuple):
+    return {
+        leaf: jnp.stack([params[f"{prefix}layers.{i}.{leaf}"] for i in win_idx])
+        for leaf in _SAM3_LAYER_LEAVES
+    }
+
+
+def sam3_pack_vision_weights(params: dict, vp: Sam3VitParams = Sam3VitParams(), prefix: str = "backbone.") -> dict:
+    """Stack the window layers' weights into (n_window_layers, ...) arrays
+    for the scan trunk. ``params`` holds flat dotted names; embeddings,
+    norms, global layers, and the neck stay in the original dict (the
+    packed dict only adds the stacked copies). One jitted program — eager
+    stacking would be hundreds of small dispatches over the dev tunnel."""
+    win_idx = tuple(i for i in range(vp.n_layers) if i not in vp.global_attn_indexes)
+    return dict(_sam3_pack(params, prefix, win_idx))
+
+
+def vision_transformer_scan(p: Params, win_stack: dict, image, vp: Sam3VitParams, flash: bool = False):
+    """Fused trunk (see block comment above). Exact same math as
+    vision_transformer; requires the patch grid to divide into whole
+    windows (true at the canonical 1008px / 14 / 24 geometry)."""
+    x = vision_embed(p["embeddings"], image, vp.patch_size)
+    x = layer_norm(p["layer_norm"], x)
+    b, hp, wp, c = x.shape
+    win = vp.window_size
+    assert hp % win == 0 and wp % win == 0, (hp, wp, win)
+    nwh, nww = hp // win, wp // win
+    nw = nwh * nww
+
+    # one transpose in: (B, hp, wp, C) -> window-major (B*nw, win*win, C)
+    x = x.reshape(b, nwh, win, nww, win, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b * nw, win * win, c)
+
+    # rope tables: window layers use in-window positions (standard tables);
+    # global layers use full-grid positions permuted to window-major order
+    scale_global = float(win) / float(vp.image_size // vp.patch_size)
+    ii, jj, rr, ss = np.meshgrid(
+        np.arange(nwh), np.arange(nww), np.arange(win), np.arange(win), indexing="ij"
+    )
+    px = ((jj * win + ss).reshape(-1)).astype(np.float64) * scale_global
+    py = ((ii * win + rr).reshape(-1)).astype(np.float64) * scale_global
+    hd = c // vp.n_heads
+    glb_tables = _rope_tables_pos(px, py, hd)
+
+    def win_body(carry, wslice):
+        y = _vision_layer_tokens(Params(wslice), carry, vp.n_heads, win, 1.0)
+        return y, None
+
+    for kind, a, n in sam3_window_runs(vp):
+        if kind == "win":
+            run = {k: v[a : a + n] for k, v in win_stack.items()}
+            x, _ = jax.lax.scan(win_body, x, run)
+        else:
+            t = x.reshape(b, nw * win * win, c)
+            t = _vision_layer_tokens(
+                p["layers"][a], t, vp.n_heads, 0, 0.0, flash=flash, tables=glb_tables
+            )
+            x = t.reshape(b * nw, win * win, c)
+
+    # one transpose out: window-major -> (B, hp, wp, C)
+    x = x.reshape(b, nwh, nww, win, win, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
 
 
 # ---------------------------------------------------------------------------
@@ -459,15 +586,28 @@ def vision_neck(p: Params, x) -> VisionOutput:
     return VisionOutput(hidden, pe)
 
 
-def encode_vision(p: Params, image, vp: Sam3VitParams = Sam3VitParams(), flash: bool = False) -> VisionOutput:
-    """(reference encode_vision, sam3.h:604-613)."""
-    x = vision_transformer(p["backbone"], image, vp, flash=flash)
+def encode_vision(
+    p: Params,
+    image,
+    vp: Sam3VitParams = Sam3VitParams(),
+    flash: bool = False,
+    win_stack: dict | None = None,
+) -> VisionOutput:
+    """(reference encode_vision, sam3.h:604-613). With ``win_stack`` (from
+    sam3_pack_vision_weights) and a window-divisible patch grid, the trunk
+    runs the fused window-major scan path."""
+    hp = image.shape[1] // vp.patch_size
+    wp = image.shape[2] // vp.patch_size
+    if win_stack is not None and hp % vp.window_size == 0 and wp % vp.window_size == 0:
+        x = vision_transformer_scan(p["backbone"], win_stack, image, vp, flash=flash)
+    else:
+        x = vision_transformer(p["backbone"], image, vp, flash=flash)
     return vision_neck(p["neck"], x)
 
 
-def sam3_process_input(img: Image) -> np.ndarray:
-    """Resize to 1008 square, map to [-1, 1] (reference sam3.h:619-622)."""
-    resized = image_scale(img, (1008, 1008), preprocess_scale_method())
+def sam3_process_input(img: Image, image_size: int = 1008) -> np.ndarray:
+    """Resize to the model's square input, map to [-1, 1] (sam3.h:619-622)."""
+    resized = image_scale(img, (image_size, image_size), preprocess_scale_method())
     out = image_u8_to_f32(resized, ImageFormat.rgb_f32, offset=(-0.5,) * 4, scale=(2.0,) * 4)
     return out.data
 
@@ -495,17 +635,33 @@ class Sam3Model:
         flash = bool(device.flags & BuildFlag.flash_attention)
         vp = vp or Sam3VitParams()
 
-        @jax.jit
-        def text_fn(weights, ids, mask):
-            return encode_text(Params(weights)["det"], ids, mask)
+        # text depth from the weights, not hardcoded (reduced checkpoints)
+        n_text = 0
+        while any(k.startswith(f"det.te.text_model.encoder.layers.{n_text}.") for k in params):
+            n_text += 1
 
         @jax.jit
-        def vision_fn(weights, image):
-            out = encode_vision(Params(weights)["det.ve"], image, vp, flash=flash)
+        def text_fn(weights, ids, mask):
+            return encode_text(Params(weights)["det"], ids, mask, n_layers=n_text)
+
+        @jax.jit
+        def vision_fn(weights, win_stack, image):
+            out = encode_vision(
+                Params(weights)["det.ve"], image, vp, flash=flash, win_stack=win_stack
+            )
             return tuple(out.fpn_hidden_states)
 
         self._text_fn = text_fn
         self._vision_fn = vision_fn
+        self._vp = vp
+        self._win_stack = None
+
+    def _vision_stack(self):
+        if self._win_stack is None:
+            self._win_stack = sam3_pack_vision_weights(
+                self.params, self._vp, prefix="det.ve.backbone."
+            )
+        return self._win_stack
 
     def encode_text(self, text: str):
         toks = self.tokenizer.tokenize(text, self.max_tokens)
@@ -518,8 +674,10 @@ class Sam3Model:
     def encode_vision(self, image: Image):
         import jax.numpy as jnp
 
-        x = sam3_process_input(image)
-        return self._vision_fn(self.params, jnp.asarray(x[None], self.device.preferred_float_type))
+        x = sam3_process_input(image, self._vp.image_size)
+        return self._vision_fn(
+            self.params, self._vision_stack(), jnp.asarray(x[None], self.device.preferred_float_type)
+        )
 
 
 def sam3_load_model(filepath: str, device=None) -> Sam3Model:

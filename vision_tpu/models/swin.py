@@ -80,8 +80,19 @@ SWIN_L_PARAMS = SwinParams(
 
 
 def swin_detect_params(file: GGUFFile) -> SwinParams:
-    """(reference swin_detect_params, swin.cpp:292-301)."""
+    """(reference swin_detect_params, swin.cpp:292-301). Beyond the two
+    reference presets, explicit configs written by the converter for
+    non-preset checkpoints (swin.window/depths/num_heads/dims) are read."""
     embed_dim = file.get_int("swin.embed_dim")
+    if file.get_string("swin.config", "") == "custom":
+        depths = [int(v) for v in file.get_array("swin.depths")]
+        heads = [int(v) for v in file.get_array("swin.num_heads")]
+        dims = [int(v) for v in file.get_array("swin.dims")]
+        return SwinParams(
+            embed_dim=embed_dim,
+            window_size=file.get_int("swin.window"),
+            layers=tuple(SwinLayerParams(d, h, c) for d, h, c in zip(depths, heads, dims)),
+        )
     if embed_dim == 96:
         return SWIN_T_PARAMS
     if embed_dim == 192:

@@ -216,30 +216,61 @@ def split_qkv(p: Params, x, n_heads: int, split_dim: int):
     return to_bhtd(q), to_bhtd(k), to_bhtd(v)
 
 
+# -- attention routing policy (measurement-backed, NOTES.md rounds 1-2) ----
+#
+# | flash | mask | T_q          | route          | why (measured)            |
+# |-------|------|--------------|----------------|---------------------------|
+# | no    | any  | any          | naive          | reference parity semantics|
+# | yes   | none | >= 1024      | pallas         | 1.3-1.4x on DINO / SAM3   |
+# |       |      |              |                | globals (round-1 pass)    |
+# | yes   | yes  | <= 512       | fused_logits   | windows 49..196: fused    |
+# |       |      |              |                | libs == naive, but bf16   |
+# |       |      |              |                | logits + f32 softmax cut  |
+# |       |      |              |                | ~20% (exp_winattn)        |
+# | yes   | else | else         | xla_fused      | jax.nn.dot_product_attention
+# |       |      |              |                | (masked mid-size T /      |
+# |       |      |              |                | unmasked small T)         |
+
+PALLAS_MIN_T = 1024
+FUSED_LOGIT_MAX_T = 512
+
+
+def attention_route(t_q: int, has_mask: bool, flash: bool, pallas_ok: bool | None = None) -> str:
+    """Resolve which attention implementation attention_core will use.
+    Exposed (and test-asserted) so the policy lives in one place instead of
+    inline magic thresholds."""
+    if not flash:
+        return "naive"
+    if not has_mask and t_q >= PALLAS_MIN_T:
+        if pallas_ok is None:
+            from .pallas import pallas_available
+
+            pallas_ok = pallas_available()
+        if pallas_ok:
+            return "pallas"
+    if has_mask and t_q <= FUSED_LOGIT_MAX_T:
+        return "fused_logits"
+    return "xla_fused"
+
+
 def attention_core(q, k, v, mask=None, scale: float | None = None, flash: bool = False):
     """softmax(q k^T * scale + mask) v with f32 accumulation
     (reference nn.cpp:210-237). q,k,v: (B, H, T, hd); mask broadcastable to
     (B, H, Tq, Tk). The `flash` flag routes to the fused attention path
-    (XLA/pallas) — numerics match to bf16 tolerance."""
+    (XLA/pallas) per the policy table above (attention_route)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if flash and mask is None and q.shape[2] >= 1024:
-        from .pallas import flash_attention, pallas_available
+    route = attention_route(int(q.shape[2]), mask is not None, flash)
+    if route == "pallas":
+        from .pallas import flash_attention
 
-        if pallas_available():
-            return flash_attention(q, k, v, scale=float(scale))
-    if flash and mask is not None and q.shape[2] <= 512:
-        # windowed attention (TinyViT/SWIN, T = 49..196): the fused-attention
-        # libraries don't help at these sizes (measured: dot_product_attention
-        # == naive on the SAM encoder), but the logits tensor traffic does —
-        # input-dtype (bf16) logits with f32 softmax cut the attention-core
-        # time ~20% (scripts/exp_winattn.py). Mirrors the reference flash
-        # path's reduced-precision logits (f16 K/V, nn.cpp:221-227).
+        return flash_attention(q, k, v, scale=float(scale))
+    if route == "fused_logits":
         attn = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * jnp.asarray(scale, q.dtype)
         attn = attn + mask.astype(attn.dtype)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         return jnp.matmul(attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
-    if flash:
+    if route == "xla_fused":
         # jax.nn.dot_product_attention expects (B, T, H, D)
         bias = None
         if mask is not None:

@@ -50,12 +50,26 @@ def pallas_available() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
-def flash_attention(q, k, v, scale: float | None = None, block_q: int = 256, interpret: bool = False):
-    """Fused softmax(q k^T * scale) v. q, k, v: (B, H, T, D), no mask.
+def flash_attention(
+    q, k, v, scale: float | None = None, block_q: int = 256, interpret: bool = False, mask=None
+):
+    """Fused softmax(q k^T * scale) v. q, k, v: (B, H, T, D).
 
-    Returns (B, H, Tq, D) in q's dtype.
+    The kernel supports NO mask/bias (by design — its consumers are the
+    mask-free global attentions; masked shapes route through
+    attention_core's policy instead). Rejecting explicitly beats silently
+    ignoring a mask a future caller passes. Returns (B, H, Tq, D).
     """
+    if mask is not None:
+        raise ValueError(
+            "flash_attention does not support masks; use attention_core (it routes "
+            "masked shapes to the XLA paths)"
+        )
+    return _flash_attention(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _flash_attention(q, k, v, scale: float | None = None, block_q: int = 256, interpret: bool = False):
     from jax.experimental import pallas as pl
 
     b, h, tq, d = q.shape
