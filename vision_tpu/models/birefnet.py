@@ -24,6 +24,7 @@ pairs pre-fused; deformable BN kept as mul/add `bn.weight/bias`.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from dataclasses import dataclass
 
 import jax
@@ -262,6 +263,21 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     return out
 
 
+@lru_cache(maxsize=8)
+def _birefnet_program(p: BirefnetParams, dtype, flash: bool, bound):
+    """Jitted predict shared across model instances (weights are arguments;
+    the closure depends only on hashable config)."""
+
+    @jax.jit
+    def run(weights, x_u8):
+        from ..ops.preprocess import normalize_u8
+
+        x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
+        return birefnet_predict(Params(weights), x, p, flash=flash, deform_bound=bound)
+
+    return run
+
+
 class BirefnetModel:
     """High-level handle with extent-keyed graph cache (reference
     birefnet_model + vision.cpp:97-135)."""
@@ -277,18 +293,9 @@ class BirefnetModel:
     def _build(self):
         from ..core.device import BuildFlag
 
-        p, dtype = self.p, self.device.preferred_float_type
         flash = bool(self.device.flags & BuildFlag.flash_attention)
         bound = 2 if self.device.flags & BuildFlag.deform_shift else None
-
-        @jax.jit
-        def run(weights, x_u8):
-            from ..ops.preprocess import normalize_u8
-
-            x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
-            return birefnet_predict(Params(weights), x, p, flash=flash, deform_bound=bound)
-
-        return run
+        return _birefnet_program(self.p, self.device.preferred_float_type, flash, bound)
 
     def _fn(self, extent):
         return self._graphs.get(extent)

@@ -11,6 +11,7 @@ normalized and resized back.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from dataclasses import dataclass
 
 import jax
@@ -170,6 +171,20 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     return out
 
 
+@lru_cache(maxsize=8)
+def _depthany_program(p: DepthAnythingParams, dtype, flash: bool):
+    """Jitted predict shared across model instances."""
+
+    @jax.jit
+    def run(weights, x_u8):
+        from ..ops.preprocess import normalize_u8
+
+        x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
+        return depthany_predict(Params(weights), x, p, flash=flash)
+
+    return run
+
+
 class DepthAnythingModel:
     """High-level handle with shape-keyed graph cache (reference
     depthany_model + rebuild-on-extent-change, vision.cpp:137-168)."""
@@ -185,17 +200,8 @@ class DepthAnythingModel:
     def _build(self):
         from ..core.device import BuildFlag
 
-        p, dtype = self.p, self.device.preferred_float_type
         flash = bool(self.device.flags & BuildFlag.flash_attention)
-
-        @jax.jit
-        def run(weights, x_u8):
-            from ..ops.preprocess import normalize_u8
-
-            x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
-            return depthany_predict(Params(weights), x, p, flash=flash)
-
-        return run
+        return _depthany_program(self.p, self.device.preferred_float_type, flash)
 
     def _fn(self, extent):
         return self._graphs.get(extent)

@@ -19,7 +19,7 @@ TPU-native re-design of the reference implementation
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -395,6 +395,26 @@ def esrgan_generate_packed(packed: dict, x, p: EsrganParams):
     return _tail_packed(packed, x)
 
 
+def _esrgan_run_fn(p: EsrganParams, dtype, to_u8: bool):
+    def run(weights, x_u8, gc, nf):
+        from ..ops.preprocess import normalize_u8
+
+        x = normalize_u8(x_u8, dtype=dtype)
+        y = esrgan_generate_packed({**weights, "gc": gc, "nf": nf}, x, p)
+        if to_u8:
+            y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
+            y = y.astype(jnp.uint8)
+        return y
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _esrgan_program(p: EsrganParams, dtype, to_u8: bool):
+    """Jitted generate shared across model instances (single-device)."""
+    return jax.jit(_esrgan_run_fn(p, dtype, to_u8), static_argnames=("gc", "nf"))
+
+
 class EsrganModel:
     """High-level model handle (reference esrgan_model, vision.h + the
     esrgan_load_model/esrgan_compute pair in vision.cpp:209-253).
@@ -427,29 +447,16 @@ class EsrganModel:
         return self._packed_cache["packed"]
 
     def _build(self, to_u8: bool):
-        p, dtype = self.p, self.device.preferred_float_type
-        generate = esrgan_generate_packed
-
-        def run(weights, x_u8, gc, nf):
-            from ..ops.preprocess import normalize_u8
-
-            x = normalize_u8(x_u8, dtype=dtype)
-            y = generate({**weights, "gc": gc, "nf": nf}, x, p)
-            if to_u8:
-                y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
-                y = y.astype(jnp.uint8)
-            return y
-
         if self.mesh is not None:
             from ..parallel import batch_sharding
 
             return jax.jit(
-                run,
+                _esrgan_run_fn(self.p, self.device.preferred_float_type, to_u8),
                 static_argnames=("gc", "nf"),
                 in_shardings=(None, batch_sharding(self.mesh)),
                 out_shardings=batch_sharding(self.mesh),
             )
-        return jax.jit(run, static_argnames=("gc", "nf"))
+        return _esrgan_program(self.p, self.device.preferred_float_type, to_u8)
 
     def _fn(self, key, to_u8: bool, extent: tuple[int, int]):
         """Jitted executable for this shape bucket. (A row-pair

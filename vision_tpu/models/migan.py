@@ -23,6 +23,7 @@ passes through unchanged (convert.py:482-497).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from dataclasses import dataclass, replace
 
 import jax
@@ -200,6 +201,25 @@ def migan_process_output(raw: np.ndarray, image: Image, mask: Image) -> Image:
     return result
 
 
+@lru_cache(maxsize=8)
+def _migan_program(pp: MiganParams, dtype):
+    """Jitted generate shared across model instances."""
+
+    @jax.jit
+    def run(weights, img_u8, mask_u8):
+        # device-side preprocess (reference migan::preprocess,
+        # migan.cpp:142-157): [alpha-0.5, alpha*(2rgb-1)]
+        rgb = img_u8.astype(jnp.float32) / 255.0
+        alpha = mask_u8.astype(jnp.float32) / 255.0
+        if pp.invert_mask:
+            alpha = 1.0 - alpha
+        color = alpha * (rgb * 2.0 - 1.0)
+        x = jnp.concatenate([alpha - 0.5, color], axis=-1).astype(dtype)
+        return migan_generate(Params(weights), x, pp)
+
+    return run
+
+
 class MiganModel:
     """High-level handle (reference migan_model + migan_compute,
     vision.cpp:172-205)."""
@@ -208,21 +228,7 @@ class MiganModel:
         self.params = params
         self.p = p
         self.device = device
-        pp, dtype = self.p, device.preferred_float_type
-
-        @jax.jit
-        def run(weights, img_u8, mask_u8):
-            # device-side preprocess (reference migan::preprocess,
-            # migan.cpp:142-157): [alpha-0.5, alpha*(2rgb-1)]
-            rgb = img_u8.astype(jnp.float32) / 255.0
-            alpha = mask_u8.astype(jnp.float32) / 255.0
-            if pp.invert_mask:
-                alpha = 1.0 - alpha
-            color = alpha * (rgb * 2.0 - 1.0)
-            x = jnp.concatenate([alpha - 0.5, color], axis=-1).astype(dtype)
-            return migan_generate(Params(weights), x, pp)
-
-        self._run = run
+        self._run = _migan_program(self.p, device.preferred_float_type)
 
     def compute(self, image: Image, mask: Image) -> Image:
         res = (self.p.resolution, self.p.resolution)

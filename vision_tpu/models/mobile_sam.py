@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -514,6 +515,52 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     return out
 
 
+def _sam_enc_fn(dtype, flash: bool):
+    def enc_fn(weights, x_u8):
+        from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
+
+        x = normalize_u8(x_u8, MEAN, STD, dtype)
+        return sam_encode_image(Params(weights), x, flash=flash)
+
+    return enc_fn
+
+
+@lru_cache(maxsize=8)
+def _sam_programs(dtype, flash: bool):
+    """Jitted SAM executables shared across model instances. The closures
+    depend only on (dtype, flash) — weights are arguments — so two SamModel
+    instances with the same config reuse ONE traced/compiled program
+    instead of re-tracing per instance (the reference's per-model graph
+    cache, vision.cpp:37-52, generalized across models)."""
+    enc = jax.jit(_sam_enc_fn(dtype, flash))
+
+    @jax.jit
+    def dec_point(weights, embed, coords):
+        pp = Params(weights)
+        prompt = sam_encode_points(pp, coords)
+        return sam_predict_mask(pp, embed, prompt)
+
+    @jax.jit
+    def dec_box(weights, embed, coords):
+        pp = Params(weights)
+        prompt = sam_encode_box(pp, coords)
+        return sam_predict_mask(pp, embed, prompt)
+
+    @jax.jit
+    def dec_point_batch(weights, embed, coords):  # coords: (P, 2, 2)
+        pp = Params(weights)
+        prompts = jax.vmap(lambda c: sam_encode_points(pp, c)[0])(coords)
+        return sam_predict_mask(pp, embed, prompts)
+
+    @jax.jit
+    def dec_box_batch(weights, embed, coords):  # coords: (P, 2, 2)
+        pp = Params(weights)
+        prompts = jax.vmap(lambda c: sam_encode_box(pp, c)[0])(coords)
+        return sam_predict_mask(pp, embed, prompts)
+
+    return enc, dec_point, dec_box, dec_point_batch, dec_box_batch
+
+
 class SamModel:
     def __init__(self, params: dict, p: SamParams, device: Device, mesh=None):
         """``mesh``: optional jax.sharding.Mesh for multi-chip inference —
@@ -538,50 +585,18 @@ class SamModel:
             params = shard_params(params, mesh)
         self.params = params
 
-        def enc_fn(weights, x_u8):
-            from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
-
-            x = normalize_u8(x_u8, MEAN, STD, dtype)
-            return sam_encode_image(Params(weights), x, flash=flash)
-
+        enc, dec_point, dec_box, dec_point_batch, dec_box_batch = _sam_programs(dtype, flash)
+        self._enc_single = enc
         if mesh is not None:
             from ..parallel import batch_sharding
 
             enc = jax.jit(
-                enc_fn,
+                _sam_enc_fn(dtype, flash),
                 in_shardings=(None, batch_sharding(mesh)),
                 out_shardings=batch_sharding(mesh),
             )
             # single-image encode() can't shard a batch of 1 over dp —
-            # keep an unsharded executable for the one-request path
-            self._enc_single = jax.jit(enc_fn)
-        else:
-            enc = jax.jit(enc_fn)
-            self._enc_single = enc
-
-        @jax.jit
-        def dec_point(weights, embed, coords):
-            pp = Params(weights)
-            prompt = sam_encode_points(pp, coords)
-            return sam_predict_mask(pp, embed, prompt)
-
-        @jax.jit
-        def dec_box(weights, embed, coords):
-            pp = Params(weights)
-            prompt = sam_encode_box(pp, coords)
-            return sam_predict_mask(pp, embed, prompt)
-
-        @jax.jit
-        def dec_point_batch(weights, embed, coords):  # coords: (P, 2, 2)
-            pp = Params(weights)
-            prompts = jax.vmap(lambda c: sam_encode_points(pp, c)[0])(coords)
-            return sam_predict_mask(pp, embed, prompts)
-
-        @jax.jit
-        def dec_box_batch(weights, embed, coords):  # coords: (P, 2, 2)
-            pp = Params(weights)
-            prompts = jax.vmap(lambda c: sam_encode_box(pp, c)[0])(coords)
-            return sam_predict_mask(pp, embed, prompts)
+            # _enc_single stays the shared unsharded executable
 
         self._enc, self._dec_point, self._dec_box = enc, dec_point, dec_box
         self._dec_point_batch, self._dec_box_batch = dec_point_batch, dec_box_batch

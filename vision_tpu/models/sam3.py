@@ -612,6 +612,22 @@ def sam3_process_input(img: Image, image_size: int = 1008) -> np.ndarray:
     return out.data
 
 
+@lru_cache(maxsize=8)
+def _sam3_programs(vp: Sam3VitParams, flash: bool, n_text: int):
+    """Jitted text/vision executables shared across model instances."""
+
+    @jax.jit
+    def text_fn(weights, ids, mask):
+        return encode_text(Params(weights)["det"], ids, mask, n_layers=n_text)
+
+    @jax.jit
+    def vision_fn(weights, win_stack, image):
+        out = encode_vision(Params(weights)["det.ve"], image, vp, flash=flash, win_stack=win_stack)
+        return tuple(out.fpn_hidden_states)
+
+    return text_fn, vision_fn
+
+
 class Sam3Model:
     """High-level handle for the WIP SAM3 scope: tokenizer + text encoder +
     vision encoder/neck (no mask decoder yet, matching the reference)."""
@@ -640,19 +656,7 @@ class Sam3Model:
         while any(k.startswith(f"det.te.text_model.encoder.layers.{n_text}.") for k in params):
             n_text += 1
 
-        @jax.jit
-        def text_fn(weights, ids, mask):
-            return encode_text(Params(weights)["det"], ids, mask, n_layers=n_text)
-
-        @jax.jit
-        def vision_fn(weights, win_stack, image):
-            out = encode_vision(
-                Params(weights)["det.ve"], image, vp, flash=flash, win_stack=win_stack
-            )
-            return tuple(out.fpn_hidden_states)
-
-        self._text_fn = text_fn
-        self._vision_fn = vision_fn
+        self._text_fn, self._vision_fn = _sam3_programs(vp, flash, n_text)
         self._vp = vp
         self._win_stack = None
 

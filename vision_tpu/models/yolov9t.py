@@ -17,6 +17,7 @@ is tiny after thresholding), mirroring yolov9t.cpp:1117-1253 bit-for-bit.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -364,21 +365,26 @@ def scale_boxes(detections: list[Detection], img_extent, gain: float, pad_w: flo
     return detections
 
 
+@lru_cache(maxsize=8)
+def _yolo_program(pp: Yolov9tParams, dtype):
+    """Jitted forward shared across model instances."""
+
+    @jax.jit
+    def run(weights, x_u8):
+        from ..ops.preprocess import normalize_u8
+
+        x = normalize_u8(x_u8, dtype=dtype)
+        return yolov9t_forward(Params(weights), x, pp)
+
+    return run
+
+
 class Yolov9tModel:
     def __init__(self, params: dict, p: Yolov9tParams, device: Device):
         self.params = params
         self.p = p
         self.device = device
-        pp, dtype = p, device.preferred_float_type
-
-        @jax.jit
-        def run(weights, x_u8):
-            from ..ops.preprocess import normalize_u8
-
-            x = normalize_u8(x_u8, dtype=dtype)
-            return yolov9t_forward(Params(weights), x, pp)
-
-        self._run = run
+        self._run = _yolo_program(p, device.preferred_float_type)
 
     def compute(self, image: Image, conf_thres=0.25, iou_thres=0.45) -> list[Detection]:
         arr, gain, dw, dh = letterbox(image, self.p.input_size)
