@@ -69,12 +69,12 @@ def test_sam3_model_consumes_flash_flag(monkeypatch, cpu_device):
 
     vp = Sam3VitParams(n_layers=4, n_heads=2, global_attn_indexes=(1, 3))
     model = Sam3Model(params, _Tok(), 32, cpu_device.with_flags(BuildFlag.flash_attention), vp=vp)
-    model._vision_fn.lower(params, jnp.zeros((1, 1008, 1008, 3), jnp.float32))
+    model._vision_fn.lower(params, model._vision_stack(), jnp.zeros((1, 1008, 1008, 3), jnp.float32))
     assert calls and any(calls), "flash flag must reach the global attention layers"
 
     calls.clear()
     model = Sam3Model(params, _Tok(), 32, cpu_device, vp=vp)
-    model._vision_fn.lower(params, jnp.zeros((1, 1008, 1008, 3), jnp.float32))
+    model._vision_fn.lower(params, model._vision_stack(), jnp.zeros((1, 1008, 1008, 3), jnp.float32))
     # without the flag nothing routes through attention_core's flash path:
     # window layers always use the transpose-free einsum formulation and
     # global layers fall back to it too (rope_attention non-flash branch)
