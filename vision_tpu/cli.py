@@ -29,6 +29,7 @@ USAGE_COMMANDS = {
     "migan": "MI-GAN inpainting",
     "esrgan": "ESRGAN/Real-ESRGAN upscaling",
     "yolov9t": "YOLOv9t object detection",
+    "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
 }
 
 
@@ -96,7 +97,7 @@ def main(argv=None) -> int:
         prog="vision-cli", description="TPU-native vision model inference"
     )
     parser.add_argument("command", choices=list(USAGE_COMMANDS.keys()), help="model to run")
-    parser.add_argument("-i", "--input", nargs="+", required=True, help="input image(s)")
+    parser.add_argument("-i", "--input", nargs="+", default=None, help="input image(s)")
     parser.add_argument("-o", "--output", default="output.png", help="output file")
     parser.add_argument("-m", "--model", default=None, help="model file (.gguf)")
     parser.add_argument("-p", "--prompt", nargs="+", type=int, default=None, help="prompt coords")
@@ -109,7 +110,16 @@ def main(argv=None) -> int:
         "--dump", default=None, metavar="DIR",
         help="dump per-layer feature maps as .npy (yolo; reference --dump-keys)",
     )
+    parser.add_argument("--port", type=int, default=8000, help="serve: listen port")
+    parser.add_argument("--host", default="127.0.0.1", help="serve: bind address")
+    parser.add_argument(
+        "--esrgan-model", default=None,
+        help="serve: additionally load this ESRGAN gguf next to the SAM model",
+    )
+    parser.add_argument("--batch", type=int, default=4, help="serve: max batch size")
     args = parser.parse_args(argv)
+    if args.input is None and args.command != "serve":
+        parser.error("-i/--input is required")
 
     from .image import image_load, image_save
 
@@ -119,7 +129,33 @@ def main(argv=None) -> int:
         if model_path is None:
             raise VispError("No model specified (-m). ")
 
-        if args.command == "sam":
+        if args.command == "serve":
+            from .api import ModelFamily, model_detect_family
+            from .serve_http import serve_forever
+
+            fam = model_detect_family(model_path)
+            sam_model = esrgan_model = None
+            with _Timer("Loading model weights"):
+                if fam == ModelFamily.sam:
+                    from .models.mobile_sam import sam_load_model
+
+                    sam_model = sam_load_model(model_path, dev)
+                elif fam == ModelFamily.esrgan:
+                    from .models.esrgan import esrgan_load_model
+
+                    esrgan_model = esrgan_load_model(model_path, dev)
+                else:
+                    raise VispError(f"serve supports sam/esrgan models, got {fam.value}")
+                if args.esrgan_model:
+                    from .models.esrgan import esrgan_load_model
+
+                    esrgan_model = esrgan_load_model(find_model(args.esrgan_model), dev)
+            serve_forever(
+                sam_model=sam_model, esrgan_model=esrgan_model,
+                batch_size=args.batch, host=args.host, port=args.port,
+            )
+
+        elif args.command == "sam":
             from .models.mobile_sam import sam_load_model
 
             with _Timer("Loading model weights"):

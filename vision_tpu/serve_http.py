@@ -1,0 +1,187 @@
+"""HTTP serving front-end over the batching servers.
+
+Production-deployment surface the reference does not have (its consumers
+link the C library): a small threaded HTTP server that exposes loaded
+models over a REST-ish API, with request batching done by the underlying
+:class:`~vision_tpu.serve.BatchServer` machinery — concurrent HTTP clients
+whose requests arrive inside one batch window share one device program.
+
+Endpoints:
+
+* ``POST /v1/sam/mask?x=..&y=..``  (or ``?box=x0,y0,x1,y1``)
+  body = image bytes (PNG/JPEG) -> PNG mask (alpha_u8) at the input extent.
+* ``POST /v1/esrgan``  body = image bytes -> PNG upscaled image.
+* ``GET  /healthz`` -> JSON: per-model request/batch counts, occupancy,
+  p50/p99 request latency.
+
+Built on http.server (stdlib) — no extra dependencies; each request is
+handled on its own thread and blocks on the batch future, so batching
+happens naturally across concurrent clients.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+__all__ = ["VisionHTTPServer", "serve_forever"]
+
+
+def _load_image_bytes(data: bytes):
+    from PIL import Image as PILImage
+
+    from .image import image_load_array
+
+    import numpy as np
+
+    pil = PILImage.open(io.BytesIO(data))
+    pil = pil.convert("RGB") if pil.mode not in ("RGB", "RGBA", "L") else pil
+    return image_load_array(np.asarray(pil))
+
+
+def _png_bytes(img) -> bytes:
+    from PIL import Image as PILImage
+
+    import numpy as np
+
+    a = np.asarray(img.data)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    buf = io.BytesIO()
+    PILImage.fromarray(a).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class VisionHTTPServer:
+    """Bundle of batching servers behind one HTTP listener.
+
+    ``sam_model`` / ``esrgan_model``: loaded model handles (either may be
+    None); each gets its own BatchServer-based service.
+    """
+
+    def __init__(self, sam_model=None, esrgan_model=None, batch_size: int = 4,
+                 max_delay_ms: float = 5.0, host: str = "127.0.0.1", port: int = 8000):
+        from .serve import EsrganServer, SamServer
+
+        self.services = {}
+        if sam_model is not None:
+            self.services["sam"] = SamServer(sam_model, batch_size=batch_size,
+                                             max_delay_ms=max_delay_ms)
+        if esrgan_model is not None:
+            self.services["esrgan"] = EsrganServer(esrgan_model, batch_size=batch_size,
+                                                   max_delay_ms=max_delay_ms)
+        if not self.services:
+            raise ValueError("at least one model is required")
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        """Serve in a background thread (tests / embedding)."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def stats(self) -> dict:
+        out = {}
+        for name, svc in self.services.items():
+            st = svc.stats
+            out[name] = {
+                "requests": st.requests,
+                "batches": st.batches,
+                "occupancy": round(st.occupancy, 3),
+                "p50_latency_ms": round(st.p50_latency_ms, 2),
+                "p99_latency_ms": round(st.p99_latency_ms, 2),
+            }
+        return out
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        for svc in self.services.values():
+            svc.close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _make_handler(server: VisionHTTPServer):
+    class Handler(BaseHTTPRequestHandler):
+        daemon_threads = True
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {"status": "ok", "models": server.stats()})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    return self._json(400, {"error": "empty body"})
+                img = _load_image_bytes(self.rfile.read(n))
+                q = parse_qs(url.query)
+
+                if url.path == "/v1/sam/mask":
+                    svc = server.services.get("sam")
+                    if svc is None:
+                        return self._json(404, {"error": "no sam model loaded"})
+                    if "box" in q:
+                        x0, y0, x1, y1 = (int(v) for v in q["box"][0].split(","))
+                        fut = svc.submit(img, box=((x0, y0), (x1, y1)))
+                    else:
+                        x = int(q.get("x", [img.width // 2])[0])
+                        y = int(q.get("y", [img.height // 2])[0])
+                        fut = svc.submit(img, point=(x, y))
+                    return self._send(200, _png_bytes(fut.result()), "image/png")
+
+                if url.path == "/v1/esrgan":
+                    svc = server.services.get("esrgan")
+                    if svc is None:
+                        return self._json(404, {"error": "no esrgan model loaded"})
+                    fut = svc.submit(img)
+                    return self._send(200, _png_bytes(fut.result()), "image/png")
+
+                return self._json(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001 — HTTP boundary
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve_forever(sam_model=None, esrgan_model=None, **kw):
+    srv = VisionHTTPServer(sam_model=sam_model, esrgan_model=esrgan_model, **kw)
+    print(f"serving on port {srv.port}: {sorted(srv.services)} (GET /healthz)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.close()
