@@ -232,9 +232,12 @@ SAM_CFG = [  # production TinyViT-5M (reference mobile-sam.h:16-38)
 ]
 
 
-@pytest.mark.slow
-@pytest.mark.heavy
-def test_roundtrip_mobile_sam(tmp_path):
+def build_sam_checkpoint(path):
+    """Torch-twin MobileSAM checkpoint at production TinyViT-5M size.
+
+    Saves to ``path`` and returns ``(enc, dec, gaussian)`` for torch-side
+    reference pipelines. Shared by the roundtrip and quant-residency tests.
+    """
     from test_mobile_sam import TMaskDecoder, TTinyVit
 
     torch.manual_seed(0)
@@ -270,8 +273,15 @@ def test_roundtrip_mobile_sam(tmp_path):
     ckpt["prompt_encoder.no_mask_embed.weight"] = torch.from_numpy(
         (rng.standard_normal((1, 256)) * 0.1).astype(np.float32)
     )
-    path = tmp_path / "mobile_sam.pth"
     torch.save(ckpt, path)
+    return enc, dec, gaussian, ckpt
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_roundtrip_mobile_sam(tmp_path):
+    path = tmp_path / "mobile_sam.pth"
+    enc, dec, gaussian, ckpt = build_sam_checkpoint(path)
     gguf = convert_model("sam", path, tmp_path / "sam.gguf")
 
     model = load_model(str(gguf), backend_init(BackendType.cpu))

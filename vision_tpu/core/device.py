@@ -52,6 +52,7 @@ class BuildFlag(Flag):
     pallas = auto()  # enable custom pallas kernels on the hot path
     donate_input = auto()  # donate input buffers to jit
     deform_shift = auto()  # gather-free bounded-offset deformable conv
+    keep_quantized = auto()  # quantized weights stay int8-resident (core/quant.py)
 
 
 def _flag_env(flags: BuildFlag) -> BuildFlag:
@@ -74,6 +75,12 @@ def _flag_env(flags: BuildFlag) -> BuildFlag:
             flags |= BuildFlag.deform_shift
         else:
             flags &= ~BuildFlag.deform_shift
+    v = os.environ.get("VISP_KEEP_QUANT")
+    if v is not None:
+        if v not in ("", "0", "off", "false"):
+            flags |= BuildFlag.keep_quantized
+        else:
+            flags &= ~BuildFlag.keep_quantized
     return flags
 
 

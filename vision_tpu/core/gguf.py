@@ -199,6 +199,64 @@ _DEQUANTIZE = {
 }
 
 
+def quantize_q8_0(x: np.ndarray) -> bytes:
+    """Quantize f32 -> Q8_0 block bytes (ggml quantize_row_q8_0 semantics:
+    per-32 absmax scale d = amax/127, q = rint(x/d); 34 bytes/block)."""
+    a = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if a.size % 32 != 0:
+        raise_error("quantize_q8_0: size {} not a multiple of 32", a.size)
+    b = a.reshape(-1, 32)
+    amax = np.abs(b).max(axis=1)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0).astype(np.float32)
+    q = np.clip(np.rint(b * inv[:, None]), -127, 127).astype(np.int8)
+    out = np.empty((b.shape[0], 34), np.uint8)
+    out[:, :2] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
+    return out.tobytes()
+
+
+def _int_nibbles(qs: np.ndarray) -> np.ndarray:
+    """Like _nibbles but keeping integer levels (n_blocks, 32) int8."""
+    return np.concatenate([qs & 0x0F, qs >> 4], axis=1).astype(np.int8)
+
+
+def quant_blocks(ggml_type: GGMLType, raw: bytes, n_elements: int):
+    """Exact integer decomposition of a block-quantized payload.
+
+    Returns ``(q, scale, minv)`` with ``q`` int8 ``(n,)`` levels, ``scale``
+    f32 ``(n // 32,)``, ``minv`` f32 per-block minimum or None, such that
+    ``q * scale (+ minv)`` in f32 reproduces ``dequantize_*`` bit-for-bit.
+    Feeds quantized weight residency (core/quant.py) — the TPU analog of
+    ggml computing directly from quantized blocks."""
+    nb = n_elements // 32
+    if ggml_type == GGMLType.Q8_0:
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 34).reshape(nb, 34)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        return buf[:, 2:].copy().view(np.int8).reshape(-1), d, None
+    if ggml_type == GGMLType.Q4_0:
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 18).reshape(nb, 18)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        return (_int_nibbles(buf[:, 2:]) - 8).reshape(-1), d, None
+    if ggml_type == GGMLType.Q4_1:
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 20).reshape(nb, 20)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        m = buf[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(-1)
+        return _int_nibbles(buf[:, 4:]).reshape(-1), d, m
+    if ggml_type == GGMLType.Q5_0:
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 22).reshape(nb, 22)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        q = _int_nibbles(buf[:, 6:]) + _high_bits(buf[:, 2:6]).astype(np.int8)
+        return (q - 16).reshape(-1), d, None
+    if ggml_type == GGMLType.Q5_1:
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 24).reshape(nb, 24)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        m = buf[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(-1)
+        q = _int_nibbles(buf[:, 8:]) + _high_bits(buf[:, 4:8]).astype(np.int8)
+        return q.reshape(-1), d, m
+    raise_error("quant_blocks: unsupported ggml type {}", ggml_type.name)
+
+
 class _RawBlob:
     """Pre-encoded tensor payload for GGUFWriter.add_raw_tensor."""
 
@@ -308,7 +366,10 @@ class GGUFFile:
     def float_type(self) -> GGMLType:
         # general.file_type: 0 = f32, 1 = f16 (gguf convention)
         ft = self.metadata.get("general.file_type", 0)
-        return {0: GGMLType.F32, 1: GGMLType.F16, 32: GGMLType.BF16}.get(int(ft), GGMLType.F32)
+        # 7 = LLM_FTYPE_MOSTLY_Q8_0 (gguf convention)
+        return {0: GGMLType.F32, 1: GGMLType.F16, 7: GGMLType.Q8_0, 32: GGMLType.BF16}.get(
+            int(ft), GGMLType.F32
+        )
 
     @property
     def tensor_layout(self) -> str:
@@ -382,6 +443,17 @@ class GGUFFile:
         if dtype is not None and arr.dtype != dtype:
             arr = arr.astype(dtype)
         return arr
+
+    def is_quantized(self, name: str) -> bool:
+        return self.tensors[name].ggml_type in _DEQUANTIZE
+
+    def tensor_quant_blocks(self, name: str):
+        """Integer levels + scales of a block-quantized tensor (see
+        quant_blocks); None when the tensor is not block-quantized."""
+        info = self.tensors[name]
+        if info.ggml_type not in _DEQUANTIZE:
+            return None
+        return quant_blocks(info.ggml_type, self.raw(name).tobytes(), info.n_elements)
 
     def load_all(self, dtype: np.dtype | None = None) -> dict[str, np.ndarray]:
         return {name: self.tensor(name, dtype) for name in self.tensors}

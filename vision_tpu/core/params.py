@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Any, Iterator, Mapping
 
 from .errors import raise_error
+from .quant import QuantResident
 
 __all__ = ["Params"]
 
@@ -34,9 +35,16 @@ class Params:
         return Params(self.store, new)
 
     def find(self, name: str):
-        """Lookup; returns None if absent (reference model_ref::find)."""
+        """Lookup; returns None if absent (reference model_ref::find).
+
+        Quantized-resident tensors (core/quant.QuantResident) dequantize
+        transparently here — under jit the dequant becomes part of the
+        traced graph, so model code sees ordinary arrays either way."""
         full = f"{self.prefix}.{name}" if self.prefix else name
-        return self.store.get(full)
+        t = self.store.get(full)
+        if t is not None and isinstance(t, QuantResident):
+            return t.dequant()
+        return t
 
     def weight(self, name: str):
         """Lookup; raises if absent (reference model_ref::weights)."""
@@ -46,7 +54,8 @@ class Params:
         return t
 
     def has(self, name: str) -> bool:
-        return self.find(name) is not None
+        full = f"{self.prefix}.{name}" if self.prefix else name
+        return full in self.store
 
     def keys(self) -> Iterator[str]:
         """Keys under the current prefix (relative names)."""

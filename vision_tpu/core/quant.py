@@ -1,0 +1,168 @@
+"""Quantized weight residency — compute-from-quantized, the TPU way.
+
+The reference's ggml runtime computes DIRECTLY from quantized blocks: a
+Q8_0 model stays ~1 byte/element in memory and every matmul dequantizes
+tiles on the fly (ggml-quants.c; model load keeps the file's ggml_type,
+src/visp/ml.cpp:283-360). The repo's round-1/2 loader instead expanded
+quantized tensors to bf16 at load — correct, but double the HBM.
+
+This module closes that gap TPU-first: quantized tensors stay on device as
+``int8 levels + per-block f32 scales`` (~1.125 B/elem vs 2 for bf16) and
+the dequant — cast, scale multiply (+ block min add), reshape, layout
+permute — is emitted INSIDE the jitted graph at each use, where XLA fuses
+it into the consumer. Numerics are bit-identical to load-time dequant:
+the same f32 multiply and the same round-to-nearest bf16 cast, just moved
+from host to graph.
+
+``Params.find`` (core/params.py) dequantizes transparently, so model code
+is unchanged; model loaders only need the ``QuantResident.put`` branch
+when uploading. All five GGUF block formats reduce exactly to this form
+(Q4/Q5 levels fit int8; affine variants carry ``minv``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["QuantResident", "is_quant", "quantize_resident", "quantize_store", "store_nbytes"]
+
+_BLOCK = 32
+_CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)  # mirror weights.is_conv_2d_name
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class QuantResident:
+    """A block-quantized tensor living on device in integer form.
+
+    ``q``: int8 levels, flat ``(n,)`` in FILE-layout C order.
+    ``scale``: f32 ``(n // 32,)`` per-block scales.
+    ``minv``: f32 per-block minimums for affine formats (Q4_1/Q5_1), or None.
+    ``file_shape``: C-order shape the flat data reshapes to.
+    ``permute``: transpose applied after reshape (cwhn un-permute), or None.
+    ``dtype``: target dtype name the dequant casts to (e.g. "bfloat16").
+    """
+
+    q: Any
+    scale: Any
+    minv: Any
+    file_shape: tuple
+    permute: tuple | None
+    dtype: str
+
+    # -- pytree protocol: arrays are children, layout/dtype is static --
+    def tree_flatten(self):
+        return (self.q, self.scale, self.minv), (self.file_shape, self.permute, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale, minv = children
+        file_shape, permute, dtype = aux
+        return cls(q, scale, minv, file_shape, permute, dtype)
+
+    # -- array-like surface so shape-sniffing code works untouched --
+    @property
+    def shape(self) -> tuple:
+        if self.permute is None:
+            return self.file_shape
+        return tuple(self.file_shape[i] for i in self.permute)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.file_shape)
+
+    @property
+    def nbytes(self) -> int:
+        n = int(np.asarray(self.q).size) + 4 * int(np.asarray(self.scale).size)
+        if self.minv is not None:
+            n += 4 * int(np.asarray(self.minv).size)
+        return n
+
+    def dequant(self):
+        """Emit the dequant expression (traced when called under jit)."""
+        v = jnp.asarray(self.q).reshape(-1, _BLOCK).astype(jnp.float32)
+        v = v * jnp.asarray(self.scale)[:, None]
+        if self.minv is not None:
+            v = v + jnp.asarray(self.minv)[:, None]
+        v = v.reshape(self.file_shape)
+        if self.permute is not None:
+            v = jnp.transpose(v, self.permute)
+        return v.astype(self.dtype)
+
+    def astype(self, dtype) -> "QuantResident":
+        """Retarget the dequant dtype (cheap: metadata only)."""
+        return replace(self, dtype=str(np.dtype(dtype)))
+
+    def put(self, device=None) -> "QuantResident":
+        """Upload the integer payload to ``device`` (a jax.Device/sharding)."""
+        minv = None if self.minv is None else jax.device_put(self.minv, device)
+        return replace(
+            self,
+            q=jax.device_put(np.ascontiguousarray(self.q), device),
+            scale=jax.device_put(self.scale, device),
+            minv=minv,
+        )
+
+    def unpermute_cwhn(self, name: str) -> "QuantResident":
+        """Resident analog of weights.unpermute_cwhn (same shape heuristics)."""
+        s = self.file_shape
+        if len(s) != 4 or not name.endswith("weight") or self.permute is not None:
+            return self
+        if s[2] == 1 and s[0] == s[1] and s[0] in _CONV_KERNEL_SIZES:
+            return replace(self, permute=(3, 2, 0, 1))  # (H,W,1,C) -> (C,1,H,W)
+        if s[1] == s[2] and s[1] in _CONV_KERNEL_SIZES:
+            return replace(self, permute=(0, 3, 1, 2))  # (O,H,W,I) -> (O,I,H,W)
+        return self
+
+
+def is_quant(v: Any) -> bool:
+    return isinstance(v, QuantResident)
+
+
+def quantize_resident(a: np.ndarray, dtype: str = "bfloat16") -> QuantResident:
+    """Q8_0-style absmax quantization of a float array into residency form.
+
+    Serving lever: halves ANY model's device footprint at load with no file
+    change (the file-side analog is the converter's quantized output).
+    """
+    a = np.asarray(a, np.float32)
+    n = a.size
+    assert n % _BLOCK == 0, f"size {n} not a multiple of {_BLOCK}"
+    blocks = a.reshape(-1, _BLOCK)
+    absmax = np.abs(blocks).max(axis=1)
+    scale = (absmax / 127.0).astype(np.float32)
+    inv = np.where(scale > 0, 1.0 / np.where(scale == 0, 1.0, scale), 0.0)
+    q = np.clip(np.rint(blocks * inv[:, None]), -127, 127).astype(np.int8)
+    return QuantResident(q.reshape(-1), scale, None, tuple(a.shape), None, dtype)
+
+
+def quantize_store(
+    params: dict, dtype: str = "bfloat16", min_elements: int = 4096, skip=("positional",)
+) -> dict:
+    """Quantize every large float tensor of a parameter store in memory."""
+    out = {}
+    for k, v in params.items():
+        if (
+            not is_quant(v)
+            and np.issubdtype(np.asarray(v).dtype, np.floating)
+            and np.asarray(v).size >= min_elements
+            and np.asarray(v).size % _BLOCK == 0
+            and not any(s in k for s in skip)
+        ):
+            out[k] = quantize_resident(np.asarray(v), dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def store_nbytes(params: dict) -> int:
+    """Device-resident bytes of a parameter store (arrays + residents)."""
+    total = 0
+    for v in params.values():
+        total += v.nbytes if is_quant(v) else int(np.asarray(v).nbytes)
+    return total

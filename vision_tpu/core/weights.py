@@ -27,6 +27,7 @@ import numpy as np
 
 from .device import Device
 from .gguf import GGUFFile
+from .quant import QuantResident, is_quant
 
 __all__ = ["load_weights", "is_conv_2d_name", "unpermute_cwhn"]
 
@@ -69,16 +70,30 @@ def load_weights(
     float_dtype: Any | None = None,
     shardings: Mapping[str, jax.sharding.Sharding] | None = None,
     as_numpy: bool = False,
+    keep_quantized: bool = False,
 ) -> dict[str, Any]:
     """Read all tensors, normalize layout, cast floats, upload to device.
 
-    Mirrors reference model_transfer (ml.cpp:449-516) in one pass.
+    Mirrors reference model_transfer (ml.cpp:449-516) in one pass. With
+    ``keep_quantized`` block-quantized tensors stay as int8 levels +
+    per-block scales (core/quant.QuantResident) and dequantize inside the
+    graph at use — the ggml compute-from-quantized analog; ~1.8x less HBM,
+    bit-identical numerics.
     """
     if float_dtype is None:
         float_dtype = device.preferred_float_type if device is not None else jnp.float32
     layout = file.tensor_layout
     out: dict[str, Any] = {}
     for name in file.tensor_names():
+        if keep_quantized and file.is_quantized(name):
+            q, scale, minv = file.tensor_quant_blocks(name)
+            r = QuantResident(
+                q, scale, minv, tuple(file.tensors[name].shape), None, str(np.dtype(float_dtype))
+            )
+            if layout == "cwhn":
+                r = r.unpermute_cwhn(name)
+            out[name] = r
+            continue
         a = file.tensor(name)
         if layout == "cwhn":
             a = unpermute_cwhn(name, a)
@@ -96,6 +111,9 @@ def load_weights(
         target = shardings.get(name) if shardings else None
         if target is None and dev is not None:
             target = dev
+        if is_quant(a):
+            result[name] = a.put(target) if target is not None else a.put()
+            continue
         arr = jax.device_put(a, target) if target is not None else jnp.asarray(a)
         if np.issubdtype(np.asarray(a).dtype, np.floating) and np.dtype(float_dtype) == np.dtype("bfloat16"):
             arr = arr.astype(jnp.bfloat16)

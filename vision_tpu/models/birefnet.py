@@ -31,10 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.device import Device, backend_init
+from ..core.device import BuildFlag, Device, backend_init
 from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
+from ..core.quant import is_quant
 from ..core.weights import load_weights, unpermute_cwhn
 from ..image import (
     Image,
@@ -259,7 +260,7 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     out = dict(params)
     for name, a in params.items():
         if "patch_embed" in name and a.ndim == 4 and name.endswith("weight"):
-            out[name] = unpermute_cwhn(name, a)
+            out[name] = a.unpermute_cwhn(name) if is_quant(a) else unpermute_cwhn(name, a)
     return out
 
 
@@ -343,11 +344,15 @@ def birefnet_load_model(filepath: str, device: Device | None = None, dynamic_ext
     device = device or backend_init()
     file = model_load(filepath)
     p = birefnet_detect_params(file, dynamic_extent, device.max_alloc)
-    params = load_weights(file, device=None, as_numpy=True)
+    keep_q = bool(device.flags & BuildFlag.keep_quantized)
+    params = load_weights(file, device=None, as_numpy=True, keep_quantized=keep_q)
     params = fixup_weights(file, params)
     dtype = device.preferred_float_type
     out = {}
     for k, v in params.items():
+        if is_quant(v):
+            out[k] = v.astype(dtype).put(device.jax_device)
+            continue
         a = jax.device_put(v, device.jax_device)
         if np.issubdtype(v.dtype, np.floating):
             a = a.astype(dtype)

@@ -18,9 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.device import Device, backend_init
+from ..core.device import BuildFlag, Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
+from ..core.quant import is_quant
 from ..core.weights import load_weights, unpermute_cwhn
 from ..image import (
     Image,
@@ -167,7 +168,7 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
         if a.ndim == 4 and name.endswith("weight") and (
             "patch_embeddings" in name or ("projection" in name and "fusion" not in name)
         ):
-            out[name] = unpermute_cwhn(name, a)
+            out[name] = a.unpermute_cwhn(name) if is_quant(a) else unpermute_cwhn(name, a)
     return out
 
 
@@ -251,18 +252,22 @@ def depthany_process_output(depth: np.ndarray, target_extent: tuple[int, int]) -
 
 def depthany_load_model(filepath: str, device: Device | None = None) -> DepthAnythingModel:
     device = device or backend_init()
+    keep_q = bool(device.flags & BuildFlag.keep_quantized)
     file = model_load(filepath)
     p = depthany_detect_params(file)
-    params = load_weights(file, device=None, as_numpy=True)
+    params = load_weights(file, device=None, as_numpy=True, keep_quantized=keep_q)
     params = fixup_weights(file, params)
     dtype = device.preferred_float_type
-    params = {
-        k: jax.device_put(
+    out = {}
+    for k, v in params.items():
+        if is_quant(v):
+            out[k] = v.astype(dtype).put(device.jax_device)
+            continue
+        a = jax.device_put(
             v.astype(np.float32) if np.issubdtype(v.dtype, np.floating) else v, device.jax_device
-        ).astype(dtype if np.issubdtype(v.dtype, np.floating) else v.dtype)
-        for k, v in params.items()
-    }
-    return DepthAnythingModel(params, p, device)
+        )
+        out[k] = a.astype(dtype if np.issubdtype(v.dtype, np.floating) else v.dtype)
+    return DepthAnythingModel(out, p, device)
 
 
 def depthany_compute(model: DepthAnythingModel, image: Image) -> Image:

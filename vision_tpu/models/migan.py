@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.device import Device, backend_init
+from ..core.device import BuildFlag, Device, backend_init
 from ..core.errors import raise_error
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
@@ -255,7 +255,9 @@ def migan_load_model(filepath: str, device: Device | None = None) -> MiganModel:
     device = device or backend_init()
     file = model_load(filepath)
     p = replace(migan_detect_params(file), invert_mask=True)
-    params = load_weights(file, device)
+    params = load_weights(
+        file, device, keep_quantized=bool(device.flags & BuildFlag.keep_quantized)
+    )
     return MiganModel(params, p, device)
 
 

@@ -34,9 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.device import Device, backend_init
+from ..core.device import BuildFlag, Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
+from ..core.quant import is_quant
 from ..core.weights import load_weights, unpermute_cwhn
 from ..image import (
     Image,
@@ -511,7 +512,7 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     out = dict(params)
     for name, a in params.items():
         if "local_conv" in name and a.ndim == 4 and name.endswith("weight"):
-            out[name] = unpermute_cwhn(name, a)
+            out[name] = a.unpermute_cwhn(name) if is_quant(a) else unpermute_cwhn(name, a)
     return out
 
 
@@ -656,14 +657,30 @@ class SamModel:
         return out
 
 
-def sam_load_model(filepath: str, device: Device | None = None, mesh=None) -> SamModel:
+def sam_load_model(
+    filepath: str, device: Device | None = None, mesh=None, keep_quantized: bool | None = None
+) -> SamModel:
+    """``keep_quantized``: block-quantized tensors stay int8-resident on
+    device and dequantize in-graph (core/quant.py) — defaults to the
+    device's ``keep_quantized`` build flag (VISP_KEEP_QUANT). Single-chip
+    only; a mesh forces the expanded path."""
     device = device or backend_init()
+    if keep_quantized is None:
+        keep_quantized = bool(device.flags & BuildFlag.keep_quantized)
     file = model_load(filepath)
-    params = load_weights(file, device=None, as_numpy=True)
+    params = load_weights(
+        file, device=None, as_numpy=True, keep_quantized=keep_quantized and mesh is None
+    )
     params = fixup_weights(file, params)
     dtype = device.preferred_float_type
     out = {}
     for k, v in params.items():
+        if is_quant(v):
+            if "positional" in k:  # keep positional tables full-precision
+                v = np.asarray(jax.device_get(v.dequant()), np.float32)
+            else:
+                out[k] = v.astype(dtype).put(device.jax_device)
+                continue
         a = v if mesh is not None else jax.device_put(v, device.jax_device)
         if np.issubdtype(v.dtype, np.floating) and "positional" not in k:
             a = np.asarray(a, dtype) if mesh is not None else a.astype(dtype)

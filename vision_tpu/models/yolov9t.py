@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.device import Device, backend_init
+from ..core.device import BuildFlag, Device, backend_init
 from ..core.gguf import GGUFFile, model_load
 from ..core.params import Params
 from ..core.weights import load_weights
@@ -399,7 +399,9 @@ def yolov9t_load_model(filepath: str, device: Device | None = None) -> Yolov9tMo
     device = device or backend_init()
     file = model_load(filepath)
     p = yolov9t_detect_params(file)
-    params = load_weights(file, device)
+    params = load_weights(
+        file, device, keep_quantized=bool(device.flags & BuildFlag.keep_quantized)
+    )
     return Yolov9tModel(params, p, device)
 
 
