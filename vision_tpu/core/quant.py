@@ -78,9 +78,10 @@ class QuantResident:
 
     @property
     def nbytes(self) -> int:
-        n = int(np.asarray(self.q).size) + 4 * int(np.asarray(self.scale).size)
+        # .size is metadata on both numpy and jax arrays (no D2H)
+        n = int(self.q.size) + 4 * int(self.scale.size)
         if self.minv is not None:
-            n += 4 * int(np.asarray(self.minv).size)
+            n += 4 * int(self.minv.size)
         return n
 
     def dequant(self):
@@ -161,8 +162,17 @@ def quantize_store(
 
 
 def store_nbytes(params: dict) -> int:
-    """Device-resident bytes of a parameter store (arrays + residents)."""
+    """Device-resident bytes of a parameter store (arrays + residents).
+
+    Uses the array's own ``nbytes`` when present — never ``np.asarray`` on
+    a device array (that is a D2H transfer, pathological over the tunnel).
+    """
     total = 0
     for v in params.values():
-        total += v.nbytes if is_quant(v) else int(np.asarray(v).nbytes)
+        if is_quant(v):
+            total += v.nbytes
+        elif hasattr(v, "nbytes"):
+            total += int(v.nbytes)
+        else:
+            total += int(np.asarray(v).nbytes)
     return total
