@@ -239,3 +239,47 @@ def test_sam_model_quantized_residency(tmp_path):
     mask_exp = np.asarray(m_exp.compute(point=point).data)
     # same quantized values, dequant moved host->graph: identical masks
     np.testing.assert_array_equal(mask_res, mask_exp)
+
+
+def test_requantize_gguf_roundtrip(tmp_path, capsys):
+    """f32 file -> q8_0 (KVs preserved, eligible tensors blocked, already-
+    quantized payloads copied verbatim) -> back to f32; plus the CLI verb."""
+    from vision_tpu.core.gguf import requantize_gguf
+
+    rng = np.random.default_rng(7)
+    big = rng.standard_normal((32, 64)).astype(np.float32)
+    ragged = rng.standard_normal((6, 5)).astype(np.float32)
+    idx = np.arange(128, dtype=np.int32)
+
+    src = tmp_path / "m.gguf"
+    w = GGUFWriter(src, "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add("esrgan.tensor_data_layout", "whcn")
+    w.add_tensor("body.w", big)
+    w.add_tensor("body.ragged", ragged)
+    w.add_tensor("body.idx", idx)
+    w.write()
+
+    q_path = requantize_gguf(src, tmp_path / "m-q8.gguf", "q8_0")
+    q = model_load(str(q_path))
+    assert q.metadata["general.file_type"] == 7
+    assert q.metadata["esrgan.scale"] == 4
+    assert q.metadata["esrgan.tensor_data_layout"] == "whcn"
+    assert q.is_quantized("body.w") and not q.is_quantized("body.ragged")
+    np.testing.assert_array_equal(q.tensor("body.idx"), idx)
+    assert float(np.abs(q.tensor("body.w") - big).max()) < 0.05
+    assert q_path.stat().st_size < src.stat().st_size
+
+    # q8_0 -> q8_0 copies blocks bit-for-bit; -> f32 dequantizes
+    q2 = model_load(str(requantize_gguf(q_path, tmp_path / "m-q8b.gguf", "q8_0")))
+    np.testing.assert_array_equal(q2.raw("body.w"), q.raw("body.w"))
+    f32 = model_load(str(requantize_gguf(q_path, tmp_path / "m-f32.gguf", "f32")))
+    assert f32.metadata["general.file_type"] == 0
+    np.testing.assert_array_equal(f32.tensor("body.w"), q.tensor("body.w"))
+
+    # CLI verb (derived output name, no device init)
+    from vision_tpu.cli import main
+
+    rc = main(["quantize", "-m", str(src), "-o", str(tmp_path / "cli.gguf"), "--type", "q8_0"])
+    assert rc == 0
+    assert model_load(str(tmp_path / "cli.gguf")).is_quantized("body.w")

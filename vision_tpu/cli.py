@@ -30,6 +30,7 @@ USAGE_COMMANDS = {
     "esrgan": "ESRGAN/Real-ESRGAN upscaling",
     "yolov9t": "YOLOv9t object detection",
     "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
+    "quantize": "rewrite a .gguf at a different float type (q8_0/f16/f32)",
 }
 
 
@@ -117,9 +118,29 @@ def main(argv=None) -> int:
         help="serve: additionally load this ESRGAN gguf next to the SAM model",
     )
     parser.add_argument("--batch", type=int, default=4, help="serve: max batch size")
+    parser.add_argument(
+        "--type", default="q8_0", choices=["q8_0", "f16", "f32"],
+        help="quantize: target float storage type",
+    )
     args = parser.parse_args(argv)
-    if args.input is None and args.command != "serve":
+    if args.input is None and args.command not in ("serve", "quantize"):
         parser.error("-i/--input is required")
+
+    if args.command == "quantize":
+        # pure file rewrite — no device, no model load
+        from .core.gguf import requantize_gguf
+
+        if not args.model:
+            parser.error("quantize requires -m <in.gguf>")
+        src = find_model(args.model)
+        dst = args.output
+        if dst == "output.png":  # the image-verb default: derive a gguf name
+            dst = str(Path(src).with_suffix("")) + f"-{args.type.upper()}.gguf"
+        with _Timer(f"Quantizing to {args.type}"):
+            out = requantize_gguf(src, dst, args.type)
+        print(f"-> {out} ({Path(out).stat().st_size / 1e6:.1f} MB, "
+              f"from {Path(src).stat().st_size / 1e6:.1f} MB)")
+        return 0
 
     from .image import image_load, image_save
 

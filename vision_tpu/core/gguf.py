@@ -32,6 +32,7 @@ __all__ = [
     "GGUFFile",
     "GGUFWriter",
     "model_load",
+    "requantize_gguf",
     "GGUF_MAGIC",
 ]
 
@@ -575,3 +576,48 @@ class GGUFWriter:
                 if i != len(blobs) - 1:
                     pad = (len(blob) + self.alignment - 1) // self.alignment * self.alignment - len(blob)
                     f.write(b"\x00" * pad)
+
+
+def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") -> Path:
+    """Rewrite a GGUF file at a different float storage type.
+
+    The ``vision-cli quantize`` workhorse — the analog of the gguf-py /
+    llama-quantize tooling the reference's quantized model files come from.
+    Every KV and the stored tensor layout are preserved; only float payloads
+    change representation:
+
+    * ``q8_0`` — floats with >= 2 dims whose innermost stored dim divides
+      the 32-block become Q8_0 (same eligibility rule as the converter);
+      tensors already stored Q8_0 are copied block-for-block; ragged/1D
+      floats fall back to f32.
+    * ``f16`` / ``f32`` — everything float (including quantized payloads,
+      which dequantize first) is stored at that width.
+
+    Integer tensors are copied unchanged.
+    """
+    if float_type not in ("f32", "f16", "q8_0"):
+        raise_error("requantize: unsupported float type '{}'", float_type)
+    f = GGUFFile(src)
+    w = GGUFWriter(dst, f.arch or "unknown")
+    for k, v in f.metadata.items():
+        if k != "general.file_type":
+            w.add(k, v)
+    w.add("general.file_type", {"f32": 0, "f16": 1, "q8_0": 7}[float_type])
+    for name in f.tensor_names():
+        info = f.tensors[name]
+        if float_type == "q8_0" and info.ggml_type == GGMLType.Q8_0:
+            w.add_raw_tensor(name, info.shape, GGMLType.Q8_0, f.raw(name).tobytes())
+            continue
+        a = f.tensor(name)
+        if not np.issubdtype(a.dtype, np.floating):
+            w.add_tensor(name, a)
+            continue
+        a = np.ascontiguousarray(a, np.float32)
+        if float_type == "q8_0" and a.ndim >= 2 and a.shape[-1] % 32 == 0:
+            w.add_raw_tensor(name, a.shape, GGMLType.Q8_0, quantize_q8_0(a))
+        elif float_type == "f16":
+            w.add_tensor(name, a, GGMLType.F16)
+        else:
+            w.add_tensor(name, a)
+    w.write()
+    return Path(dst)
