@@ -237,3 +237,100 @@ def test_sam_server_end_to_end():
     model.encode(img_a)
     direct = model.compute(point=(40, 30))
     assert np.array_equal(np.asarray(direct.data), np.asarray(m1.data))
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_image_server_three_families():
+    """ImageServer batches birefnet/depthany/migan requests into shared
+    programs with single-request parity (reference runs these families one
+    request at a time, vision.cpp:97-205)."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.image import Image, ImageFormat
+    from vision_tpu.models.birefnet import BirefnetModel, BirefnetParams
+    from vision_tpu.models.depth_anything import DepthAnythingModel, DepthAnythingParams
+    from vision_tpu.models.migan import MiganModel, MiganParams
+    from vision_tpu.models.random_weights import (
+        random_birefnet_params,
+        random_depth_anything_params,
+        random_migan_params,
+    )
+    from vision_tpu.models.swin import SWIN_T_PARAMS
+    from vision_tpu.serve import ImageServer
+
+    dev = backend_init()
+    rng = np.random.default_rng(11)
+
+    def u8_img(h, w):
+        return Image(rng.integers(0, 255, (h, w, 4), np.uint8), ImageFormat.rgba_u8)
+
+    # --- depth-anything (dynamic snapped extents bucket separately) ---
+    da = DepthAnythingModel(
+        random_depth_anything_params("small"), DepthAnythingParams(), dev
+    )
+    img_a, img_b, img_c = u8_img(126, 140), u8_img(126, 140), u8_img(98, 98)
+    with ImageServer(da, batch_size=2, max_delay_ms=10_000) as srv:
+        fa, fb, fc = srv.submit(img_a), srv.submit(img_b), srv.submit(img_c)
+        da_a, da_b, da_c = (f.result(timeout=600) for f in (fa, fb, fc))
+    assert srv.stats.requests == 3 and srv.stats.batches == 2  # c bucketed apart
+    assert da_a.extent == img_a.extent and da_c.extent == img_c.extent
+    direct = da.compute(img_a)
+    np.testing.assert_allclose(np.asarray(da_a.data), np.asarray(direct.data), atol=1e-5)
+
+    # --- birefnet (fixed 256 extent) ---
+    bn = BirefnetModel(
+        random_birefnet_params("tiny"),
+        BirefnetParams(image_size=256, image_extent=(256, 256), encoder=SWIN_T_PARAMS),
+        dev,
+    )
+    img_d, img_e = u8_img(256, 256), u8_img(256, 256)
+    with ImageServer(bn, batch_size=2, max_delay_ms=10_000) as srv:
+        fd, fe = srv.submit(img_d), srv.submit(img_e)
+        bn_d, bn_e = fd.result(timeout=600), fe.result(timeout=600)
+    assert srv.stats.batches == 1  # one shared program
+    assert bn_d.format == ImageFormat.alpha_u8 and bn_d.extent == img_d.extent
+    np.testing.assert_array_equal(np.asarray(bn_d.data), np.asarray(bn.compute(img_d).data))
+
+    # --- migan (image, mask) requests ---
+    mg = MiganModel(random_migan_params(256), MiganParams(resolution=256), dev)
+    mask = Image(
+        (rng.random((256, 256, 1)) > 0.5).astype(np.uint8) * 255, ImageFormat.alpha_u8
+    )
+    img_f, img_g = u8_img(256, 256), u8_img(256, 256)
+    with ImageServer(mg, batch_size=2, max_delay_ms=10_000) as srv:
+        ff, fg = srv.submit((img_f, mask)), srv.submit((img_g, mask))
+        mg_f, mg_g = ff.result(timeout=600), fg.result(timeout=600)
+    assert srv.stats.batches == 1
+    assert mg_f.format == ImageFormat.rgba_u8 and mg_f.extent == img_f.extent
+    np.testing.assert_array_equal(
+        np.asarray(mg_f.data), np.asarray(mg.compute(img_f, mask).data)
+    )
+
+
+@pytest.mark.slow
+def test_yolo_server():
+    """YoloServer batches detection requests into one program with
+    single-request parity; per-request thresholds ride along."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.image import Image, ImageFormat
+    from vision_tpu.models.random_weights import random_yolov9t_params
+    from vision_tpu.models.yolov9t import Yolov9tModel, Yolov9tParams
+    from vision_tpu.serve import YoloServer
+
+    dev = backend_init()
+    model = Yolov9tModel(random_yolov9t_params(), Yolov9tParams(), dev)
+
+    rng = np.random.default_rng(5)
+    img_a = Image(rng.integers(0, 255, (120, 160, 3), np.uint8), ImageFormat.rgb_u8)
+    img_b = Image(rng.integers(0, 255, (90, 100, 3), np.uint8), ImageFormat.rgb_u8)
+
+    with YoloServer(model, batch_size=2, max_delay_ms=10_000, conf_thres=0.01) as srv:
+        fa = srv.submit(img_a)
+        fb = srv.submit(img_b, conf_thres=0.99)  # different sizes still batch:
+        da, db = fa.result(timeout=600), fb.result(timeout=600)
+    assert srv.stats.batches == 1  # letterbox gives one shared bucket
+    direct = model.compute(img_a, conf_thres=0.01)
+    assert [(d.class_id, round(d.confidence, 5)) for d in da] == [
+        (d.class_id, round(d.confidence, 5)) for d in direct
+    ]
+    assert len(db) <= len(model.compute(img_b, conf_thres=0.01))

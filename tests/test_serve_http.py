@@ -94,3 +94,83 @@ def test_http_endpoints(http_server):
     assert health["models"]["sam"]["requests"] == 2
     assert health["models"]["esrgan"]["requests"] == 1
     assert health["models"]["sam"]["p50_latency_ms"] > 0
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_http_image_family_endpoints():
+    """birefnet/depthany/migan REST endpoints over ImageServer (depthany +
+    migan exercised live; unloaded families 404)."""
+    from PIL import Image as PILImage
+
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.models.depth_anything import DepthAnythingModel, DepthAnythingParams
+    from vision_tpu.models.migan import MiganModel, MiganParams
+    from vision_tpu.models.random_weights import (
+        random_depth_anything_params,
+        random_migan_params,
+    )
+    from vision_tpu.serve_http import VisionHTTPServer
+
+    dev = backend_init()
+    da = DepthAnythingModel(random_depth_anything_params("small"), DepthAnythingParams(), dev)
+    mg = MiganModel(random_migan_params(256), MiganParams(resolution=256), dev)
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (98, 98, 3), np.uint8)
+
+    with VisionHTTPServer(depthany_model=da, migan_model=mg, batch_size=2,
+                          max_delay_ms=50, port=0) as srv:
+        port = srv.port
+
+        status, body, ctype = _post(f"http://127.0.0.1:{port}/v1/depthany", _png(img))
+        assert status == 200 and ctype == "image/png"
+        depth = PILImage.open(io.BytesIO(body))
+        assert depth.size == (98, 98) and depth.mode == "L"
+
+        # migan wants RGBA (alpha = inpaint mask)
+        rgba = np.dstack([img, (rng.random((98, 98)) > 0.5).astype(np.uint8) * 255])
+        status, body, ctype = _post(f"http://127.0.0.1:{port}/v1/migan", _png(rgba))
+        assert status == 200 and ctype == "image/png"
+        out = PILImage.open(io.BytesIO(body))
+        assert out.size == (98, 98)
+
+        # RGB body to migan is a 400; birefnet is not loaded -> 404
+        import urllib.error
+
+        for url, code in ((f"http://127.0.0.1:{port}/v1/migan", 400),
+                          (f"http://127.0.0.1:{port}/v1/birefnet", 404)):
+            try:
+                _post(url, _png(img))
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=60).read())
+        assert {"depthany", "migan"} <= set(health["models"])
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_http_yolo_endpoint():
+    """POST /v1/yolo returns JSON detections with class names."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.models.random_weights import random_yolov9t_params
+    from vision_tpu.models.yolov9t import Yolov9tModel, Yolov9tParams
+    from vision_tpu.serve_http import VisionHTTPServer
+
+    dev = backend_init()
+    model = Yolov9tModel(random_yolov9t_params(), Yolov9tParams(), dev)
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (96, 128, 3), np.uint8)
+
+    with VisionHTTPServer(yolo_model=model, batch_size=2, max_delay_ms=50, port=0) as srv:
+        status, body, ctype = _post(
+            f"http://127.0.0.1:{srv.port}/v1/yolo?conf=0.01", _png(img))
+        assert status == 200 and ctype == "application/json"
+        dets = json.loads(body)
+        assert isinstance(dets, list)
+        for d in dets[:3]:
+            assert set(d) == {"box", "confidence", "class_id", "class_name"}
+            assert len(d["box"]) == 4

@@ -155,26 +155,40 @@ def main(argv=None) -> int:
             from .serve_http import serve_forever
 
             fam = model_detect_family(model_path)
-            sam_model = esrgan_model = None
+            loaders = {}
+            if fam == ModelFamily.sam:
+                from .models.mobile_sam import sam_load_model as _load
+
+                loaders["sam_model"] = _load
+            elif fam == ModelFamily.esrgan:
+                from .models.esrgan import esrgan_load_model as _load
+
+                loaders["esrgan_model"] = _load
+            elif fam == ModelFamily.birefnet:
+                from .models.birefnet import birefnet_load_model as _load
+
+                loaders["birefnet_model"] = _load
+            elif fam == ModelFamily.depth_anything:
+                from .models.depth_anything import depthany_load_model as _load
+
+                loaders["depthany_model"] = _load
+            elif fam == ModelFamily.migan:
+                from .models.migan import migan_load_model as _load
+
+                loaders["migan_model"] = _load
+            elif fam == ModelFamily.yolov9t:
+                from .models.yolov9t import yolov9t_load_model as _load
+
+                loaders["yolo_model"] = _load
+            else:
+                raise VispError(f"serve does not support {fam.value} models")
             with _Timer("Loading model weights"):
-                if fam == ModelFamily.sam:
-                    from .models.mobile_sam import sam_load_model
-
-                    sam_model = sam_load_model(model_path, dev)
-                elif fam == ModelFamily.esrgan:
-                    from .models.esrgan import esrgan_load_model
-
-                    esrgan_model = esrgan_load_model(model_path, dev)
-                else:
-                    raise VispError(f"serve supports sam/esrgan models, got {fam.value}")
+                models = {k: load(model_path, dev) for k, load in loaders.items()}
                 if args.esrgan_model:
                     from .models.esrgan import esrgan_load_model
 
-                    esrgan_model = esrgan_load_model(find_model(args.esrgan_model), dev)
-            serve_forever(
-                sam_model=sam_model, esrgan_model=esrgan_model,
-                batch_size=args.batch, host=args.host, port=args.port,
-            )
+                    models["esrgan_model"] = esrgan_load_model(find_model(args.esrgan_model), dev)
+            serve_forever(batch_size=args.batch, host=args.host, port=args.port, **models)
 
         elif args.command == "sam":
             from .models.mobile_sam import sam_load_model

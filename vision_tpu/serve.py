@@ -22,7 +22,9 @@ Two layers:
 * :class:`SamServer` — end-to-end promptable-segmentation service on a
   :class:`~vision_tpu.models.mobile_sam.SamModel`: each request is an
   (image, point-or-box prompt) pair; encode + prompt-encode + mask decode
-  for the whole group run as one device program.
+  for the whole group run as one device program. :class:`EsrganServer`
+  and the generic :class:`ImageServer` (birefnet / depth-anything /
+  MI-GAN) do the same for the image->image families.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ from typing import Any, Callable, Sequence
 
 import numpy as np
 
-__all__ = ["BatchServer", "ServerStats", "SamServer", "EsrganServer"]
+__all__ = ["BatchServer", "ServerStats", "SamServer", "EsrganServer", "ImageServer", "YoloServer"]
 
 _LATENCY_WINDOW = 4096  # most recent request latencies kept for percentiles
 
@@ -434,6 +436,184 @@ class EsrganServer:
 
     def compute(self, image):
         return self.submit(image).result()
+
+    @property
+    def stats(self) -> ServerStats:
+        return self._server.stats
+
+    def close(self):
+        self._server.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ImageServer:
+    """Batched serving for the whole-image model families.
+
+    One class covers :class:`~vision_tpu.models.birefnet.BirefnetModel`,
+    :class:`~vision_tpu.models.depth_anything.DepthAnythingModel`, and
+    :class:`~vision_tpu.models.migan.MiganModel` — their device programs
+    are batch-general NHWC, so N concurrent requests at one processed
+    extent run as ONE jitted call (the reference handles these families
+    strictly one request at a time, ``vision.cpp:97-205``). A request is
+    an :class:`~vision_tpu.image.Image`; MI-GAN takes ``(image, mask)``.
+    Outputs are post-processed back to each request's own extent with the
+    family's ``*_process_output`` semantics.
+    """
+
+    def __init__(self, model, batch_size: int = 4, max_delay_ms: float = 2.0, prep_workers: int = 2):
+        kind = type(model).__name__
+        if kind not in ("BirefnetModel", "DepthAnythingModel", "MiganModel"):
+            raise TypeError(f"ImageServer does not support {kind}")
+        self.model = model
+        self.kind = kind
+        self.batch_size = batch_size
+        self._server = BatchServer(
+            self._run_group,
+            batch_size=batch_size,
+            max_delay_ms=max_delay_ms,
+            bucket_key=lambda it: it[0].shape,
+            prepare=self._prepare,
+            prep_workers=prep_workers,
+        )
+
+    # prepared item = (u8 input array [, u8 mask array], processed extent, original request)
+    def _prepare(self, request):
+        from .image import image_scale, preprocess_scale_method
+
+        if self.kind == "MiganModel":
+            image, mask = request
+            res = (self.model.p.resolution, self.model.p.resolution)
+            img_r = image if image.extent == res else image_scale(image, res, preprocess_scale_method())
+            mask_r = mask if mask.extent == res else image_scale(mask, res, preprocess_scale_method())
+            m = mask_r.data[:, :, :1]
+            if np.issubdtype(m.dtype, np.floating):
+                m = (np.clip(m, 0.0, 1.0) * 255.0).astype(np.uint8)
+            return (img_r.to_rgb_u8(), m, res, request)
+        image = request
+        if self.kind == "BirefnetModel":
+            from .models.birefnet import birefnet_image_extent
+
+            extent = birefnet_image_extent(image.extent, self.model.p, self.model.device.max_alloc)
+        else:
+            from .models.depth_anything import depthany_image_extent
+
+            extent = depthany_image_extent(image.extent, self.model.p)
+        img = image if image.extent == extent else image_scale(image, extent, preprocess_scale_method())
+        return (img.to_rgb_u8(), extent, image)
+
+    def _run_group(self, items: list):
+        import jax.numpy as jnp
+
+        n = len(items)
+        padded = items + [items[0]] * (self.batch_size - n)
+        x = jnp.asarray(np.stack([it[0] for it in padded]))
+        if self.kind == "MiganModel":
+            from .models.migan import migan_process_output
+
+            m = jnp.asarray(np.stack([it[1] for it in padded]))
+            y = np.asarray(self.model._run(self.model.params, x, m).astype(jnp.float32))[:n]
+            return [migan_process_output(yi, img, mask) for yi, (_, _, _, (img, mask)) in zip(y, items)]
+        extent = items[0][1]
+        fn = self.model._fn(extent)
+        y = np.asarray(fn(self.model.params, x).astype(jnp.float32))[:n]
+        if self.kind == "BirefnetModel":
+            from .models.birefnet import birefnet_process_output as post
+        else:
+            from .models.depth_anything import depthany_process_output as post
+        return [post(yi, it[2].extent) for yi, it in zip(y, items)]
+
+    def submit(self, request) -> Future:
+        return self._server.submit(request)
+
+    def compute(self, request):
+        return self.submit(request).result()
+
+    @property
+    def stats(self) -> ServerStats:
+        return self._server.stats
+
+    def close(self):
+        self._server.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class YoloServer:
+    """Concurrent object detection on a Yolov9tModel.
+
+    Every request letterboxes to the model's square input size, so ALL
+    requests share one shape bucket and one compiled program; NMS and the
+    box un-letterbox run host-side per item (the device program is the
+    whole detection DAG + candidate extraction, reference
+    ``yolov9t.cpp`` / ``vision.cpp`` single-image semantics batched).
+    Results are lists of :class:`~vision_tpu.models.yolov9t.Detection`.
+    """
+
+    def __init__(self, model, batch_size: int = 8, max_delay_ms: float = 2.0,
+                 prep_workers: int = 2, conf_thres: float = 0.25, iou_thres: float = 0.45):
+        self.model = model
+        self.batch_size = batch_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self._server = BatchServer(
+            self._run_group,
+            batch_size=batch_size,
+            max_delay_ms=max_delay_ms,
+            bucket_key=lambda it: it[0].shape,
+            prepare=self._prepare,
+            prep_workers=prep_workers,
+        )
+
+    # request = image | (image, conf, iou); prepared item =
+    # (letterboxed u8 array, (original extent, gain, dw, dh), conf, iou)
+    def _prepare(self, request):
+        from .models.yolov9t import letterbox
+
+        conf, iou = self.conf_thres, self.iou_thres
+        if isinstance(request, tuple):
+            request, conf, iou = request
+        arr, gain, dw, dh = letterbox(request, self.model.p.input_size)
+        return (arr, (request.extent, gain, dw, dh), conf, iou)
+
+    def _run_group(self, items: list):
+        import jax.numpy as jnp
+
+        from .models.yolov9t import non_max_suppression, scale_boxes
+
+        n = len(items)
+        padded = items + [items[0]] * (self.batch_size - n)
+        x = jnp.asarray(np.stack([it[0] for it in padded]))
+        out = self.model._run(self.model.params, x)
+        boxes = np.asarray(out.boxes.astype(jnp.float32))[:n]
+        scores = np.asarray(out.scores.astype(jnp.float32))[:n]
+        results = []
+        for b, s, (_, (extent, gain, dw, dh), conf, iou) in zip(boxes, scores, items):
+            dets = non_max_suppression(b, s, conf, iou)
+            results.append(scale_boxes(dets, extent, gain, dw, dh))
+        return results
+
+    def submit(self, image, conf_thres=None, iou_thres=None) -> Future:
+        """Per-request thresholds override the server defaults (NMS is
+        host-side per item, so mixed thresholds batch fine)."""
+        if conf_thres is None and iou_thres is None:
+            return self._server.submit(image)
+        return self._server.submit((
+            image,
+            self.conf_thres if conf_thres is None else conf_thres,
+            self.iou_thres if iou_thres is None else iou_thres,
+        ))
+
+    def compute(self, image, conf_thres=None, iou_thres=None):
+        return self.submit(image, conf_thres, iou_thres).result()
 
     @property
     def stats(self) -> ServerStats:

@@ -11,6 +11,12 @@ Endpoints:
 * ``POST /v1/sam/mask?x=..&y=..``  (or ``?box=x0,y0,x1,y1``)
   body = image bytes (PNG/JPEG) -> PNG mask (alpha_u8) at the input extent.
 * ``POST /v1/esrgan``  body = image bytes -> PNG upscaled image.
+* ``POST /v1/birefnet``  body = image bytes -> PNG foreground mask.
+* ``POST /v1/depthany``  body = image bytes -> PNG depth map (u8).
+* ``POST /v1/migan``  body = RGBA image whose ALPHA channel is the inpaint
+  mask (white = region to fill) -> PNG inpainted image.
+* ``POST /v1/yolo?conf=..&iou=..``  body = image bytes -> JSON detections
+  ``[{box: [x1,y1,x2,y2], confidence, class_id, class_name}, ...]``.
 * ``GET  /healthz`` -> JSON: per-model request/batch counts, occupancy,
   p50/p99 request latency.
 
@@ -48,6 +54,8 @@ def _png_bytes(img) -> bytes:
     import numpy as np
 
     a = np.asarray(img.data)
+    if np.issubdtype(a.dtype, np.floating):  # e.g. depthany alpha_f32
+        a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     buf = io.BytesIO()
@@ -62,9 +70,11 @@ class VisionHTTPServer:
     None); each gets its own BatchServer-based service.
     """
 
-    def __init__(self, sam_model=None, esrgan_model=None, batch_size: int = 4,
+    def __init__(self, sam_model=None, esrgan_model=None, birefnet_model=None,
+                 depthany_model=None, migan_model=None, yolo_model=None,
+                 batch_size: int = 4,
                  max_delay_ms: float = 5.0, host: str = "127.0.0.1", port: int = 8000):
-        from .serve import EsrganServer, SamServer
+        from .serve import EsrganServer, ImageServer, SamServer, YoloServer
 
         self.services = {}
         if sam_model is not None:
@@ -73,6 +83,14 @@ class VisionHTTPServer:
         if esrgan_model is not None:
             self.services["esrgan"] = EsrganServer(esrgan_model, batch_size=batch_size,
                                                    max_delay_ms=max_delay_ms)
+        for name, model in (("birefnet", birefnet_model), ("depthany", depthany_model),
+                            ("migan", migan_model)):
+            if model is not None:
+                self.services[name] = ImageServer(model, batch_size=batch_size,
+                                                  max_delay_ms=max_delay_ms)
+        if yolo_model is not None:
+            self.services["yolo"] = YoloServer(yolo_model, batch_size=batch_size,
+                                               max_delay_ms=max_delay_ms)
         if not self.services:
             raise ValueError("at least one model is required")
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
@@ -170,6 +188,50 @@ def _make_handler(server: VisionHTTPServer):
                         return self._json(404, {"error": "no esrgan model loaded"})
                     fut = svc.submit(img)
                     return self._send(200, _png_bytes(fut.result()), "image/png")
+
+                if url.path in ("/v1/birefnet", "/v1/depthany"):
+                    name = url.path.rsplit("/", 1)[1]
+                    svc = server.services.get(name)
+                    if svc is None:
+                        return self._json(404, {"error": f"no {name} model loaded"})
+                    fut = svc.submit(img)
+                    return self._send(200, _png_bytes(fut.result()), "image/png")
+
+                if url.path == "/v1/migan":
+                    svc = server.services.get("migan")
+                    if svc is None:
+                        return self._json(404, {"error": "no migan model loaded"})
+                    import numpy as np
+
+                    from .image import Image, ImageFormat
+
+                    a = np.asarray(img.data)
+                    if a.ndim != 3 or a.shape[2] != 4:
+                        return self._json(400, {"error": "migan needs an RGBA body "
+                                                "(alpha channel = inpaint mask)"})
+                    mask = Image(np.ascontiguousarray(a[:, :, 3:4]), ImageFormat.alpha_u8)
+                    fut = svc.submit((img, mask))
+                    return self._send(200, _png_bytes(fut.result()), "image/png")
+
+                if url.path == "/v1/yolo":
+                    svc = server.services.get("yolo")
+                    if svc is None:
+                        return self._json(404, {"error": "no yolo model loaded"})
+                    from .models.yolov9t import COCO_CLASS_NAMES
+
+                    conf = float(q["conf"][0]) if "conf" in q else None
+                    iou = float(q["iou"][0]) if "iou" in q else None
+                    dets = svc.submit(img, conf_thres=conf, iou_thres=iou).result()
+                    return self._json(200, [
+                        {
+                            "box": [round(d.x1, 2), round(d.y1, 2), round(d.x2, 2), round(d.y2, 2)],
+                            "confidence": round(d.confidence, 4),
+                            "class_id": d.class_id,
+                            "class_name": COCO_CLASS_NAMES[d.class_id]
+                            if d.class_id < len(COCO_CLASS_NAMES) else str(d.class_id),
+                        }
+                        for d in dets
+                    ])
 
                 return self._json(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001 — HTTP boundary
