@@ -31,6 +31,7 @@ USAGE_COMMANDS = {
     "yolov9t": "YOLOv9t object detection",
     "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
     "quantize": "rewrite a .gguf at a different float type (q8_0/f16/f32)",
+    "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 
 
@@ -122,9 +123,22 @@ def main(argv=None) -> int:
         "--type", default="q8_0", choices=["q8_0", "f16", "f32"],
         help="quantize: target float storage type",
     )
+    parser.add_argument(
+        "--bench-args", nargs=argparse.REMAINDER, default=[],
+        help="bench: arguments forwarded to vision_tpu.benchmark "
+             "(e.g. --bench-args sam-encode-1024 --k 8)",
+    )
     args = parser.parse_args(argv)
-    if args.input is None and args.command not in ("serve", "quantize"):
+    if args.input is None and args.command not in ("serve", "quantize", "bench"):
         parser.error("-i/--input is required")
+
+    if args.command == "bench":
+        # the reference ships vision-bench as its own tool (tests/benchmark.cpp);
+        # here it is the benchmark module behind a CLI verb
+        from .benchmark import main as bench_main
+
+        bench_main(args.bench_args)
+        return 0
 
     if args.command == "quantize":
         # pure file rewrite — no device, no model load

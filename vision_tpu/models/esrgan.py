@@ -535,6 +535,10 @@ class EsrganModel:
 
 
 def esrgan_load_model(filepath: str, device: Device | None = None, mesh=None) -> EsrganModel:
+    """Quantized files always expand here (no keep_quantized path): the
+    packed trunk (esrgan_pack_weights) consumes concatenated arrays, and
+    an int8-resident trunk measured strictly slower on v5e anyway
+    (NOTES.md round-3 int8 findings)."""
     device = device or backend_init()
     file = model_load(filepath)
     p = esrgan_detect_params(file)

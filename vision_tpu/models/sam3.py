@@ -685,6 +685,10 @@ class Sam3Model:
 
 
 def sam3_load_model(filepath: str, device=None) -> Sam3Model:
+    """Quantized files always expand here (no keep_quantized path): the
+    scan trunk consumes the stacked window weights as lax.scan xs, and a
+    whole-stack in-graph dequant measured 117 vs 70 ms on v5e
+    (NOTES.md quantized-residency findings)."""
     import jax
     import jax.numpy as jnp
 
