@@ -334,3 +334,26 @@ def test_yolo_server():
         (d.class_id, round(d.confidence, 5)) for d in direct
     ]
     assert len(db) <= len(model.compute(img_b, conf_thres=0.01))
+
+
+@pytest.mark.slow
+def test_server_warmup_compiles_before_traffic():
+    """warmup() compiles the batched program so the first real request
+    reuses it (batch counter moves; no new trace needed)."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.image import Image, ImageFormat
+    from vision_tpu.models.migan import MiganModel, MiganParams
+    from vision_tpu.models.random_weights import random_migan_params
+    from vision_tpu.serve import ImageServer
+
+    dev = backend_init()
+    mg = MiganModel(random_migan_params(256), MiganParams(resolution=256), dev)
+    rng = np.random.default_rng(13)
+    with ImageServer(mg, batch_size=2, max_delay_ms=5) as srv:
+        srv.warmup()
+        assert srv.stats.batches == 1
+        img = Image(rng.integers(0, 255, (256, 256, 4), np.uint8), ImageFormat.rgba_u8)
+        mask = Image(np.full((256, 256, 1), 255, np.uint8), ImageFormat.alpha_u8)
+        out = srv.compute((img, mask))
+        assert out.extent == img.extent
+        assert srv.stats.batches == 2

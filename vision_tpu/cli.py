@@ -120,6 +120,10 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--batch", type=int, default=4, help="serve: max batch size")
     parser.add_argument(
+        "--warmup", action="store_true",
+        help="serve: compile every service's batched program before listening",
+    )
+    parser.add_argument(
         "--type", default="q8_0", choices=["q8_0", "f16", "f32"],
         help="quantize: target float storage type",
     )
@@ -202,7 +206,8 @@ def main(argv=None) -> int:
                     from .models.esrgan import esrgan_load_model
 
                     models["esrgan_model"] = esrgan_load_model(find_model(args.esrgan_model), dev)
-            serve_forever(batch_size=args.batch, host=args.host, port=args.port, **models)
+            serve_forever(batch_size=args.batch, host=args.host, port=args.port,
+                          warmup=args.warmup, **models)
 
         elif args.command == "sam":
             from .models.mobile_sam import sam_load_model

@@ -246,6 +246,15 @@ class BatchServer:
                     self._dispatch(bucket[i : i + self.batch_size])
 
 
+
+def _dummy_image(extent=(64, 64), fmt=None):
+    """Zero image for server warmup requests (extent = (width, height))."""
+    from .image import Image, ImageFormat
+
+    w, h = extent
+    return Image(np.zeros((h, w, 4), np.uint8), fmt or ImageFormat.rgba_u8)
+
+
 class SamServer:
     """Concurrent promptable segmentation on a SamModel.
 
@@ -359,6 +368,17 @@ class SamServer:
             out.append(sam_process_mask(masks[i][None], 0, extent, self.model.p))
         return out
 
+    def warmup(self, kinds=("point", "box")) -> None:
+        """Compile the batched encode+decode pipeline(s) before taking
+        traffic (cold-start control; with a persistent XLA cache —
+        VISP_COMPILE_CACHE — repeat warmups are fast)."""
+        img = _dummy_image()
+        for kind in kinds:
+            if kind == "point":
+                self.compute(img, point=(32, 32))
+            else:
+                self.compute(img, box=((8, 8), (56, 56)))
+
     def submit(self, image, point=None, box=None) -> Future:
         if (point is None) == (box is None):
             raise ValueError("exactly one of point/box must be given")
@@ -430,6 +450,11 @@ class EsrganServer:
             Image(np.ascontiguousarray(np.concatenate([yi, alpha], axis=2)), ImageFormat.rgba_u8)
             for yi in y
         ]
+
+    def warmup(self, extent=(256, 256)) -> None:
+        """Compile the batched program for ``extent`` before taking traffic
+        (extent buckets compile separately — warm the sizes you serve)."""
+        self.compute(_dummy_image(extent))
 
     def submit(self, image) -> Future:
         return self._server.submit(image)
@@ -527,6 +552,23 @@ class ImageServer:
             from .models.depth_anything import depthany_process_output as post
         return [post(yi, it[2].extent) for yi, it in zip(y, items)]
 
+    def warmup(self, extent=None) -> None:
+        """Compile the batched program before taking traffic. Default
+        extent: the model's canonical inference size (birefnet/migan are
+        fixed; depthany snaps the given or default 518x518 input)."""
+        if self.kind == "MiganModel":
+            res = (self.model.p.resolution, self.model.p.resolution)
+            from .image import Image, ImageFormat
+
+            mask = Image(np.zeros((res[1], res[0], 1), np.uint8), ImageFormat.alpha_u8)
+            self.compute((_dummy_image(res), mask))
+            return
+        if extent is None:
+            extent = (
+                self.model.p.image_extent if self.kind == "BirefnetModel" else (518, 518)
+            )
+        self.compute(_dummy_image(extent))
+
     def submit(self, request) -> Future:
         return self._server.submit(request)
 
@@ -600,6 +642,11 @@ class YoloServer:
             dets = non_max_suppression(b, s, conf, iou)
             results.append(scale_boxes(dets, extent, gain, dw, dh))
         return results
+
+    def warmup(self) -> None:
+        """Compile the batched detection program (letterbox gives every
+        request the same bucket, so one dummy request warms everything)."""
+        self.compute(_dummy_image())
 
     def submit(self, image, conf_thres=None, iou_thres=None) -> Future:
         """Per-request thresholds override the server defaults (NMS is

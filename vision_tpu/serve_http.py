@@ -73,7 +73,8 @@ class VisionHTTPServer:
     def __init__(self, sam_model=None, esrgan_model=None, birefnet_model=None,
                  depthany_model=None, migan_model=None, yolo_model=None,
                  batch_size: int = 4,
-                 max_delay_ms: float = 5.0, host: str = "127.0.0.1", port: int = 8000):
+                 max_delay_ms: float = 5.0, host: str = "127.0.0.1", port: int = 8000,
+                 warmup: bool = False):
         from .serve import EsrganServer, ImageServer, SamServer, YoloServer
 
         self.services = {}
@@ -93,6 +94,10 @@ class VisionHTTPServer:
                                                max_delay_ms=max_delay_ms)
         if not self.services:
             raise ValueError("at least one model is required")
+        if warmup:
+            for name, svc in self.services.items():
+                print(f"warming up {name}...", flush=True)
+                svc.warmup()
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._thread: threading.Thread | None = None
 
