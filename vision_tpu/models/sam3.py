@@ -59,6 +59,7 @@ __all__ = [
     "vision_transformer",
     "vision_transformer_scan",
     "sam3_pack_vision_weights",
+    "sam3_shard_vision",
     "sam3_window_runs",
     "encode_vision",
     "sam3_process_input",
@@ -482,6 +483,38 @@ def sam3_pack_vision_weights(params: dict, vp: Sam3VitParams = Sam3VitParams(), 
     return dict(_sam3_pack(params, prefix, win_idx))
 
 
+def sam3_shard_vision(params: dict, win_stack: dict, mesh):
+    """Place SAM3 weights on a (dp, tp) mesh for multi-chip inference.
+
+    The ViT-H vision encoder is the one model in the set whose weights
+    (~2.4 GB with the stacked trunk) genuinely want multiple chips.
+    Flat params get Megatron-style tp via ``SAM3_TP_RULES`` (column-
+    parallel q/k/v + fc1, row-parallel o_proj/fc2 — XLA inserts the psum);
+    the scan-stacked window weights get the same specs shifted one axis
+    right (leading axis = layer, consumed by lax.scan). Activations stay
+    replicated: batch-1 panoptic encodes are the SAM3 serving shape.
+    Returns ``(params, win_stack)`` re-placed.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import SAM3_TP_RULES, shard_params
+
+    params = shard_params(params, mesh, SAM3_TP_RULES)
+    tp = mesh.shape["tp"]
+    out = {}
+    for name, v in win_stack.items():
+        spec = P()
+        if tp > 1:
+            if re.search(r"(q_proj|k_proj|v_proj|fc1)\.weight$", name) and v.shape[1] % tp == 0:
+                spec = P(None, "tp", None)
+            elif re.search(r"(q_proj|k_proj|v_proj|fc1)\.bias$", name) and v.shape[1] % tp == 0:
+                spec = P(None, "tp")
+            elif re.search(r"(o_proj|fc2)\.weight$", name) and v.shape[2] % tp == 0:
+                spec = P(None, None, "tp")
+        out[name] = jax.device_put(v, NamedSharding(mesh, spec))
+    return params, out
+
+
 def vision_transformer_scan(p: Params, win_stack: dict, image, vp: Sam3VitParams, flash: bool = False):
     """Fused trunk (see block comment above). Exact same math as
     vision_transformer; requires the patch grid to divide into whole
@@ -639,11 +672,13 @@ class Sam3Model:
         max_tokens: int,
         device,
         vp: Sam3VitParams | None = None,
+        mesh=None,
     ):
         self.params = params
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.device = device
+        self.mesh = mesh
         import jax
 
         from ..core.device import BuildFlag
@@ -662,9 +697,10 @@ class Sam3Model:
 
     def _vision_stack(self):
         if self._win_stack is None:
-            self._win_stack = sam3_pack_vision_weights(
-                self.params, self._vp, prefix="det.ve.backbone."
-            )
+            stack = sam3_pack_vision_weights(self.params, self._vp, prefix="det.ve.backbone.")
+            if self.mesh is not None:
+                self.params, stack = sam3_shard_vision(self.params, stack, self.mesh)
+            self._win_stack = stack
         return self._win_stack
 
     def encode_text(self, text: str):
@@ -684,8 +720,10 @@ class Sam3Model:
         )
 
 
-def sam3_load_model(filepath: str, device=None) -> Sam3Model:
-    """Quantized files always expand here (no keep_quantized path): the
+def sam3_load_model(filepath: str, device=None, mesh=None) -> Sam3Model:
+    """``mesh``: a (dp, tp) jax.sharding.Mesh — weights are tp-sharded at
+    first vision use (sam3_shard_vision). Quantized files always expand
+    here (no keep_quantized path): the
     scan trunk consumes the stacked window weights as lax.scan xs, and a
     whole-stack in-graph dequant measured 117 vs 70 ms on v5e
     (NOTES.md quantized-residency findings)."""
@@ -704,8 +742,8 @@ def sam3_load_model(filepath: str, device=None) -> Sam3Model:
     dtype = device.preferred_float_type
     params = {}
     for k, v in raw.items():
-        a = jax.device_put(v, device.jax_device)
-        if np.issubdtype(v.dtype, np.floating):
-            a = a.astype(dtype)
+        a = v if mesh is not None else jax.device_put(v, device.jax_device)
+        if np.issubdtype(np.asarray(v).dtype, np.floating):
+            a = np.asarray(a, dtype) if mesh is not None else a.astype(dtype)
         params[k] = a
-    return Sam3Model(params, tokenizer, max_tokens, device)
+    return Sam3Model(params, tokenizer, max_tokens, device, mesh=mesh)

@@ -1,4 +1,6 @@
 from .sharding import (
+    DEFAULT_TP_RULES,
+    SAM3_TP_RULES,
     batch_sharding,
     make_mesh,
     replicate,
@@ -8,6 +10,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "DEFAULT_TP_RULES",
+    "SAM3_TP_RULES",
     "batch_sharding",
     "make_mesh",
     "replicate",

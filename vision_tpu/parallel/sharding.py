@@ -30,6 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "DEFAULT_TP_RULES",
+    "SAM3_TP_RULES",
     "make_mesh",
     "replicate",
     "batch_sharding",
@@ -48,6 +50,16 @@ DEFAULT_TP_RULES: tuple[tuple[str, P], ...] = (
     (r".*\b(fc1|lin1)\.bias$", P("tp")),
     (r".*\b(fc2|lin2)\.weight$", P(None, "tp")),
     (r".*\bproj\.weight$", P(None, "tp")),
+)
+
+# SAM3 uses split q/k/v projections (sam3.h attention naming) instead of a
+# fused qkv; column-parallel q/k/v + fc1, row-parallel o_proj (fc2 is
+# covered by the default rule). XLA inserts the psum after the
+# row-parallel matmuls — Megatron-style tp without manual collectives.
+SAM3_TP_RULES: tuple[tuple[str, P], ...] = DEFAULT_TP_RULES + (
+    (r".*\b(q_proj|k_proj|v_proj)\.weight$", P("tp", None)),
+    (r".*\b(q_proj|k_proj|v_proj)\.bias$", P("tp")),
+    (r".*\bo_proj\.weight$", P(None, "tp")),
 )
 
 
