@@ -77,3 +77,31 @@ def test_cli_yolov9t(tmp_path):
     assert rc == 0
     assert image_load(out).extent == (160, 120)
     assert len(list(dump.glob("*.npy"))) >= 22
+
+
+def test_cli_serve_multi_model_routing(tmp_path, monkeypatch):
+    """serve loads -m plus every --extra-model (family auto-detected) and
+    hands them to serve_forever; duplicate families error."""
+    from test_esrgan import RRDBNet, _write_gguf
+    from vision_tpu.models.random_weights import random_yolov9t_params
+
+    esr = _write_gguf(tmp_path / "esrgan.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+    yolo = _gguf_from_dict(tmp_path / "y.gguf", "yolov9t", random_yolov9t_params())
+
+    captured = {}
+
+    def fake_serve_forever(**kw):
+        captured.update(kw)
+
+    import vision_tpu.serve_http as sh
+
+    monkeypatch.setattr(sh, "serve_forever", fake_serve_forever)
+    rc = main(["serve", "-m", str(esr), "--extra-model", str(yolo), "-b", "cpu",
+               "--port", "0", "--batch", "2"])
+    assert rc == 0
+    assert captured["esrgan_model"] is not None
+    assert captured["yolo_model"] is not None
+    assert captured["batch_size"] == 2
+
+    rc = main(["serve", "-m", str(esr), "--extra-model", str(esr), "-b", "cpu"])
+    assert rc != 0  # duplicate family

@@ -124,6 +124,10 @@ def main(argv=None) -> int:
         help="serve: compile every service's batched program before listening",
     )
     parser.add_argument(
+        "--extra-model", action="append", default=[], metavar="GGUF",
+        help="serve: load an additional model (family auto-detected; repeatable)",
+    )
+    parser.add_argument(
         "--type", default="q8_0", choices=["q8_0", "f16", "f32"],
         help="quantize: target float storage type",
     )
@@ -172,40 +176,44 @@ def main(argv=None) -> int:
             from .api import ModelFamily, model_detect_family
             from .serve_http import serve_forever
 
-            fam = model_detect_family(model_path)
-            loaders = {}
-            if fam == ModelFamily.sam:
-                from .models.mobile_sam import sam_load_model as _load
+            def family_loader(fam):
+                if fam == ModelFamily.sam:
+                    from .models.mobile_sam import sam_load_model as _load
 
-                loaders["sam_model"] = _load
-            elif fam == ModelFamily.esrgan:
-                from .models.esrgan import esrgan_load_model as _load
+                    return "sam_model", _load
+                if fam == ModelFamily.esrgan:
+                    from .models.esrgan import esrgan_load_model as _load
 
-                loaders["esrgan_model"] = _load
-            elif fam == ModelFamily.birefnet:
-                from .models.birefnet import birefnet_load_model as _load
+                    return "esrgan_model", _load
+                if fam == ModelFamily.birefnet:
+                    from .models.birefnet import birefnet_load_model as _load
 
-                loaders["birefnet_model"] = _load
-            elif fam == ModelFamily.depth_anything:
-                from .models.depth_anything import depthany_load_model as _load
+                    return "birefnet_model", _load
+                if fam == ModelFamily.depth_anything:
+                    from .models.depth_anything import depthany_load_model as _load
 
-                loaders["depthany_model"] = _load
-            elif fam == ModelFamily.migan:
-                from .models.migan import migan_load_model as _load
+                    return "depthany_model", _load
+                if fam == ModelFamily.migan:
+                    from .models.migan import migan_load_model as _load
 
-                loaders["migan_model"] = _load
-            elif fam == ModelFamily.yolov9t:
-                from .models.yolov9t import yolov9t_load_model as _load
+                    return "migan_model", _load
+                if fam == ModelFamily.yolov9t:
+                    from .models.yolov9t import yolov9t_load_model as _load
 
-                loaders["yolo_model"] = _load
-            else:
+                    return "yolo_model", _load
                 raise VispError(f"serve does not support {fam.value} models")
-            with _Timer("Loading model weights"):
-                models = {k: load(model_path, dev) for k, load in loaders.items()}
-                if args.esrgan_model:
-                    from .models.esrgan import esrgan_load_model
 
-                    models["esrgan_model"] = esrgan_load_model(find_model(args.esrgan_model), dev)
+            paths = [model_path]
+            if args.esrgan_model:  # back-compat alias for --extra-model
+                paths.append(find_model(args.esrgan_model))
+            paths += [find_model(m) for m in args.extra_model]
+            models = {}
+            with _Timer("Loading model weights"):
+                for path in paths:
+                    key, load = family_loader(model_detect_family(path))
+                    if key in models:
+                        raise VispError(f"two models of one family given ({key})")
+                    models[key] = load(path, dev)
             serve_forever(batch_size=args.batch, host=args.host, port=args.port,
                           warmup=args.warmup, **models)
 
