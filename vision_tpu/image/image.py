@@ -334,6 +334,28 @@ def _srgb_to_linear(u: np.ndarray) -> np.ndarray:
     return np.where(u <= 0.04045, u / 12.92, ((u + 0.055) / 1.055) ** 2.4)
 
 
+_SRGB_LUT: np.ndarray | None = None
+
+
+def _srgb_lut() -> np.ndarray:
+    """u8 -> linear f32 as an exact 256-entry table (u8 quantization makes
+    the sRGB decode a lookup — identical values, no per-pixel powf)."""
+    global _SRGB_LUT
+    if _SRGB_LUT is None:
+        _SRGB_LUT = _srgb_to_linear(np.arange(256, dtype=np.float32) / 255.0).astype(np.float32)
+    return _SRGB_LUT
+
+
+def _resize_apply(wy: np.ndarray, wx: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Separable resize via BLAS: (Oh,h)@(h,w,c) then (w-contraction) with
+    (Ow,w). Replaces np.einsum, which runs naive loops for these shapes
+    (measured 14 s for one 720p->1024² resize; this path is the serving
+    prep hot loop)."""
+    out = np.tensordot(wy, a, axes=(1, 0))  # (Oh, w, c)
+    out = np.tensordot(out, wx, axes=(1, 1))  # (Oh, c, Ow)
+    return np.moveaxis(out, 2, 1)  # (Oh, Ow, c)
+
+
 def _linear_to_srgb(v: np.ndarray) -> np.ndarray:
     v = np.clip(v, 0.0, 1.0)
     return np.where(v <= 0.0031308, v * 12.92, 1.055 * v ** (1 / 2.4) - 0.055)
@@ -345,22 +367,18 @@ def _image_scale_stb_u8(img: Image, target: tuple[int, int]) -> Image:
     resampling when an alpha channel exists."""
     from ..ops.resize import resize_matrix
 
-    a = img.data.astype(np.float32) / 255.0
     ach = alpha_channel(img.format)
-    lin = a.copy()
-    for ch in range(img.channels):
-        if ch != ach or img.channels == 1:
-            lin[:, :, ch] = _srgb_to_linear(a[:, :, ch])
+    lin = _srgb_lut()[img.data]  # exact u8 sRGB decode, no per-pixel powf
+    if img.channels > 1 and ach is not None and ach >= 0:
+        lin[:, :, ach] = img.data[:, :, ach].astype(np.float32) / 255.0
     if img.channels == 4:
-        alpha = a[:, :, ach : ach + 1]
+        alpha = lin[:, :, ach : ach + 1]
         for ch in range(4):
             if ch != ach:
                 lin[:, :, ch] = lin[:, :, ch] * alpha[:, :, 0]
-        lin[:, :, ach] = alpha[:, :, 0]
     wy = resize_matrix(img.height, target[1], "catmullrom", False)
     wx = resize_matrix(img.width, target[0], "catmullrom", False)
-    out = np.einsum("oh,hwc->owc", wy, lin)
-    out = np.einsum("ow,hwc->hoc", wx, out)
+    out = _resize_apply(wy, wx, lin)
     if img.channels == 4:
         alpha_r = np.clip(out[:, :, ach : ach + 1], 0.0, 1.0)
         for ch in range(4):
@@ -398,8 +416,7 @@ def _image_scale_stb_f32(img: Image, target: tuple[int, int]) -> Image:
     a = img.data.astype(np.float32)
     wy = resize_matrix(img.height, target[1], "catmullrom", False)
     wx = resize_matrix(img.width, target[0], "catmullrom", False)
-    out = np.einsum("oh,hwc->owc", wy, a)
-    out = np.einsum("ow,hwc->hoc", wx, out)
+    out = _resize_apply(wy, wx, a)
     return Image(np.ascontiguousarray(out.astype(np.float32)), img.format)
 
 
