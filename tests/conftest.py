@@ -22,8 +22,38 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the suite (opt out: VISP_TEST_CACHE=0).
+# The suite is compile-bound on this class of machine (NOTES.md: 1-core box,
+# ~25 min clean); cached programs cut warm reruns to a fraction. Entries are
+# keyed by HLO hash, so code changes invalidate automatically. The XLA AOT
+# loader logs noisy machine-feature warnings when loading cached CPU programs
+# (prefer-no-scatter/gather pseudo-features); they are harmless and pytest's
+# capture keeps them out of the report.
+if os.environ.get("VISP_TEST_CACHE", "1") != "0":
+    _cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "vision_tpu", "test-xla"
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run heavy tests LAST, with the mesh tests (test_parallel) at the very
+    end: test_parallel's dp-sharded encoder calls jax.clear_caches() (an XLA
+    CPU abort mitigation, NOTES.md), which would force every later SAM-using
+    test to recompile the 1024^2 programs if it ran mid-suite. The sort is
+    stable, so in-file order is preserved within each group."""
+
+    def group(item):
+        if item.get_closest_marker("heavy") is None:
+            return 0
+        return 2 if "test_parallel" in str(item.fspath) else 1
+
+    items.sort(key=group)
 
 
 @pytest.fixture

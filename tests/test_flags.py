@@ -1,8 +1,8 @@
 """Build-flag plumbing: every flash/deform-capable model must consume
 ``device.flags`` (reference model_build_flags, ml.cpp:164-201 — VISP_FLASH_
 ATTENTION etc. alter graph construction). Asserted at trace time via
-``jit.lower`` with recorders monkeypatched into the op layer, so no
-compilation happens."""
+``jax.eval_shape`` with recorders monkeypatched into the op layer, so
+neither lowering nor compilation happens."""
 
 import numpy as np
 import pytest
@@ -33,6 +33,7 @@ def test_sam_model_uses_fused_window_attention(monkeypatch, cpu_device):
     strictly faster than both the naive and dot_product_attention paths
     (scripts/exp_winattn3.py), so the flash flag is subsumed for windows.
     The decoder's cross-attention still uses attention_core."""
+    import jax
     import jax.numpy as jnp
 
     import vision_tpu.models.mobile_sam as ms
@@ -49,12 +50,14 @@ def test_sam_model_uses_fused_window_attention(monkeypatch, cpu_device):
     monkeypatch.setattr(ms, "attention_windows", spy)
     params = random_mobile_sam_params(seed=0)
     model = SamModel(params, SamParams(), cpu_device.with_flags(BuildFlag.flash_attention))
-    model._enc.lower(params, jnp.zeros((1, 1024, 1024, 3), jnp.uint8))
+    jax.eval_shape(model._enc, params, jnp.zeros((1, 1024, 1024, 3), jnp.uint8))
+    model._enc.clear_cache()  # the spy-traced jaxpr must not leak: executables are shared across instances
     # 2 + 6 + 2 attention blocks across stages 1-3
     assert len(calls) == 10, calls
 
 
 def test_sam3_model_consumes_flash_flag(monkeypatch, cpu_device):
+    import jax
     import jax.numpy as jnp
 
     from vision_tpu.models.sam3 import Sam3Model, Sam3VitParams
@@ -69,12 +72,14 @@ def test_sam3_model_consumes_flash_flag(monkeypatch, cpu_device):
 
     vp = Sam3VitParams(n_layers=4, n_heads=2, global_attn_indexes=(1, 3))
     model = Sam3Model(params, _Tok(), 32, cpu_device.with_flags(BuildFlag.flash_attention), vp=vp)
-    model._vision_fn.lower(params, model._vision_stack(), jnp.zeros((1, 1008, 1008, 3), jnp.float32))
+    jax.eval_shape(model._vision_fn, params, model._vision_stack(), jnp.zeros((1, 1008, 1008, 3), jnp.float32))
+    model._vision_fn.clear_cache()
     assert calls and any(calls), "flash flag must reach the global attention layers"
 
     calls.clear()
     model = Sam3Model(params, _Tok(), 32, cpu_device, vp=vp)
-    model._vision_fn.lower(params, model._vision_stack(), jnp.zeros((1, 1008, 1008, 3), jnp.float32))
+    jax.eval_shape(model._vision_fn, params, model._vision_stack(), jnp.zeros((1, 1008, 1008, 3), jnp.float32))
+    model._vision_fn.clear_cache()
     # without the flag nothing routes through attention_core's flash path:
     # window layers always use the transpose-free einsum formulation and
     # global layers fall back to it too (rope_attention non-flash branch)
@@ -82,6 +87,7 @@ def test_sam3_model_consumes_flash_flag(monkeypatch, cpu_device):
 
 
 def test_birefnet_model_consumes_deform_shift_flag(monkeypatch, cpu_device):
+    import jax
     import jax.numpy as jnp
 
     import vision_tpu.models.birefnet as bn
@@ -89,32 +95,42 @@ def test_birefnet_model_consumes_deform_shift_flag(monkeypatch, cpu_device):
     from vision_tpu.models.random_weights import random_birefnet_params
     from vision_tpu.models.swin import SWIN_T_PARAMS
 
+    # the spies return shape-correct zeros instead of calling the real op:
+    # this test asserts ROUTING (which deform formulation the flag selects,
+    # with which bound), not numerics (tests/test_birefnet.py covers those),
+    # and tracing the real 25-window shift unroll costs ~45 s of the suite
+    def _deform_out(x, w, off):
+        # (B, Ho, Wo, Cout): Ho/Wo follow the offset grid, Cout = w.shape[0]
+        return jnp.zeros((x.shape[0], off.shape[1], off.shape[2], w.shape[0]), x.dtype)
+
     bounds: list[int | None] = []
-    orig = bn.deform_conv_2d_shift
 
     def spy(x, w, off, m, stride, pad, bound):
         bounds.append(bound)
-        return orig(x, w, off, m, stride, pad, bound=bound)
+        return _deform_out(x, w, off)
 
     monkeypatch.setattr(bn, "deform_conv_2d_shift", spy)
     gathers: list[bool] = []
-    orig_g = bn.deform_conv_2d
 
-    def spy_g(*a, **kw):
+    def spy_g(x, w, off, m=None, stride=1, pad=0, **kw):
         gathers.append(True)
-        return orig_g(*a, **kw)
+        return _deform_out(x, w, off)
 
     monkeypatch.setattr(bn, "deform_conv_2d", spy_g)
 
     params = random_birefnet_params("tiny")
     p = BirefnetParams(image_size=256, image_extent=(256, 256), encoder=SWIN_T_PARAMS)
     model = BirefnetModel(params, p, cpu_device.with_flags(BuildFlag.deform_shift))
-    model._fn((256, 256)).lower(params, jnp.zeros((1, 256, 256, 3), jnp.uint8))
+    fn = model._fn((256, 256))
+    jax.eval_shape(fn, params, jnp.zeros((1, 256, 256, 3), jnp.uint8))
+    fn.clear_cache()  # the spy returns zeros; a leaked trace would corrupt shared executables
     assert bounds and all(b == 2 for b in bounds) and not gathers
 
     bounds.clear()
     model = BirefnetModel(params, p, cpu_device)
-    model._fn((256, 256)).lower(params, jnp.zeros((1, 256, 256, 3), jnp.uint8))
+    fn = model._fn((256, 256))
+    jax.eval_shape(fn, params, jnp.zeros((1, 256, 256, 3), jnp.uint8))
+    fn.clear_cache()
     assert gathers and not bounds
 
 
@@ -134,9 +150,17 @@ def test_compile_cache_env_persists_programs(tmp_path, monkeypatch):
     import jax
     import jax.numpy as jnp
 
+    from jax._src import compilation_cache as _cc
+
     cache = tmp_path / "xla-cache"
     cache.mkdir()
     monkeypatch.setenv("VISP_COMPILE_CACHE", str(cache))
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min_time = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_min_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    # the persistent cache initializes once per process; conftest may have
+    # already pointed it at the suite cache, so force re-init for this dir
+    _cc.reset_cache()
     try:
         backend_init(BackendType.cpu)
 
@@ -148,4 +172,7 @@ def test_compile_cache_env_persists_programs(tmp_path, monkeypatch):
         f(jnp.asarray(np_x)).block_until_ready()
         assert any(cache.iterdir()), "no programs written to the compilation cache"
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)  # global config
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min_time)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_min_size)
+        _cc.reset_cache()

@@ -265,8 +265,12 @@ def test_image_server_three_families():
         return Image(rng.integers(0, 255, (h, w, 4), np.uint8), ImageFormat.rgba_u8)
 
     # --- depth-anything (dynamic snapped extents bucket separately) ---
+    # image_size=126 keeps the production snap-to-14 bucketing semantics while
+    # the extents stay small (the default 518 target costs ~6 min of XLA-CPU
+    # execution here for zero extra coverage — the full-extent path is
+    # exercised by test_depth_anything.py::test_depthany_predict_full)
     da = DepthAnythingModel(
-        random_depth_anything_params("small"), DepthAnythingParams(), dev
+        random_depth_anything_params("small"), DepthAnythingParams(image_size=126), dev
     )
     img_a, img_b, img_c = u8_img(126, 140), u8_img(126, 140), u8_img(98, 98)
     with ImageServer(da, batch_size=2, max_delay_ms=10_000) as srv:
