@@ -265,12 +265,21 @@ def test_image_server_three_families():
         return Image(rng.integers(0, 255, (h, w, 4), np.uint8), ImageFormat.rgba_u8)
 
     # --- depth-anything (dynamic snapped extents bucket separately) ---
-    # image_size=126 keeps the production snap-to-14 bucketing semantics while
-    # the extents stay small (the default 518 target costs ~6 min of XLA-CPU
-    # execution here for zero extra coverage — the full-extent path is
-    # exercised by test_depth_anything.py::test_depthany_predict_full)
+    # reduced "test" config + image_size=126: this test is about BATCHING
+    # (bucketing, grouping, parity), which is model-size-invariant — the
+    # production "small" config at the 518 snap target costs ~5 min of
+    # XLA-CPU compile+execute here for zero extra coverage (full extents
+    # stay covered by test_depth_anything.py::test_depthany_predict_full)
+    from vision_tpu.models.dino import DinoParams
+
     da = DepthAnythingModel(
-        random_depth_anything_params("small"), DepthAnythingParams(image_size=126), dev
+        random_depth_anything_params("test"),
+        DepthAnythingParams(
+            dino=DinoParams(embed_dim=64, n_heads=2, n_layers=4),
+            image_size=126,
+            feature_layers=(0, 1, 2, 3),
+        ),
+        dev,
     )
     img_a, img_b, img_c = u8_img(126, 140), u8_img(126, 140), u8_img(98, 98)
     with ImageServer(da, batch_size=2, max_delay_ms=10_000) as srv:
@@ -295,12 +304,13 @@ def test_image_server_three_families():
     assert bn_d.format == ImageFormat.alpha_u8 and bn_d.extent == img_d.extent
     np.testing.assert_array_equal(np.asarray(bn_d.data), np.asarray(bn.compute(img_d).data))
 
-    # --- migan (image, mask) requests ---
-    mg = MiganModel(random_migan_params(256), MiganParams(resolution=256), dev)
+    # --- migan (image, mask) requests (64-res ladder: batching semantics
+    # are resolution-invariant; 256/512 stay covered by test_migan) ---
+    mg = MiganModel(random_migan_params(64), MiganParams(resolution=64), dev)
     mask = Image(
-        (rng.random((256, 256, 1)) > 0.5).astype(np.uint8) * 255, ImageFormat.alpha_u8
+        (rng.random((64, 64, 1)) > 0.5).astype(np.uint8) * 255, ImageFormat.alpha_u8
     )
-    img_f, img_g = u8_img(256, 256), u8_img(256, 256)
+    img_f, img_g = u8_img(64, 64), u8_img(64, 64)
     with ImageServer(mg, batch_size=2, max_delay_ms=10_000) as srv:
         ff, fg = srv.submit((img_f, mask)), srv.submit((img_g, mask))
         mg_f, mg_g = ff.result(timeout=600), fg.result(timeout=600)
@@ -351,13 +361,13 @@ def test_server_warmup_compiles_before_traffic():
     from vision_tpu.serve import ImageServer
 
     dev = backend_init()
-    mg = MiganModel(random_migan_params(256), MiganParams(resolution=256), dev)
+    mg = MiganModel(random_migan_params(64), MiganParams(resolution=64), dev)
     rng = np.random.default_rng(13)
     with ImageServer(mg, batch_size=2, max_delay_ms=5) as srv:
         srv.warmup()
         assert srv.stats.batches == 1
-        img = Image(rng.integers(0, 255, (256, 256, 4), np.uint8), ImageFormat.rgba_u8)
-        mask = Image(np.full((256, 256, 1), 255, np.uint8), ImageFormat.alpha_u8)
+        img = Image(rng.integers(0, 255, (64, 64, 4), np.uint8), ImageFormat.rgba_u8)
+        mask = Image(np.full((64, 64, 1), 255, np.uint8), ImageFormat.alpha_u8)
         out = srv.compute((img, mask))
         assert out.extent == img.extent
         assert srv.stats.batches == 2

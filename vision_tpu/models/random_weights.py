@@ -243,7 +243,13 @@ def random_esrgan_params(seed: int = 0, nf: int = 64, nb: int = 23, gc: int = 32
 
 def random_depth_anything_params(variant: str = "small", seed: int = 0) -> dict[str, np.ndarray]:
     """Depth-Anything V2 weight dict (HF naming under backbone./neck./head.)."""
-    dims = {"small": (384, 6, 12, (48, 96, 192, 384)), "base": (768, 12, 12, (96, 192, 384, 768))}
+    dims = {
+        "small": (384, 6, 12, (48, 96, 192, 384)),
+        "base": (768, 12, 12, (96, 192, 384, 768)),
+        # reduced config for structural tests (serving/batching): the full
+        # "small" graph costs minutes of XLA-CPU compile per shape bucket
+        "test": (64, 2, 4, (16, 32, 48, 64)),
+    }
     dim, heads, layers, feat_ch = dims[variant]
     B = _Builder(seed)
     grid = 518 // 14
@@ -264,7 +270,7 @@ def random_depth_anything_params(variant: str = "small", seed: int = 0) -> dict[
         B.lin(f"{base}.mlp.fc1", dim, dim * 4)
         B.lin(f"{base}.mlp.fc2", dim * 4, dim)
     B.ln("backbone.layernorm", dim)
-    fusion_ch = 64 if variant == "small" else 128
+    fusion_ch = {"small": 64, "base": 128, "test": 32}[variant]
     for i, fc in enumerate(feat_ch):
         lay = f"neck.reassemble_stage.layers.{i}"
         B.conv(f"{lay}.projection", dim, fc, 1)
