@@ -105,3 +105,27 @@ def test_cli_serve_multi_model_routing(tmp_path, monkeypatch):
 
     rc = main(["serve", "-m", str(esr), "--extra-model", str(esr), "-b", "cpu"])
     assert rc != 0  # duplicate family
+
+
+def test_cli_serve_dp_mesh(tmp_path, monkeypatch):
+    """serve --dp N loads mesh-capable models sharded (data parallel over
+    N chips); --batch must divide by --dp; non-sharding families still load."""
+    from test_esrgan import RRDBNet, _write_gguf
+
+    esr = _write_gguf(tmp_path / "esrgan.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+
+    captured = {}
+
+    def fake_serve_forever(**kw):
+        captured.update(kw)
+
+    import vision_tpu.serve_http as sh
+
+    monkeypatch.setattr(sh, "serve_forever", fake_serve_forever)
+    rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2", "--batch", "2"])
+    assert rc == 0
+    model = captured["esrgan_model"]
+    assert model.mesh is not None and model.mesh.shape["dp"] == 2
+
+    rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2", "--batch", "3"])
+    assert rc != 0  # batch not divisible by dp

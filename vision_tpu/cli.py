@@ -120,6 +120,11 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--batch", type=int, default=4, help="serve: max batch size")
     parser.add_argument(
+        "--dp", type=int, default=0, metavar="N",
+        help="serve: shard each request batch over N chips (data parallel "
+        "over ICI; supported for sam/esrgan models, 0 = single chip)",
+    )
+    parser.add_argument(
         "--warmup", action="store_true",
         help="serve: compile every service's batched program before listening",
     )
@@ -203,6 +208,18 @@ def main(argv=None) -> int:
                     return "yolo_model", _load
                 raise VispError(f"serve does not support {fam.value} models")
 
+            mesh = None
+            if args.dp:
+                if args.batch % args.dp:
+                    raise VispError(
+                        f"--batch {args.batch} must be divisible by --dp {args.dp}"
+                    )
+                from .parallel import make_mesh
+
+                mesh = make_mesh(args.dp)
+            # families whose servers shard request batches over the mesh
+            mesh_capable = {"sam_model", "esrgan_model"}
+
             paths = [model_path]
             if args.esrgan_model:  # back-compat alias for --extra-model
                 paths.append(find_model(args.esrgan_model))
@@ -213,7 +230,12 @@ def main(argv=None) -> int:
                     key, load = family_loader(model_detect_family(path))
                     if key in models:
                         raise VispError(f"two models of one family given ({key})")
-                    models[key] = load(path, dev)
+                    if mesh is not None and key in mesh_capable:
+                        models[key] = load(path, dev, mesh=mesh)
+                    else:
+                        if mesh is not None:
+                            print(f"note: {key} does not shard; loading single-chip")
+                        models[key] = load(path, dev)
             serve_forever(batch_size=args.batch, host=args.host, port=args.port,
                           warmup=args.warmup, **models)
 
