@@ -252,3 +252,150 @@ def test_unsupported_ggml_type_raises(tmp_path):
     f = GGUFFile(_write_quant_tensor(tmp_path, GGMLType.Q8_1, blk))
     with pytest.raises(VispError, match="Q8_1"):
         f.tensor("t")
+
+
+# -- K-quants (ggml super-blocks of 256) -----------------------------------
+# The packers below are written independently from the decoder, directly
+# from the ggml-quants.c struct layouts, so the pair (pack here, dequant in
+# core/gguf.py) cross-checks the format without a ggml binary.
+
+
+def _pack_scale_min_k4(sc, mn):
+    """8 (scale, min) 6-bit pairs -> the 12-byte ggml table."""
+    out = np.zeros(12, np.uint8)
+    for j in range(4):
+        out[j] = (sc[j] & 63) | ((sc[j + 4] >> 4) << 6)
+        out[j + 4] = (mn[j] & 63) | ((mn[j + 4] >> 4) << 6)
+        out[j + 8] = (sc[j + 4] & 0x0F) | ((mn[j + 4] & 0x0F) << 4)
+    return out
+
+
+def _pack_q4_k(d, dmin, sc, mn, q):
+    """One Q4_K super-block: q (256,) in [0,15], sub-block j = q[32j:32j+32]."""
+    buf = np.zeros(144, np.uint8)
+    buf[0:2] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    buf[2:4] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+    buf[4:16] = _pack_scale_min_k4(sc, mn)
+    qs = np.zeros(128, np.uint8)
+    for g in range(4):  # per 64-element group: low nibbles then high nibbles
+        lo, hi = q[g * 64 : g * 64 + 32], q[g * 64 + 32 : g * 64 + 64]
+        qs[g * 32 : (g + 1) * 32] = lo | (hi << 4)
+    buf[16:] = qs
+    return buf
+
+
+def test_dequantize_q4_k():
+    from vision_tpu.core.gguf import dequantize_q4_k
+
+    rng = np.random.default_rng(3)
+    blocks, expected = [], []
+    for _ in range(3):
+        d, dmin = rng.uniform(0.01, 0.1), rng.uniform(0.01, 0.1)
+        sc = rng.integers(0, 64, 8).astype(np.uint8)
+        mn = rng.integers(0, 64, 8).astype(np.uint8)
+        q = rng.integers(0, 16, 256).astype(np.uint8)
+        blocks.append(_pack_q4_k(d, dmin, sc, mn, q))
+        d16, m16 = np.float32(np.float16(d)), np.float32(np.float16(dmin))
+        for j in range(8):
+            expected.extend(d16 * sc[j] * q[32 * j : 32 * j + 32] - m16 * mn[j])
+    got = dequantize_q4_k(np.concatenate(blocks).tobytes(), 3 * 256)
+    np.testing.assert_allclose(got, np.array(expected, np.float32), rtol=1e-6, atol=1e-7)
+
+
+def test_dequantize_q5_k():
+    from vision_tpu.core.gguf import dequantize_q5_k
+
+    rng = np.random.default_rng(4)
+    d, dmin = 0.03125, 0.0625  # exact in f16
+    sc = rng.integers(0, 64, 8).astype(np.uint8)
+    mn = rng.integers(0, 64, 8).astype(np.uint8)
+    q = rng.integers(0, 32, 256).astype(np.uint8)  # 5-bit values
+    buf = np.zeros(176, np.uint8)
+    buf[0:2] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    buf[2:4] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+    buf[4:16] = _pack_scale_min_k4(sc, mn)
+    qh = np.zeros(32, np.uint8)
+    qs = np.zeros(128, np.uint8)
+    for j in range(8):  # sub-block j: bit j of qh[l] is the fifth bit
+        sub = q[32 * j : 32 * j + 32]
+        qh |= ((sub >> 4) & 1).astype(np.uint8) << j
+        g, half = divmod(j, 2)
+        if half == 0:
+            qs[g * 32 : (g + 1) * 32] |= sub & 0x0F
+        else:
+            qs[g * 32 : (g + 1) * 32] |= (sub & 0x0F) << 4
+    buf[16:48] = qh
+    buf[48:] = qs
+    expected = np.concatenate(
+        [d * sc[j] * q[32 * j : 32 * j + 32] - dmin * mn[j] for j in range(8)]
+    ).astype(np.float32)
+    got = dequantize_q5_k(buf.tobytes(), 256)
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+
+def test_dequantize_q6_k():
+    from vision_tpu.core.gguf import dequantize_q6_k
+
+    rng = np.random.default_rng(5)
+    d = 0.015625  # exact in f16
+    scales = rng.integers(-128, 128, 16).astype(np.int8)
+    q = rng.integers(0, 64, 256).astype(np.uint8)  # 6-bit values
+    buf = np.zeros(210, np.uint8)
+    ql = np.zeros(128, np.uint8)
+    qh = np.zeros(64, np.uint8)
+    for half in range(2):  # ggml half-block interleave (dequantize_row_q6_K)
+        base = 128 * half
+        for ll in range(32):
+            v = [q[base + ll], q[base + 32 + ll], q[base + 64 + ll], q[base + 96 + ll]]
+            ql[64 * half + ll] = (v[0] & 0x0F) | ((v[2] & 0x0F) << 4)
+            ql[64 * half + 32 + ll] = (v[1] & 0x0F) | ((v[3] & 0x0F) << 4)
+            qh[32 * half + ll] = (
+                (v[0] >> 4) | ((v[1] >> 4) << 2) | ((v[2] >> 4) << 4) | ((v[3] >> 4) << 6)
+            )
+    buf[:128] = ql
+    buf[128:192] = qh
+    buf[192:208] = scales.view(np.uint8)
+    buf[208:210] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    expected = np.concatenate(
+        [
+            d * float(scales[k]) * (q[16 * k : 16 * k + 16].astype(np.float32) - 32.0)
+            for k in range(16)
+        ]
+    )
+    got = dequantize_q6_k(buf.tobytes(), 256)
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+
+def test_k_quant_tensor_roundtrip(tmp_path):
+    """A Q4_K tensor written with add_raw_tensor loads through the normal
+    tensor() path (n_bytes honors the 256-element 144-byte blocks), and
+    keep-quantized residency correctly declines it (expand-only)."""
+    from vision_tpu.core.gguf import GGMLType, GGUFFile, GGUFWriter, dequantize_q4_k
+
+    rng = np.random.default_rng(6)
+    blocks = []
+    for _ in range(4):  # (2, 512) tensor = 4 super-blocks
+        blocks.append(
+            _pack_q4_k(
+                rng.uniform(0.01, 0.1),
+                rng.uniform(0.01, 0.1),
+                rng.integers(0, 64, 8).astype(np.uint8),
+                rng.integers(0, 64, 8).astype(np.uint8),
+                rng.integers(0, 16, 256).astype(np.uint8),
+            )
+        )
+    blob = np.concatenate(blocks).tobytes()
+
+    w = GGUFWriter(tmp_path / "k.gguf", "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add_raw_tensor("t.weight", (2, 512), GGMLType.Q4_K, blob)
+    w.write()
+
+    f = GGUFFile(tmp_path / "k.gguf")
+    assert f.tensors["t.weight"].ggml_type == GGMLType.Q4_K
+    assert f.tensors["t.weight"].n_bytes == 4 * 144
+    arr = f.tensor("t.weight")
+    assert arr.shape == (2, 512) and arr.dtype == np.float32
+    np.testing.assert_array_equal(arr.reshape(-1), dequantize_q4_k(blob, 1024))
+    assert f.is_quantized("t.weight")
+    assert f.tensor_quant_blocks("t.weight") is None  # K-quants expand at load

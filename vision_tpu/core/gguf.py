@@ -65,6 +65,12 @@ class GGMLType(IntEnum):
     Q5_1 = 7
     Q8_0 = 8
     Q8_1 = 9
+    Q2_K = 10
+    Q3_K = 11
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
+    Q8_K = 15
     I8 = 24
     I16 = 25
     I32 = 26
@@ -191,13 +197,101 @@ def dequantize_q5_1(raw: bytes, n_elements: int) -> np.ndarray:
     return (q * d + m).reshape(-1)
 
 
+# -- K-quants (super-blocks of 256; llama.cpp "Q4_K_M"-class files). The
+# reference reads these through ggml's dequantize_row_q*_K; the layouts
+# below mirror ggml-quants.c exactly. Dequant-only: our converter and the
+# requantize verb emit q8_0, but user-supplied K-quant GGUFs must load. --
+
+
+def _k_scale_min(scales12: np.ndarray):
+    """Unpack the 12-byte table of 8 (scale, min) 6-bit pairs used by
+    Q4_K/Q5_K (ggml get_scale_min_k4): pairs 0-3 live in the low 6 bits of
+    bytes j / j+4; pairs 4-7 split across the nibbles of bytes j+4 and the
+    high 2 bits of bytes j-4 / j."""
+    q = scales12
+    sc = np.empty((q.shape[0], 8), np.float32)
+    mn = np.empty((q.shape[0], 8), np.float32)
+    for j in range(4):
+        sc[:, j] = q[:, j] & 63
+        mn[:, j] = q[:, j + 4] & 63
+    for j in range(4, 8):
+        sc[:, j] = (q[:, j + 4] & 0x0F) | ((q[:, j - 4] >> 6) << 4)
+        mn[:, j] = (q[:, j + 4] >> 4) | ((q[:, j] >> 6) << 4)
+    return sc, mn
+
+
+def dequantize_q4_k(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q4_K: d/dmin f16 + 12-byte 6-bit scale/min table + 128 nibble bytes
+    (144 bytes / 256). Per 64-element group, 32 bytes hold the low-nibble
+    sub-block then the high-nibble sub-block; v = d*sc[j]*q - dmin*mn[j]."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 144).reshape(nb, 144)
+    d = buf[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = buf[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _k_scale_min(buf[:, 4:16])
+    q = buf[:, 16:].reshape(nb, 4, 32)
+    out = np.empty((nb, 8, 32), np.float32)
+    out[:, 0::2] = q & 0x0F
+    out[:, 1::2] = q >> 4
+    out = out * (d * sc)[:, :, None] - (dmin * mn)[:, :, None]
+    return out.reshape(-1)
+
+
+def dequantize_q5_k(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q5_K: Q4_K layout + 32 high-bit bytes (176 bytes / 256); sub-block j
+    takes its fifth bit from bit j of qh[l]."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 176).reshape(nb, 176)
+    d = buf[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = buf[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _k_scale_min(buf[:, 4:16])
+    qh = buf[:, 16:48]
+    q = buf[:, 48:].reshape(nb, 4, 32)
+    out = np.empty((nb, 8, 32), np.float32)
+    out[:, 0::2] = q & 0x0F
+    out[:, 1::2] = q >> 4
+    out += ((qh[:, None, :] >> np.arange(8, dtype=np.uint8)[None, :, None]) & 1) * 16.0
+    out = out * (d * sc)[:, :, None] - (dmin * mn)[:, :, None]
+    return out.reshape(-1)
+
+
+def dequantize_q6_k(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q6_K: 128 low-nibble bytes + 64 two-bit-high bytes + 16 int8 scales
+    + d f16 (210 bytes / 256); v = d * sc[l//16 + 2k] * (q - 32) with the
+    ggml half-block interleave (dequantize_row_q6_K)."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 210).reshape(nb, 210)
+    ql = buf[:, :128].reshape(nb, 2, 64)
+    qh = buf[:, 128:192].reshape(nb, 2, 32)
+    sc = buf[:, 192:208].copy().view(np.int8).astype(np.float32).reshape(nb, 2, 4, 2)
+    d = buf[:, 208:210].copy().view(np.float16).astype(np.float32)
+    q1 = (ql[:, :, :32] & 0x0F) | (((qh >> 0) & 3) << 4)
+    q2 = (ql[:, :, 32:] & 0x0F) | (((qh >> 2) & 3) << 4)
+    q3 = (ql[:, :, :32] >> 4) | (((qh >> 4) & 3) << 4)
+    q4 = (ql[:, :, 32:] >> 4) | (((qh >> 6) & 3) << 4)
+    q = np.stack([q1, q2, q3, q4], axis=2).astype(np.float32) - 32.0  # (nb,2,4,32)
+    out = q * np.repeat(sc, 16, axis=3) * d[:, :, None, None]
+    return out.reshape(-1)
+
+
+# ggml_type -> (dequant fn, elements per block, bytes per block)
 _DEQUANTIZE = {
-    GGMLType.Q4_0: (dequantize_q4_0, 18),
-    GGMLType.Q4_1: (dequantize_q4_1, 20),
-    GGMLType.Q5_0: (dequantize_q5_0, 22),
-    GGMLType.Q5_1: (dequantize_q5_1, 24),
-    GGMLType.Q8_0: (dequantize_q8_0, 34),
+    GGMLType.Q4_0: (dequantize_q4_0, 32, 18),
+    GGMLType.Q4_1: (dequantize_q4_1, 32, 20),
+    GGMLType.Q5_0: (dequantize_q5_0, 32, 22),
+    GGMLType.Q5_1: (dequantize_q5_1, 32, 24),
+    GGMLType.Q8_0: (dequantize_q8_0, 32, 34),
+    GGMLType.Q4_K: (dequantize_q4_k, 256, 144),
+    GGMLType.Q5_K: (dequantize_q5_k, 256, 176),
+    GGMLType.Q6_K: (dequantize_q6_k, 256, 210),
 }
+
+# types quant_blocks can decompose for int8-resident weights (core/quant.py);
+# K-quants expand at load instead (their 6-bit scale tables don't reduce to
+# one (q, scale, min) per 32-block without materializing the same f32 data)
+_RESIDENT_TYPES = frozenset(
+    {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0}
+)
 
 
 def quantize_q8_0(x: np.ndarray) -> bytes:
@@ -287,7 +381,8 @@ class TensorInfo:
     @property
     def n_bytes(self) -> int:
         if self.ggml_type in _DEQUANTIZE:
-            return (self.n_elements // 32) * _DEQUANTIZE[self.ggml_type][1]
+            _, block_elems, block_bytes = _DEQUANTIZE[self.ggml_type]
+            return (self.n_elements // block_elems) * block_bytes
         if self.ggml_type == GGMLType.Q8_1:  # readable span; dequant unsupported
             return (self.n_elements // 32) * 36
         if self.ggml_type not in _GGML_NP_DTYPE:
@@ -430,7 +525,7 @@ class GGUFFile:
         info = self.tensors[name]
         raw = self.raw(name)
         if info.ggml_type in _DEQUANTIZE:
-            dequant, _ = _DEQUANTIZE[info.ggml_type]
+            dequant = _DEQUANTIZE[info.ggml_type][0]
             arr = dequant(raw.tobytes(), info.n_elements).reshape(info.shape)
         elif info.ggml_type == GGMLType.BF16:
             arr = bf16_to_f32(raw.view(np.uint16)).reshape(info.shape)
@@ -452,7 +547,7 @@ class GGUFFile:
         """Integer levels + scales of a block-quantized tensor (see
         quant_blocks); None when the tensor is not block-quantized."""
         info = self.tensors[name]
-        if info.ggml_type not in _DEQUANTIZE:
+        if info.ggml_type not in _RESIDENT_TYPES:
             return None
         return quant_blocks(info.ggml_type, self.raw(name).tobytes(), info.n_elements)
 

@@ -86,14 +86,19 @@ def load_weights(
     out: dict[str, Any] = {}
     for name in file.tensor_names():
         if keep_quantized and file.is_quantized(name):
-            q, scale, minv = file.tensor_quant_blocks(name)
-            r = QuantResident(
-                q, scale, minv, tuple(file.tensors[name].shape), None, str(np.dtype(float_dtype))
-            )
-            if layout == "cwhn":
-                r = r.unpermute_cwhn(name)
-            out[name] = r
-            continue
+            # K-quants have no int8-residency decomposition (gguf.py
+            # _RESIDENT_TYPES) -> blocks is None and the tensor expands below
+            blocks = file.tensor_quant_blocks(name)
+            if blocks is not None:
+                q, scale, minv = blocks
+                r = QuantResident(
+                    q, scale, minv, tuple(file.tensors[name].shape), None,
+                    str(np.dtype(float_dtype)),
+                )
+                if layout == "cwhn":
+                    r = r.unpermute_cwhn(name)
+                out[name] = r
+                continue
         a = file.tensor(name)
         if layout == "cwhn":
             a = unpermute_cwhn(name, a)
