@@ -399,3 +399,75 @@ def test_k_quant_tensor_roundtrip(tmp_path):
     np.testing.assert_array_equal(arr.reshape(-1), dequantize_q4_k(blob, 1024))
     assert f.is_quantized("t.weight")
     assert f.tensor_quant_blocks("t.weight") is None  # K-quants expand at load
+
+
+def test_dequantize_q2_k():
+    from vision_tpu.core.gguf import dequantize_q2_k
+
+    rng = np.random.default_rng(7)
+    d, dmin = 0.25, 0.125  # exact in f16
+    sc = rng.integers(0, 16, 16).astype(np.uint8)
+    mn = rng.integers(0, 16, 16).astype(np.uint8)
+    q = rng.integers(0, 4, 256).astype(np.uint8)
+    buf = np.zeros(84, np.uint8)
+    buf[:16] = sc | (mn << 4)
+    qs = np.zeros(64, np.uint8)
+    for half in range(2):  # q-byte l of a half packs bits (2j) of 4 sub-pairs
+        for j in range(4):
+            for l in range(32):
+                qs[half * 32 + l] |= q[half * 128 + j * 32 + l] << (2 * j)
+    buf[16:80] = qs
+    buf[80:82] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    buf[82:84] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+    expected = np.concatenate(
+        [d * sc[s] * q[16 * s : 16 * s + 16].astype(np.float32) - dmin * mn[s] for s in range(16)]
+    )
+    got = dequantize_q2_k(buf.tobytes(), 256)
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+
+def test_dequantize_q3_k():
+    from vision_tpu.core.gguf import dequantize_q3_k
+
+    rng = np.random.default_rng(8)
+    d = 0.0625  # exact in f16
+    scales = rng.integers(0, 64, 16).astype(np.uint8)  # 6-bit, used as sc-32
+    q = rng.integers(-4, 4, 256).astype(np.int8)  # signed 3-bit values
+    # ggml element = (qs two-bit value) - (hmask bit ? 0 : 4): non-negative
+    # values store v&3 with the bit SET, negatives store v+4 with it CLEAR
+    qs = np.zeros(64, np.uint8)
+    hmask = np.zeros(32, np.uint8)
+    for half in range(2):
+        for j in range(4):
+            bit = half * 4 + j
+            for l in range(32):
+                v = int(q[half * 128 + j * 32 + l])
+                if v >= 0:
+                    hmask[l] |= 1 << bit
+                    q2 = v
+                else:
+                    q2 = v + 4
+                qs[half * 32 + l] |= q2 << (2 * j)
+    buf = np.zeros(110, np.uint8)
+    buf[:32] = hmask
+    buf[32:96] = qs
+    # pack 16 6-bit scales (kmask layout): low4 of scale s in byte s (s<8
+    # low nibble, s>=8 high nibble of byte s-8); high2 in byte 8+s%4 shift 2*(s//4)
+    sc12 = np.zeros(12, np.uint8)
+    for s in range(16):
+        lo4, hi2 = scales[s] & 0x0F, scales[s] >> 4
+        if s < 8:
+            sc12[s] |= lo4
+        else:
+            sc12[s - 8] |= lo4 << 4
+        sc12[8 + s % 4] |= hi2 << (2 * (s // 4))
+    buf[96:108] = sc12
+    buf[108:110] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    expected = np.concatenate(
+        [
+            d * (float(scales[s]) - 32.0) * q[16 * s : 16 * s + 16].astype(np.float32)
+            for s in range(16)
+        ]
+    )
+    got = dequantize_q3_k(buf.tobytes(), 256)
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)

@@ -255,6 +255,67 @@ def dequantize_q5_k(raw: bytes, n_elements: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+def dequantize_q2_k(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q2_K: 16 scale bytes (4-bit scale low / 4-bit min high) + 64 two-bit
+    bytes + d/dmin f16 (84 bytes / 256); v = d*sc[s]*q - dmin*mn[s] over 16
+    sub-blocks of 16, quants packed as bits (2j, 2j+1) of q-byte l within
+    each 128-element half (ggml dequantize_row_q2_K)."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 84).reshape(nb, 84)
+    scales = buf[:, :16]
+    qs = buf[:, 16:80].reshape(nb, 2, 32)  # two halves of 32 bytes
+    d = buf[:, 80:82].copy().view(np.float16).astype(np.float32)
+    dmin = buf[:, 82:84].copy().view(np.float16).astype(np.float32)
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    # (nb, half, j, l): two-bit values for sub-blocks (half*4 + j)*2 + l//16
+    q = (qs[:, :, None, :] >> shifts[None, None, :, None]) & 3
+    q = q.reshape(nb, 16, 16).astype(np.float32)  # 16 sub-blocks of 16
+    sc = (scales & 0x0F).astype(np.float32)
+    mn = (scales >> 4).astype(np.float32)
+    out = q * (d * sc)[:, :, None] - (dmin * mn)[:, :, None]
+    return out.reshape(-1)
+
+
+def dequantize_q3_k(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q3_K: 32 high-bit-mask bytes + 64 two-bit bytes + 12 packed 6-bit
+    scale bytes + d f16 (110 bytes / 256); v = d*(sc[s]-32) * (q - (hm?0:4))
+    with sub-block s's high bit at mask bit s of hmask[l%32]
+    (ggml dequantize_row_q3_K, kmask unpack)."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 110).reshape(nb, 110)
+    hmask = buf[:, :32]
+    qs = buf[:, 32:96].reshape(nb, 2, 32)
+    sc12 = buf[:, 96:108]
+    d = buf[:, 108:110].copy().view(np.float16).astype(np.float32)
+    # 16 6-bit signed scales (kmask unpack): scale s takes its low 4 bits
+    # from byte s (s<8: low nibble) or byte s-8 (s>=8: high nibble), and its
+    # high 2 bits from byte 8 + s%4 at shift 2*(s//4)
+    s07_lo = sc12[:, :8] & 0x0F          # scales 0-7 low 4
+    s8f_lo = sc12[:, :8] >> 4            # scales 8-15 low 4
+    hi_src = sc12[:, 8:12]               # bytes c+8
+    hi = np.empty((nb, 16), np.uint8)
+    for s in range(16):
+        byte = hi_src[:, s % 4]
+        shift = 2 * (s // 4)
+        hi[:, s] = (byte >> shift) & 3
+    sc = np.concatenate([s07_lo, s8f_lo], axis=1).astype(np.int16) | (
+        hi.astype(np.int16) << 4
+    )
+    sc = sc.astype(np.float32) - 32.0    # (nb, 16) signed scales
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    q = (qs[:, :, None, :] >> shifts[None, None, :, None]) & 3  # (nb,2,4,32)
+    q = q.reshape(nb, 16, 16).astype(np.float32)
+    # high bit: the mask pointer never advances in ggml — sub-block s reads
+    # bit s//2 (one bit per (half, j) pair, m <<= 1 eight times) of hmask
+    # bytes (s%2)*16..+16; an ABSENT high bit means subtract 4
+    hsel = np.empty((nb, 16, 16), np.uint8)
+    for s in range(16):
+        hsel[:, s] = (hmask[:, (s % 2) * 16 : (s % 2) * 16 + 16] >> (s // 2)) & 1
+    q = q - np.where(hsel.astype(bool), 0.0, 4.0)
+    out = q * (d * sc)[:, :, None]
+    return out.reshape(-1)
+
+
 def dequantize_q6_k(raw: bytes, n_elements: int) -> np.ndarray:
     """Q6_K: 128 low-nibble bytes + 64 two-bit-high bytes + 16 int8 scales
     + d f16 (210 bytes / 256); v = d * sc[l//16 + 2k] * (q - 32) with the
@@ -281,6 +342,8 @@ _DEQUANTIZE = {
     GGMLType.Q5_0: (dequantize_q5_0, 32, 22),
     GGMLType.Q5_1: (dequantize_q5_1, 32, 24),
     GGMLType.Q8_0: (dequantize_q8_0, 32, 34),
+    GGMLType.Q2_K: (dequantize_q2_k, 256, 84),
+    GGMLType.Q3_K: (dequantize_q3_k, 256, 110),
     GGMLType.Q4_K: (dequantize_q4_k, 256, 144),
     GGMLType.Q5_K: (dequantize_q5_k, 256, 176),
     GGMLType.Q6_K: (dequantize_q6_k, 256, 210),
