@@ -471,3 +471,31 @@ def test_dequantize_q3_k():
     )
     got = dequantize_q3_k(buf.tobytes(), 256)
     np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+
+def test_malformed_files_raise_clean_errors(tmp_path):
+    """Bad magic, empty, and truncated files -> VispError with a usable
+    message, never a numpy shape error mid-load (reference ml.cpp throws
+    visp::exception on malformed gguf)."""
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.gguf import GGUFFile, GGUFWriter
+
+    bad = tmp_path / "bad.gguf"
+    bad.write_bytes(b"XXXX" + b"\0" * 64)
+    with pytest.raises(VispError, match="magic"):
+        GGUFFile(bad)
+
+    empty = tmp_path / "empty.gguf"
+    empty.write_bytes(b"")
+    with pytest.raises(VispError, match="magic"):
+        GGUFFile(empty)
+
+    ok = tmp_path / "ok.gguf"
+    w = GGUFWriter(ok, "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add_tensor("w", np.ones((64, 64), np.float32))
+    w.write()
+    trunc = tmp_path / "trunc.gguf"
+    trunc.write_bytes(ok.read_bytes()[:-8192])
+    with pytest.raises(VispError, match="truncated"):
+        GGUFFile(trunc)

@@ -514,6 +514,16 @@ class GGUFFile:
         # Memory-map the data section once; individual tensors are zero-copy
         # views (cast/permute happens at device transfer, see weights.py).
         self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r", offset=self.data_offset)
+        # validate tensor spans up front: a truncated or corrupt file fails
+        # here with a clear error instead of a reshape error mid-load
+        avail = self._mmap.shape[0]
+        for info in infos:
+            if info.offset + info.n_bytes > avail:
+                raise_error(
+                    "{}: tensor '{}' spans past end of file (truncated?): "
+                    "needs {} bytes at offset {}, data section has {}",
+                    self.path, info.name, info.n_bytes, info.offset, avail,
+                )
 
     # -- metadata accessors (reference ml.cpp:219-281) --
 
