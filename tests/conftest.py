@@ -36,6 +36,9 @@ if os.environ.get("VISP_TEST_CACHE", "1") != "0":
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # bound the cache: entries are HLO-hash keyed, so code churn would grow
+    # it monotonically without LRU eviction
+    jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
 
 import numpy as np
 import pytest

@@ -499,3 +499,35 @@ def test_malformed_files_raise_clean_errors(tmp_path):
     trunc.write_bytes(ok.read_bytes()[:-8192])
     with pytest.raises(VispError, match="truncated"):
         GGUFFile(trunc)
+
+
+def test_unknown_tensor_type_opens_file(tmp_path):
+    """A file containing a tensor of a type this reader doesn't support
+    (e.g. an IQ format) still opens; only reading THAT tensor errors."""
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.gguf import GGMLType, GGUFFile, GGUFWriter
+
+    w = GGUFWriter(tmp_path / "iq.gguf", "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add_tensor("ok.weight", np.ones((8,), np.float32))
+    w.add_raw_tensor("weird.weight", (256,), 19, b"\0" * 64)  # IQ2_XXS-ish
+    w.write()
+
+    f = GGUFFile(tmp_path / "iq.gguf")
+    np.testing.assert_array_equal(f.tensor("ok.weight"), np.ones((8,), np.float32))
+    with pytest.raises(VispError, match="unsupported"):
+        f.tensor("weird.weight")
+
+
+def test_bad_block_multiple_rejected(tmp_path):
+    """A quantized tensor whose element count is not a block multiple is
+    rejected at open (it could never decode to its declared shape)."""
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.gguf import GGMLType, GGUFFile, GGUFWriter
+
+    w = GGUFWriter(tmp_path / "b.gguf", "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add_raw_tensor("t.weight", (2, 300), GGMLType.Q4_K, b"\0" * (2 * 144))
+    w.write()
+    with pytest.raises(VispError, match="multiple"):
+        GGUFFile(tmp_path / "b.gguf")

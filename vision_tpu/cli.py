@@ -210,6 +210,8 @@ def main(argv=None) -> int:
 
             mesh = None
             if args.dp:
+                if args.dp < 1:
+                    raise VispError(f"--dp must be >= 1, got {args.dp}")
                 if args.batch % args.dp:
                     raise VispError(
                         f"--batch {args.batch} must be divisible by --dp {args.dp}"

@@ -449,7 +449,7 @@ class TensorInfo:
         if self.ggml_type == GGMLType.Q8_1:  # readable span; dequant unsupported
             return (self.n_elements // 32) * 36
         if self.ggml_type not in _GGML_NP_DTYPE:
-            raise_error("unsupported ggml tensor type: {}", self.ggml_type.name)
+            raise_error("unsupported ggml tensor type: {}", getattr(self.ggml_type, "name", self.ggml_type))
         return self.n_elements * _GGML_NP_DTYPE[self.ggml_type].itemsize
 
 
@@ -490,40 +490,66 @@ class GGUFFile:
             magic = f.read(4)
             if magic != GGUF_MAGIC:
                 raise_error("{}: not a GGUF file (bad magic)", self.path)
-            (self.version,) = struct.unpack("<I", f.read(4))
-            if self.version < 2:
-                raise_error("{}: unsupported GGUF version {}", self.path, self.version)
-            n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
-            for _ in range(n_kv):
-                key = _read_string(f)
-                vtype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
-                self.metadata[key] = _read_value(f, vtype)
-            infos = []
-            for _ in range(n_tensors):
-                name = _read_string(f)
-                (n_dims,) = struct.unpack("<I", f.read(4))
-                ne = struct.unpack(f"<{n_dims}Q", f.read(8 * n_dims))
-                ggml_type = GGMLType(struct.unpack("<I", f.read(4))[0])
-                (offset,) = struct.unpack("<Q", f.read(8))
-                infos.append(TensorInfo(name, tuple(reversed(ne)), ggml_type, offset))
+            try:
+                (self.version,) = struct.unpack("<I", f.read(4))
+                if self.version < 2:
+                    raise_error("{}: unsupported GGUF version {}", self.path, self.version)
+                n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+                for _ in range(n_kv):
+                    key = _read_string(f)
+                    vtype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
+                    self.metadata[key] = _read_value(f, vtype)
+                infos = []
+                for _ in range(n_tensors):
+                    name = _read_string(f)
+                    (n_dims,) = struct.unpack("<I", f.read(4))
+                    ne = struct.unpack(f"<{n_dims}Q", f.read(8 * n_dims))
+                    (type_int,) = struct.unpack("<I", f.read(4))
+                    try:
+                        ggml_type = GGMLType(type_int)
+                    except ValueError:
+                        # type this reader doesn't know (e.g. an IQ format):
+                        # the file still opens; reading THAT tensor errors
+                        ggml_type = type_int  # type: ignore[assignment]
+                    (offset,) = struct.unpack("<Q", f.read(8))
+                    infos.append(TensorInfo(name, tuple(reversed(ne)), ggml_type, offset))
+            except (struct.error, ValueError, UnicodeDecodeError) as e:
+                raise_error("{}: corrupt GGUF header (truncated?): {}", self.path, e)
             self.alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
             pos = f.tell()
             self.data_offset = (pos + self.alignment - 1) // self.alignment * self.alignment
+            f.seek(0, 2)
+            file_size = f.tell()
         for info in infos:
             self.tensors[info.name] = info
-        # Memory-map the data section once; individual tensors are zero-copy
-        # views (cast/permute happens at device transfer, see weights.py).
-        self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r", offset=self.data_offset)
         # validate tensor spans up front: a truncated or corrupt file fails
-        # here with a clear error instead of a reshape error mid-load
-        avail = self._mmap.shape[0]
+        # here with a clear error instead of a reshape error mid-load. Spans
+        # of enum-known but unreadable types (e.g. Q8_K) are skipped — such a
+        # file still opens; only reading THAT tensor errors.
+        avail = max(file_size - self.data_offset, 0)
+        if infos and avail == 0:
+            raise_error("{}: file ends before the tensor data section (truncated?)", self.path)
         for info in infos:
-            if info.offset + info.n_bytes > avail:
+            try:
+                need = info.n_bytes
+            except Exception:
+                continue  # unsupported type: fails at tensor() access instead
+            blk = _DEQUANTIZE[info.ggml_type][1] if info.ggml_type in _DEQUANTIZE else 1
+            if info.n_elements % blk:
+                raise_error(
+                    "{}: tensor '{}' has {} elements, not a multiple of the "
+                    "{}-element {} block",
+                    self.path, info.name, info.n_elements, blk, info.ggml_type.name,
+                )
+            if info.offset + need > avail:
                 raise_error(
                     "{}: tensor '{}' spans past end of file (truncated?): "
                     "needs {} bytes at offset {}, data section has {}",
-                    self.path, info.name, info.n_bytes, info.offset, avail,
+                    self.path, info.name, need, info.offset, avail,
                 )
+        # Memory-map the data section once; individual tensors are zero-copy
+        # views (cast/permute happens at device transfer, see weights.py).
+        self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r", offset=self.data_offset)
 
     # -- metadata accessors (reference ml.cpp:219-281) --
 
@@ -607,7 +633,7 @@ class GGUFFile:
         else:
             raise_error(
                 "{}: tensor '{}' has unsupported ggml type {}",
-                self.path, name, info.ggml_type.name,
+                self.path, name, getattr(info.ggml_type, "name", info.ggml_type),
             )
         if dtype is not None and arr.dtype != dtype:
             arr = arr.astype(dtype)
@@ -618,7 +644,10 @@ class GGUFFile:
 
     def tensor_quant_blocks(self, name: str):
         """Integer levels + scales of a block-quantized tensor (see
-        quant_blocks); None when the tensor is not block-quantized."""
+        quant_blocks); None when the tensor has no int8 residency
+        decomposition — either it is not block-quantized at all, or it is a
+        K-quant (which ``is_quantized`` reports True for but which always
+        expands at load; gguf.py _RESIDENT_TYPES)."""
         info = self.tensors[name]
         if info.ggml_type not in _RESIDENT_TYPES:
             return None

@@ -65,10 +65,18 @@ SAM3_TP_RULES: tuple[tuple[str, P], ...] = DEFAULT_TP_RULES + (
 
 def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
     """Create a (dp, tp) mesh. dp = n_devices // tp."""
+    from ..core.errors import raise_error
+
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices < 1 or tp < 1:
+        raise_error("make_mesh: need n_devices >= 1 and tp >= 1, got {} / {}", n_devices, tp)
+    if n_devices > len(devices):
+        raise_error("make_mesh: need {} devices, have {}", n_devices, len(devices))
+    if n_devices % tp:
+        raise_error("make_mesh: n_devices {} not divisible by tp {}", n_devices, tp)
     devices = np.asarray(devices[:n_devices]).reshape(n_devices // tp, tp)
     return Mesh(devices, ("dp", "tp"))
 
