@@ -142,6 +142,9 @@ def _classify(d: jax.Device) -> BackendType:
     return BackendType.cpu
 
 
+_cpu_pinned = False
+
+
 @lru_cache(maxsize=None)
 def _all_devices():
     return tuple(jax.devices())
@@ -171,6 +174,26 @@ def backend_init(btype: BackendType | None = None) -> Device:
         # cache every program regardless of compile time or size
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if btype == BackendType.cpu:
+        # an explicit CPU request must not initialize accelerator platforms:
+        # device enumeration would connect to the TPU (over a tunnel here,
+        # where a fresh process can stall minutes on connection setup —
+        # NOTES.md), which a CPU-only embedding (C ABI, tests, converters)
+        # should never pay for. Pinning jax_platforms is the only mechanism
+        # that actually prevents plugin initialization (jax.devices("cpu")
+        # still initializes every registered platform), so the FIRST
+        # backend_init(cpu) in a process pins it to CPU; a later request
+        # for an accelerator in the same process gets a clear error.
+        global _cpu_pinned
+        try:
+            import jax._src.xla_bridge as _xb
+
+            uninitialized = not _xb._backends
+        except Exception:
+            uninitialized = False
+        if uninitialized:
+            jax.config.update("jax_platforms", "cpu")
+            _cpu_pinned = True
     devices = _all_devices()
     classified = [(d, _classify(d)) for d in devices]
     if btype is not None:
@@ -179,6 +202,12 @@ def backend_init(btype: BackendType | None = None) -> Device:
                 return Device(d, t, backend_default_flags(t))
         from .errors import raise_error
 
+        if _cpu_pinned and btype != BackendType.cpu:
+            raise_error(
+                "no backend device available for type {} (this process was "
+                "pinned to CPU by an earlier backend_init(cpu); initialize "
+                "the accelerator backend first)", btype,
+            )
         raise_error("no backend device available for type {}", btype)
     for want in (BackendType.tpu, BackendType.gpu, BackendType.cpu):
         for d, t in classified:
