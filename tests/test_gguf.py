@@ -531,3 +531,18 @@ def test_bad_block_multiple_rejected(tmp_path):
     w.write()
     with pytest.raises(VispError, match="multiple"):
         GGUFFile(tmp_path / "b.gguf")
+
+
+def test_dequantize_q8_k():
+    from vision_tpu.core.gguf import dequantize_q8_k
+
+    rng = np.random.default_rng(9)
+    d = 0.0123
+    q = rng.integers(-128, 128, 256).astype(np.int8)
+    buf = np.zeros(292, np.uint8)
+    buf[0:4] = np.frombuffer(np.float32(d).tobytes(), np.uint8)
+    buf[4:260] = q.view(np.uint8)
+    sums = q.reshape(16, 16).sum(axis=1).astype(np.int16)  # bsums (unused on dequant)
+    buf[260:292] = sums.view(np.uint8)
+    got = dequantize_q8_k(buf.tobytes(), 256)
+    np.testing.assert_allclose(got, np.float32(d) * q.astype(np.float32), rtol=1e-7)

@@ -335,6 +335,16 @@ def dequantize_q6_k(raw: bytes, n_elements: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+def dequantize_q8_k(raw: bytes, n_elements: int) -> np.ndarray:
+    """Q8_K: f32 scale + 256 int8 + 16 int16 group sums (292 bytes / 256);
+    v = d * q. The bsums are a dot-product aid ggml ignores on dequant."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 292).reshape(nb, 292)
+    d = buf[:, 0:4].copy().view(np.float32)
+    q = buf[:, 4:260].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
 # ggml_type -> (dequant fn, elements per block, bytes per block)
 _DEQUANTIZE = {
     GGMLType.Q4_0: (dequantize_q4_0, 32, 18),
@@ -347,6 +357,7 @@ _DEQUANTIZE = {
     GGMLType.Q4_K: (dequantize_q4_k, 256, 144),
     GGMLType.Q5_K: (dequantize_q5_k, 256, 176),
     GGMLType.Q6_K: (dequantize_q6_k, 256, 210),
+    GGMLType.Q8_K: (dequantize_q8_k, 256, 292),
 }
 
 # types quant_blocks can decompose for int8-resident weights (core/quant.py);
