@@ -216,6 +216,28 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # device enumeration can stall for minutes (or hang) when the axon
+    # tunnel is in an outage phase (NOTES.md): keep waiting — the driver's
+    # timeout governs — but say WHY on stderr so a stalled bench is
+    # diagnosable from its log
+    import threading
+    import time as _time
+
+    devices_up = threading.Event()
+
+    def _watchdog():
+        t0 = _time.time()
+        while not devices_up.wait(60):
+            print(
+                f"bench: still waiting for device enumeration after "
+                f"{_time.time() - t0:.0f}s (TPU tunnel outage? see NOTES.md)",
+                file=sys.stderr, flush=True,
+            )
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    devices_up.set()
+
     only = sys.argv[1] if len(sys.argv) > 1 else None
     results = []
     # headline LAST: the driver parses the final JSON line

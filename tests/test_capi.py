@@ -237,3 +237,30 @@ def test_c_api_yolov9t_detections_drawn(tmp_path):
     lib.visp_image_destroy(out_data)
     lib.visp_model_destroy(model, 5)
     lib.visp_device_destroy(dev)
+
+
+def test_backend_init_cpu_never_touches_accelerators(tmp_path):
+    """A fresh process asking for the CPU backend must not initialize
+    accelerator platforms (the axon TPU tunnel can stall a fresh process
+    for minutes during outages — NOTES.md): backend_init(cpu) pins
+    jax_platforms before first backend init."""
+    import subprocess
+    import sys
+
+    code = (
+        "from vision_tpu.core.device import BackendType, backend_init\n"
+        "import vision_tpu.core.device as dd\n"
+        "d = backend_init(BackendType.cpu)\n"
+        "assert d.type == BackendType.cpu, d\n"
+        "assert dd._cpu_pinned, 'first cpu init must pin the process'\n"
+        "import jax\n"
+        "assert all(x.platform == 'cpu' for x in jax.devices()), jax.devices()\n"
+        "print('CPU-PIN-OK')\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # must hold even without the env hint
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=120
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "CPU-PIN-OK" in r.stdout
