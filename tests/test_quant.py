@@ -283,3 +283,47 @@ def test_requantize_gguf_roundtrip(tmp_path, capsys):
     rc = main(["quantize", "-m", str(src), "-o", str(tmp_path / "cli.gguf"), "--type", "q8_0"])
     assert rc == 0
     assert model_load(str(tmp_path / "cli.gguf")).is_quantized("body.w")
+
+
+def test_requantize_k_quant_input(tmp_path):
+    """vision-cli quantize accepts a K-quant source: Q4_K payloads expand
+    and re-store as q8_0 within one quantization step of the K-quant
+    values."""
+    from test_gguf import _pack_q4_k
+
+    from vision_tpu.core.gguf import (
+        GGMLType,
+        GGUFFile,
+        GGUFWriter,
+        dequantize_q4_k,
+        requantize_gguf,
+    )
+
+    rng = np.random.default_rng(11)
+    blocks = [
+        _pack_q4_k(
+            rng.uniform(0.01, 0.05),
+            rng.uniform(0.01, 0.05),
+            rng.integers(0, 64, 8).astype(np.uint8),
+            rng.integers(0, 64, 8).astype(np.uint8),
+            rng.integers(0, 16, 256).astype(np.uint8),
+        )
+        for _ in range(4)
+    ]
+    blob = np.concatenate(blocks).tobytes()
+    src = tmp_path / "k.gguf"
+    w = GGUFWriter(src, "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add_raw_tensor("t.weight", (4, 256), GGMLType.Q4_K, blob)
+    w.write()
+
+    dst = requantize_gguf(src, tmp_path / "q8.gguf", "q8_0")
+    g = GGUFFile(dst)
+    assert g.tensors["t.weight"].ggml_type == GGMLType.Q8_0
+    vals = dequantize_q4_k(blob, 4 * 256).reshape(4, 256)
+    got = g.tensor("t.weight")
+    v32 = vals.reshape(-1, 32)
+    step = np.abs(v32).max(axis=1) / 127.0
+    # half a quantization step + the f16 rounding of the per-block scale
+    tol = step[:, None] * 0.51 + np.abs(v32) * 2.0**-10 + 1e-8
+    assert np.all(np.abs(got.reshape(-1, 32) - v32) <= tol)
