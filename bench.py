@@ -239,6 +239,12 @@ def main() -> None:
     devices_up.set()
 
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only is not None and only not in ("all", "esrgan", "mask", "encode"):
+        print(
+            f"bench: unknown selector {only!r} (use esrgan, mask, encode, or all)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     results = []
     # headline LAST: the driver parses the final JSON line
     for name, fn in (

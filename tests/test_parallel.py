@@ -169,6 +169,7 @@ def test_esrgan_tiled_dp_sharded_matches_single_device():
     )
 
 
+@pytest.mark.heavy
 def test_sam3_vision_tp_sharded_matches_single_device():
     """SAM3 vision encoder with Megatron-style tp over a dp x tp mesh:
     q/k/v+fc1 column-parallel, o_proj/fc2 row-parallel (SAM3_TP_RULES),

@@ -265,6 +265,11 @@ def convert_birefnet(model: dict, w: Writer, filename: str):
             heads.append(int(tbl.shape[1]))
             dims.append(int(model[f"bb.layers.{i}.blocks.0.attn.proj.bias"].shape[0]))
             i += 1
+        if not depths:
+            raise_error(
+                "birefnet converter: no 'bb.layers.N.blocks...' keys found — "
+                "cannot derive a custom swin config from this checkpoint"
+            )
         window = (int(round(tbl.shape[0] ** 0.5)) + 1) // 2  # table is (2w-1)^2
         w.add("swin.window", window)
         w.add("swin.depths", depths)

@@ -368,9 +368,12 @@ _RESIDENT_TYPES = frozenset(
 )
 
 
-def quantize_q8_0(x: np.ndarray) -> bytes:
-    """Quantize f32 -> Q8_0 block bytes (ggml quantize_row_q8_0 semantics:
-    per-32 absmax scale d = amax/127, q = rint(x/d); 34 bytes/block)."""
+def q8_0_block_levels(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared Q8_0 absmax block quantization: f32 -> (q int8 (nb, 32),
+    d f32 (nb,)). ggml quantize_row_q8_0 semantics — d = amax/127 and
+    roundf (half AWAY from zero, not numpy's half-to-even) so files match
+    llama-quantize/gguf-py bit-for-bit on exact ties. Used by the file
+    quantizer below and the in-memory residency quantizer (core/quant.py)."""
     a = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
     if a.size % 32 != 0:
         raise_error("quantize_q8_0: size {} not a multiple of 32", a.size)
@@ -378,8 +381,16 @@ def quantize_q8_0(x: np.ndarray) -> bytes:
     amax = np.abs(b).max(axis=1)
     d = (amax / 127.0).astype(np.float32)
     inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0).astype(np.float32)
-    q = np.clip(np.rint(b * inv[:, None]), -127, 127).astype(np.int8)
-    out = np.empty((b.shape[0], 34), np.uint8)
+    v = b * inv[:, None]
+    q = np.clip(np.sign(v) * np.floor(np.abs(v) + 0.5), -127, 127).astype(np.int8)
+    return q, d
+
+
+def quantize_q8_0(x: np.ndarray) -> bytes:
+    """Quantize f32 -> Q8_0 block bytes (34 bytes/block; see
+    q8_0_block_levels for the rounding semantics)."""
+    q, d = q8_0_block_levels(x)
+    out = np.empty((q.shape[0], 34), np.uint8)
     out[:, :2] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
     out[:, 2:] = q.view(np.uint8)
     return out.tobytes()

@@ -131,14 +131,11 @@ def quantize_resident(a: np.ndarray, dtype: str = "bfloat16") -> QuantResident:
     Serving lever: halves ANY model's device footprint at load with no file
     change (the file-side analog is the converter's quantized output).
     """
+    from .gguf import q8_0_block_levels
+
     a = np.asarray(a, np.float32)
-    n = a.size
-    assert n % _BLOCK == 0, f"size {n} not a multiple of {_BLOCK}"
-    blocks = a.reshape(-1, _BLOCK)
-    absmax = np.abs(blocks).max(axis=1)
-    scale = (absmax / 127.0).astype(np.float32)
-    inv = np.where(scale > 0, 1.0 / np.where(scale == 0, 1.0, scale), 0.0)
-    q = np.clip(np.rint(blocks * inv[:, None]), -127, 127).astype(np.int8)
+    assert a.size % _BLOCK == 0, f"size {a.size} not a multiple of {_BLOCK}"
+    q, scale = q8_0_block_levels(a)
     return QuantResident(q.reshape(-1), scale, None, tuple(a.shape), None, dtype)
 
 

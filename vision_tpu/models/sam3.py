@@ -240,22 +240,13 @@ def vision_embed(p: Params, image, patch_size: int):
 
 @lru_cache(maxsize=32)
 def _rope_tables(n_pos: int, n_rows: int, head_dim: int, scale: float):
-    """cos/sin tables for 2D RoPE: x positions for the first half of
-    head_dim, y positions for the second half (sam3.h:391-438)."""
-    base = 10000.0
-    d2 = head_dim // 2  # per-axis rotary dims
+    """cos/sin tables for 2D RoPE in row-major token order: x positions for
+    the first half of head_dim, y for the second (sam3.h:391-438). Thin
+    wrapper over _rope_tables_pos so the frequency math lives once."""
     pos = np.arange(n_pos)
     px = (pos % n_rows).astype(np.float64) * scale
     py = (pos // n_rows).astype(np.float64) * scale
-    freqs = base ** (-np.arange(0, d2, 2, dtype=np.float64) / d2)  # (d2/2,)
-    ang_x = px[:, None] * freqs[None, :]
-    ang_y = py[:, None] * freqs[None, :]
-    return (
-        np.cos(ang_x).astype(np.float32),
-        np.sin(ang_x).astype(np.float32),
-        np.cos(ang_y).astype(np.float32),
-        np.sin(ang_y).astype(np.float32),
-    )
+    return _rope_tables_pos(px, py, head_dim)
 
 
 def _rotate_pairs(x, cos, sin):

@@ -362,7 +362,7 @@ class SamServer:
         x = np.stack([it[0] for it in padded])
         coords = np.stack([it[2] for it in padded])
         masks, ious = self._pipelines[kind](self.model.params, jnp.asarray(x), jnp.asarray(coords))
-        masks = np.asarray(masks)[:n]  # (n, 256, 256): best mask per request
+        masks = np.asarray(masks[:n])  # (n, 256, 256): pad sliced off on device
         out = []
         for i, (_, _, _, extent) in enumerate(items):
             out.append(sam_process_mask(masks[i][None], 0, extent, self.model.p))
@@ -444,7 +444,9 @@ class EsrganServer:
         padded = items + [items[0]] * (self.batch_size - n)
         x = np.stack([it[0] for it in padded])
         fn = self.model._fn(("serve", self.batch_size, extent), True, extent)
-        y = np.asarray(fn(jnp.asarray(x)))[:n]
+        # slice the pad off ON DEVICE: D2H of the full padded batch costs
+        # seconds at tunnel bandwidth for partial groups (NOTES.md)
+        y = np.asarray(fn(jnp.asarray(x))[:n])
         alpha = np.full((*y.shape[1:3], 1), 255, np.uint8)
         return [
             Image(np.ascontiguousarray(np.concatenate([yi, alpha], axis=2)), ImageFormat.rgba_u8)
@@ -541,11 +543,11 @@ class ImageServer:
             from .models.migan import migan_process_output
 
             m = jnp.asarray(np.stack([it[1] for it in padded]))
-            y = np.asarray(self.model._run(self.model.params, x, m).astype(jnp.float32))[:n]
+            y = np.asarray(self.model._run(self.model.params, x, m)[:n].astype(jnp.float32))
             return [migan_process_output(yi, img, mask) for yi, (_, _, _, (img, mask)) in zip(y, items)]
         extent = items[0][1]
         fn = self.model._fn(extent)
-        y = np.asarray(fn(self.model.params, x).astype(jnp.float32))[:n]
+        y = np.asarray(fn(self.model.params, x)[:n].astype(jnp.float32))
         if self.kind == "BirefnetModel":
             from .models.birefnet import birefnet_process_output as post
         else:
@@ -635,8 +637,8 @@ class YoloServer:
         padded = items + [items[0]] * (self.batch_size - n)
         x = jnp.asarray(np.stack([it[0] for it in padded]))
         out = self.model._run(self.model.params, x)
-        boxes = np.asarray(out.boxes.astype(jnp.float32))[:n]
-        scores = np.asarray(out.scores.astype(jnp.float32))[:n]
+        boxes = np.asarray(out.boxes[:n].astype(jnp.float32))
+        scores = np.asarray(out.scores[:n].astype(jnp.float32))
         results = []
         for b, s, (_, (extent, gain, dw, dh), conf, iou) in zip(boxes, scores, items):
             dets = non_max_suppression(b, s, conf, iou)

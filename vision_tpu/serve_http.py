@@ -100,6 +100,7 @@ class VisionHTTPServer:
                 svc.warmup()
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._thread: threading.Thread | None = None
+        self._serving = False
 
     @property
     def port(self) -> int:
@@ -107,11 +108,13 @@ class VisionHTTPServer:
 
     def start(self):
         """Serve in a background thread (tests / embedding)."""
+        self._serving = True
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
 
     def serve_forever(self):
+        self._serving = True
         self._httpd.serve_forever()
 
     def stats(self) -> dict:
@@ -128,7 +131,10 @@ class VisionHTTPServer:
         return out
 
     def close(self):
-        self._httpd.shutdown()
+        # shutdown() blocks on an event only serve_forever() sets — calling
+        # it on a server that never started would deadlock
+        if self._serving:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join()
@@ -251,4 +257,7 @@ def serve_forever(sam_model=None, esrgan_model=None, **kw):
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
+        pass
+    finally:
+        # close on ANY exit so batch workers and the socket never leak
         srv.close()
