@@ -133,6 +133,65 @@ def test_batch_server_prepare_exception_travels_to_caller():
             fut.result(timeout=10)
 
 
+def test_batch_server_survives_cancelled_future():
+    """A client cancelling its Future must not kill the batch worker:
+    set_result on a cancelled Future raises InvalidStateError, which used
+    to unwind the worker thread and hang every later request."""
+
+    def fn(items):
+        time.sleep(0.02)
+        return items
+
+    with BatchServer(fn, batch_size=4, max_delay_ms=1) as srv:
+        futs = [srv.submit(i) for i in range(8)]
+        cancelled = sum(1 for f in futs[:4] if f.cancel())
+        # server still serves new requests afterwards
+        assert srv.compute(99) == 99
+        for f in futs:
+            if not f.cancelled():
+                assert f.result(timeout=10) in range(8)
+        assert cancelled >= 0  # cancellation racing dispatch is fine either way
+
+
+def test_batch_server_survives_bad_bucket_key():
+    """A bucket_key that raises for one item delivers the exception to THAT
+    caller and keeps the worker alive (it used to kill the thread and hang
+    every pending request + deadlock close())."""
+
+    def key(item):
+        if item == "bad":
+            raise ValueError("unkeyable")
+        return None
+
+    with BatchServer(lambda items: items, batch_size=2, max_delay_ms=5, bucket_key=key) as srv:
+        bad = srv.submit("bad")
+        good = srv.submit("good")
+        with pytest.raises(ValueError, match="unkeyable"):
+            bad.result(timeout=10)
+        assert good.result(timeout=10) == "good"
+
+
+def test_batch_server_partial_bucket_keeps_its_window():
+    """One bucket filling must not flush a partial sibling bucket that is
+    still inside its own max_delay window (per-bucket deadlines)."""
+    import threading as _t
+
+    release = _t.Event()
+
+    def fn(items):
+        return items
+
+    with BatchServer(fn, batch_size=2, max_delay_ms=500, bucket_key=lambda x: x % 2) as srv:
+        f_odd = srv.submit(1)          # partial odd bucket opens its window
+        f_e1, f_e2 = srv.submit(2), srv.submit(4)  # even bucket FILLS
+        assert f_e1.result(timeout=10) == 2 and f_e2.result(timeout=10) == 4
+        # odd bucket must still be waiting (window 500 ms, not flushed)
+        assert not f_odd.done()
+        f_odd2 = srv.submit(3)          # second odd item -> fills -> dispatch
+        assert f_odd.result(timeout=10) == 1 and f_odd2.result(timeout=10) == 3
+    assert srv.stats.batches == 2
+
+
 def test_batch_server_close_race_resolves_all():
     """submit() racing close(): every future that submit() returned must
     resolve — an entry landing behind the shutdown sentinel used to hang."""
@@ -338,7 +397,13 @@ def test_yolo_server():
     img_a = Image(rng.integers(0, 255, (120, 160, 3), np.uint8), ImageFormat.rgb_u8)
     img_b = Image(rng.integers(0, 255, (90, 100, 3), np.uint8), ImageFormat.rgb_u8)
 
-    with YoloServer(model, batch_size=2, max_delay_ms=10_000, conf_thres=0.01) as srv:
+    # max_candidates=all anchors: exact parity with the unbatched predict
+    # path (random weights put every anchor at ~0.5 score, so ANY top-k
+    # truncation would pick a different tie subset; real weights have
+    # distinct scores and use the production default)
+    with YoloServer(
+        model, batch_size=2, max_delay_ms=10_000, conf_thres=0.01, max_candidates=8400
+    ) as srv:
         fa = srv.submit(img_a)
         fb = srv.submit(img_b, conf_thres=0.99)  # different sizes still batch:
         da, db = fa.result(timeout=600), fb.result(timeout=600)
@@ -365,9 +430,12 @@ def test_server_warmup_compiles_before_traffic():
     rng = np.random.default_rng(13)
     with ImageServer(mg, batch_size=2, max_delay_ms=5) as srv:
         srv.warmup()
-        assert srv.stats.batches == 1
+        # warmup compiled the program AND reset the stats so its compile
+        # latency / padding-only batch don't poison the percentiles
+        assert srv.stats.batches == 0 and srv.stats.requests == 0
+        assert srv.stats.p50_latency_ms == 0.0
         img = Image(rng.integers(0, 255, (64, 64, 4), np.uint8), ImageFormat.rgba_u8)
         mask = Image(np.full((64, 64, 1), 255, np.uint8), ImageFormat.alpha_u8)
         out = srv.compute((img, mask))
         assert out.extent == img.extent
-        assert srv.stats.batches == 2
+        assert srv.stats.batches == 1

@@ -34,6 +34,7 @@ import threading
 import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Any, Callable, Sequence
 
 import numpy as np
@@ -41,6 +42,15 @@ import numpy as np
 __all__ = ["BatchServer", "ServerStats", "SamServer", "EsrganServer", "ImageServer", "YoloServer"]
 
 _LATENCY_WINDOW = 4096  # most recent request latencies kept for percentiles
+
+
+def _deliver_exception(fut: Future, exc: BaseException) -> None:
+    """set_exception tolerant of a client having cancelled the Future
+    (InvalidStateError from a worker thread would kill the worker)."""
+    try:
+        fut.set_exception(exc)
+    except Exception:
+        pass
 
 
 @dataclass
@@ -76,6 +86,16 @@ class ServerStats:
     @property
     def p99_latency_ms(self) -> float:
         return self.latency_ms(99.0)
+
+    def reset(self) -> None:
+        """Zero all counters and the latency window — called after warmup so
+        multi-minute first-compile latencies and padding-only warmup batches
+        don't poison the percentiles a dashboard reads."""
+        with self._lock:
+            self.requests = 0
+            self.batches = 0
+            self.batched_items = 0
+            self._latencies_ms.clear()
 
 
 class BatchServer:
@@ -116,6 +136,7 @@ class BatchServer:
         self._prepare = prepare
         self._queue: queue.Queue = queue.Queue()
         self._pending: dict[Any, list] = {}
+        self._deadlines: dict[Any, float] = {}  # per-bucket batch-window end
         self.stats = ServerStats()
         self._closed = False
         # guards the _closed flag vs. queue writes: nothing may enqueue
@@ -149,7 +170,7 @@ class BatchServer:
         try:
             prepared = self._prepare(item)
         except BaseException as e:  # noqa: BLE001 — prep failures travel to the caller
-            fut.set_exception(e)
+            _deliver_exception(fut, e)
             return
         # no lock needed: close() drains this pool BEFORE the sentinel
         self._queue.put((prepared, fut, t0))
@@ -191,11 +212,25 @@ class BatchServer:
         return True
 
     def _bucket(self, entry) -> None:
-        item = entry[0]
-        self._pending.setdefault(self._bucket_key(item), []).append(entry)
+        item, fut, _ = entry
+        try:
+            key = self._bucket_key(item)
+        except BaseException as e:  # noqa: BLE001 — a bad key must not kill the worker
+            _deliver_exception(fut, e)
+            return
+        if key not in self._pending:
+            self._deadlines[key] = time.monotonic() + self.max_delay
+        self._pending.setdefault(key, []).append(entry)
 
     def _dispatch(self, group: list) -> None:
-        items = [it for it, _, _ in group]
+        # claim each Future (-> RUNNING, after which client cancel() fails);
+        # entries whose client already cancelled are dropped — calling
+        # set_result on a cancelled Future raises InvalidStateError, which
+        # would kill this worker thread and hang every later request
+        live = [e for e in group if e[1].set_running_or_notify_cancel()]
+        if not live:
+            return
+        items = [it for it, _, _ in live]
         try:
             results = self._fn(items)
             if len(results) != len(items):
@@ -203,16 +238,16 @@ class BatchServer:
                     f"batch fn returned {len(results)} results for {len(items)} items"
                 )
         except BaseException as e:  # noqa: BLE001 — failures travel to callers
-            for _, fut, _ in group:
+            for _, fut, _ in live:
                 fut.set_exception(e)
             return
         with self.stats._lock:
             self.stats.batches += 1
             self.stats.batched_items += len(items)
         done = time.perf_counter()
-        for (_, fut, _), res in zip(group, results):
+        for (_, fut, _), res in zip(live, results):
             fut.set_result(res)
-        self.stats._record_latencies([(done - t0) * 1e3 for _, _, t0 in group])
+        self.stats._record_latencies([(done - t0) * 1e3 for _, _, t0 in live])
 
     def _drain_queue(self) -> None:
         while True:
@@ -227,21 +262,23 @@ class BatchServer:
         alive = True
         while alive or self._pending:
             if alive:
-                alive = self._take(timeout=0.05)
-                if not self._pending:
-                    continue
-                # batch window: wait for more same-bucket items until one
-                # bucket fills or the delay budget runs out
-                deadline = time.monotonic() + self.max_delay
-                while alive and max(len(v) for v in self._pending.values()) < self.batch_size:
-                    left = deadline - time.monotonic()
-                    if left <= 0:
-                        break
-                    alive = self._take(timeout=left)
-            if not alive:
-                self._drain_queue()
+                # wake by the soonest bucket deadline (each bucket keeps its
+                # OWN max_delay window: one bucket filling must not flush a
+                # partial sibling that is still collecting requests)
+                timeout = 0.05
+                if self._pending:
+                    soonest = min(self._deadlines[k] for k in self._pending)
+                    timeout = min(max(soonest - time.monotonic(), 0.0), 0.05)
+                alive = self._take(timeout=timeout)
+                if not alive:
+                    self._drain_queue()
+            now = time.monotonic()
             for key in list(self._pending):
-                bucket = self._pending.pop(key)
+                bucket = self._pending[key]
+                if alive and len(bucket) < self.batch_size and now < self._deadlines[key]:
+                    continue  # inside its batch window and not full
+                del self._pending[key]
+                self._deadlines.pop(key, None)
                 for i in range(0, len(bucket), self.batch_size):
                     self._dispatch(bucket[i : i + self.batch_size])
 
@@ -253,6 +290,53 @@ def _dummy_image(extent=(64, 64), fmt=None):
 
     w, h = extent
     return Image(np.zeros((h, w, 4), np.uint8), fmt or ImageFormat.rgba_u8)
+
+
+@lru_cache(maxsize=None)
+def _sam_serve_pipelines(dtype_str: str, flash: bool, mesh):
+    """Jitted fused encode+decode group pipelines, shared across SamServer
+    instances of one (dtype, flash, mesh) config — weights are arguments,
+    so a second server reuses the first's executables instead of paying
+    the multi-minute TPU trace+compile again."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core.params import Params
+    from .models.mobile_sam import (
+        sam_encode_box,
+        sam_encode_image,
+        sam_encode_points,
+        sam_predict_mask,
+    )
+    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+
+    dtype = jnp.dtype(dtype_str)
+
+    def pipeline(encode_prompt):
+        def run(weights, x_u8, coords):
+            pp = Params(weights)
+            x = normalize_u8(x_u8, IMAGENET_MEAN, IMAGENET_STD, dtype)
+            embeds = sam_encode_image(pp, x, flash=flash)
+
+            def one(embed, c):
+                pred = sam_predict_mask(pp, embed[None], encode_prompt(pp, c))
+                # best-mask selection on device (reference argmax-IoU,
+                # vision.cpp:80-84): ships ONE mask per request across
+                # the D2H boundary instead of all four candidates
+                idx = jnp.argmax(pred.iou[0, :3])
+                return pred.masks[0, idx], pred.iou[0]
+
+            masks, ious = jax.vmap(one)(embeds, coords)
+            return masks.astype(jnp.float32), ious.astype(jnp.float32)
+
+        if mesh is not None:
+            from .parallel import batch_sharding
+
+            bs = batch_sharding(mesh)
+            return jax.jit(run, in_shardings=(None, bs, bs), out_shardings=(bs, bs))
+        return jax.jit(run)
+
+    return {"point": pipeline(sam_encode_points), "box": pipeline(sam_encode_box)}
 
 
 class SamServer:
@@ -274,53 +358,15 @@ class SamServer:
         max_delay_ms: float = 2.0,
         prep_workers: int = 4,
     ):
-        import jax
-        import jax.numpy as jnp
-
-        from .core.params import Params
-        from .models.mobile_sam import (
-            sam_encode_box,
-            sam_encode_image,
-            sam_encode_points,
-            sam_predict_mask,
-        )
-        from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_u8
+        from .core.device import BuildFlag
 
         self.model = model
         self.batch_size = batch_size
         dtype = model.device.preferred_float_type
-        from .core.device import BuildFlag
-
         flash = bool(model.device.flags & BuildFlag.flash_attention)
-
-        def pipeline(encode_prompt):
-            def run(weights, x_u8, coords):
-                pp = Params(weights)
-                x = normalize_u8(x_u8, IMAGENET_MEAN, IMAGENET_STD, dtype)
-                embeds = sam_encode_image(pp, x, flash=flash)
-
-                def one(embed, c):
-                    pred = sam_predict_mask(pp, embed[None], encode_prompt(pp, c))
-                    # best-mask selection on device (reference argmax-IoU,
-                    # vision.cpp:80-84): ships ONE mask per request across
-                    # the D2H boundary instead of all four candidates
-                    idx = jnp.argmax(pred.iou[0, :3])
-                    return pred.masks[0, idx], pred.iou[0]
-
-                masks, ious = jax.vmap(one)(embeds, coords)
-                return masks.astype(jnp.float32), ious.astype(jnp.float32)
-
-            if model.mesh is not None:
-                from .parallel import batch_sharding
-
-                bs = batch_sharding(model.mesh)
-                return jax.jit(run, in_shardings=(None, bs, bs), out_shardings=(bs, bs))
-            return jax.jit(run)
-
-        self._pipelines = {
-            "point": pipeline(sam_encode_points),
-            "box": pipeline(sam_encode_box),
-        }
+        # shared across instances (same convention as _sam_programs): two
+        # SamServers of one config reuse the same traced/compiled pipelines
+        self._pipelines = _sam_serve_pipelines(str(np.dtype(dtype)), flash, model.mesh)
         if model.mesh is not None:
             dp = model.mesh.shape["dp"]
             if batch_size % dp:
@@ -378,6 +424,9 @@ class SamServer:
                 self.compute(img, point=(32, 32))
             else:
                 self.compute(img, box=((8, 8), (56, 56)))
+        # first-compile latencies (minutes on a cold TPU) and padding-only
+        # warmup batches must not poison the percentiles/occupancy
+        self.stats.reset()
 
     def submit(self, image, point=None, box=None) -> Future:
         if (point is None) == (box is None):
@@ -418,9 +467,18 @@ class EsrganServer:
         batch_size: int = 4,
         max_delay_ms: float = 2.0,
         prep_workers: int = 2,
+        max_pixels: int = 1024 * 1024,
     ):
         self.model = model
         self.batch_size = batch_size
+        # whole-image serving limit: an oversized request would trigger a
+        # one-off multi-minute compile + huge activations; the tiled
+        # EsrganModel.compute path exists for those
+        self.max_pixels = max_pixels
+        if model.mesh is not None:
+            dp = model.mesh.shape["dp"]
+            if batch_size % dp:
+                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         self._server = BatchServer(
             self._run_group,
             batch_size=batch_size,
@@ -432,6 +490,12 @@ class EsrganServer:
 
     # raw request = Image; prepared = (rgb_u8 array, extent)
     def _prepare(self, image):
+        w, h = image.extent
+        if w * h > self.max_pixels:
+            raise ValueError(
+                f"image {image.extent} exceeds the whole-image serving limit "
+                f"({self.max_pixels} px); use EsrganModel.compute's tiled path"
+            )
         return (image.to_rgb_u8(), image.extent)
 
     def _run_group(self, items: list):
@@ -457,6 +521,7 @@ class EsrganServer:
         """Compile the batched program for ``extent`` before taking traffic
         (extent buckets compile separately — warm the sizes you serve)."""
         self.compute(_dummy_image(extent))
+        self.stats.reset()  # compile latency must not poison the percentiles
 
     def submit(self, image) -> Future:
         return self._server.submit(image)
@@ -564,12 +629,19 @@ class ImageServer:
 
             mask = Image(np.zeros((res[1], res[0], 1), np.uint8), ImageFormat.alpha_u8)
             self.compute((_dummy_image(res), mask))
+            self.stats.reset()
             return
         if extent is None:
-            extent = (
-                self.model.p.image_extent if self.kind == "BirefnetModel" else (518, 518)
-            )
+            if self.kind == "BirefnetModel":
+                extent = self.model.p.image_extent
+            else:
+                # the model's own snap target, not a hard-coded 518: a
+                # variant with a different detected image_size would
+                # otherwise warm the wrong shape bucket
+                size = self.model.p.image_size
+                extent = (size, size)
         self.compute(_dummy_image(extent))
+        self.stats.reset()
 
     def submit(self, request) -> Future:
         return self._server.submit(request)
@@ -591,6 +663,28 @@ class ImageServer:
         self.close()
 
 
+def _yolo_topk_program(model, k: int):
+    """Batched detection forward + top-k candidate extraction on device."""
+    import jax
+    import jax.numpy as jnp
+
+    run = model._run
+
+    @jax.jit
+    def fn(weights, x):
+        out = run(weights, x)
+        smax = jnp.max(out.scores, axis=-1)  # (B, A) best class per anchor
+        _, idx = jax.lax.top_k(smax, k)  # (B, K)
+        # restore anchor order: NMS breaks score ties by candidate order,
+        # which must match the unbatched predict path
+        idx = jnp.sort(idx, axis=-1)
+        b = jnp.take_along_axis(out.boxes, idx[..., None], axis=1)
+        sc = jnp.take_along_axis(out.scores, idx[..., None], axis=1)
+        return b.astype(jnp.float32), sc.astype(jnp.float32)
+
+    return fn
+
+
 class YoloServer:
     """Concurrent object detection on a Yolov9tModel.
 
@@ -603,11 +697,19 @@ class YoloServer:
     """
 
     def __init__(self, model, batch_size: int = 8, max_delay_ms: float = 2.0,
-                 prep_workers: int = 2, conf_thres: float = 0.25, iou_thres: float = 0.45):
+                 prep_workers: int = 2, conf_thres: float = 0.25, iou_thres: float = 0.45,
+                 max_candidates: int = 1024):
         self.model = model
         self.batch_size = batch_size
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
+        # device-side candidate extraction: only the top-K anchors by max
+        # class score cross D2H (K * 84 floats vs all 8400 * 84 — ~8x less
+        # transfer; SamServer does the analogous on-device reduction). K
+        # bounds the candidates NMS sees: with pathologically low conf
+        # thresholds (< ~0.05) raise max_candidates to match.
+        n_anchors = sum((model.p.input_size // st) ** 2 for st in (8, 16, 32))
+        self._topk = _yolo_topk_program(model, min(max_candidates, n_anchors))
         self._server = BatchServer(
             self._run_group,
             batch_size=batch_size,
@@ -636,9 +738,9 @@ class YoloServer:
         n = len(items)
         padded = items + [items[0]] * (self.batch_size - n)
         x = jnp.asarray(np.stack([it[0] for it in padded]))
-        out = self.model._run(self.model.params, x)
-        boxes = np.asarray(out.boxes[:n].astype(jnp.float32))
-        scores = np.asarray(out.scores[:n].astype(jnp.float32))
+        b_dev, s_dev = self._topk(self.model.params, x)
+        boxes = np.asarray(b_dev[:n])
+        scores = np.asarray(s_dev[:n])
         results = []
         for b, s, (_, (extent, gain, dw, dh), conf, iou) in zip(boxes, scores, items):
             dets = non_max_suppression(b, s, conf, iou)
@@ -649,6 +751,7 @@ class YoloServer:
         """Compile the batched detection program (letterbox gives every
         request the same bucket, so one dummy request warms everything)."""
         self.compute(_dummy_image())
+        self.stats.reset()
 
     def submit(self, image, conf_thres=None, iou_thres=None) -> Future:
         """Per-request thresholds override the server defaults (NMS is
