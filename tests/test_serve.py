@@ -181,11 +181,11 @@ def test_batch_server_partial_bucket_keeps_its_window():
     def fn(items):
         return items
 
-    with BatchServer(fn, batch_size=2, max_delay_ms=500, bucket_key=lambda x: x % 2) as srv:
+    with BatchServer(fn, batch_size=2, max_delay_ms=5000, bucket_key=lambda x: x % 2) as srv:
         f_odd = srv.submit(1)          # partial odd bucket opens its window
         f_e1, f_e2 = srv.submit(2), srv.submit(4)  # even bucket FILLS
         assert f_e1.result(timeout=10) == 2 and f_e2.result(timeout=10) == 4
-        # odd bucket must still be waiting (window 500 ms, not flushed)
+        # odd bucket must still be waiting inside its own 5 s window
         assert not f_odd.done()
         f_odd2 = srv.submit(3)          # second odd item -> fills -> dispatch
         assert f_odd.result(timeout=10) == 1 and f_odd2.result(timeout=10) == 3
