@@ -439,3 +439,31 @@ def test_server_warmup_compiles_before_traffic():
         out = srv.compute((img, mask))
         assert out.extent == img.extent
         assert srv.stats.batches == 1
+
+
+def test_image_server_migan_prep_does_not_premultiply_mask():
+    """An off-resolution RGBA request (alpha = inpaint mask) must keep its
+    RGB content through the resize: the stb path alpha-premultiplies, which
+    used to black out the whole keep region (alpha 0 there) before the
+    model ever saw it."""
+    from vision_tpu.core.device import backend_init
+    from vision_tpu.image import Image, ImageFormat
+    from vision_tpu.models.migan import MiganModel, MiganParams
+    from vision_tpu.models.random_weights import random_migan_params
+    from vision_tpu.serve import ImageServer
+
+    dev = backend_init()
+    mg = MiganModel(random_migan_params(64), MiganParams(resolution=64), dev)
+    srv = ImageServer(mg, batch_size=1, max_delay_ms=1)
+    try:
+        rgba = np.full((32, 32, 4), 200, np.uint8)
+        rgba[:, :, 3] = 0  # keep everything; small fill hole
+        rgba[12:20, 12:20, 3] = 255
+        img = Image(rgba, ImageFormat.rgba_u8)
+        mask = Image(np.ascontiguousarray(rgba[:, :, 3:4]), ImageFormat.alpha_u8)
+        x, m, res, _ = srv._prepare((img, mask))
+        assert res == (64, 64) and x.shape == (64, 64, 3)
+        # keep-region conditioning stays bright (was 0 with the premultiply bug)
+        assert float(x[:8, :8].mean()) > 150.0, float(x[:8, :8].mean())
+    finally:
+        srv.close()

@@ -174,3 +174,31 @@ def test_http_yolo_endpoint():
         for d in dets[:3]:
             assert set(d) == {"box", "confidence", "class_id", "class_name"}
             assert len(d["box"]) == 4
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_http_client_errors_are_400(http_server):
+    """Undecodable bodies and malformed params are the CLIENT's fault."""
+    import urllib.error
+    import urllib.request
+
+    port = http_server.port
+    for url, body in (
+        (f"http://127.0.0.1:{port}/v1/esrgan", b"this is not an image"),
+        (f"http://127.0.0.1:{port}/v1/sam/mask?box=1,2,3",
+         _png(np.zeros((24, 32, 3), np.uint8))),
+    ):
+        try:
+            urllib.request.urlopen(urllib.request.Request(url, data=body), timeout=600)
+            raise AssertionError(f"{url} accepted a bad request")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (url, e.code)
+    # unknown route stays 404 even with a non-image body (route-first)
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(f"http://127.0.0.1:{port}/v1/nope", data=b"x"), timeout=60
+        )
+        raise AssertionError("unknown route accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -580,6 +580,14 @@ class ImageServer:
         if self.kind == "MiganModel":
             image, mask = request
             res = (self.model.p.resolution, self.model.p.resolution)
+            # condition on RGB only BEFORE any resize: stb resize alpha-
+            # premultiplies, and for migan the request alpha channel is the
+            # inpaint MASK — premultiplying would black out the keep region
+            if image.data.ndim == 3 and image.data.shape[2] == 4:
+                from .image import Image as _Image
+                from .image import ImageFormat as _Fmt
+
+                image = _Image(np.ascontiguousarray(image.to_rgb_u8()), _Fmt.rgb_u8)
             img_r = image if image.extent == res else image_scale(image, res, preprocess_scale_method())
             mask_r = mask if mask.extent == res else image_scale(mask, res, preprocess_scale_method())
             m = mask_r.data[:, :, :1]

@@ -36,6 +36,24 @@ from urllib.parse import parse_qs, urlparse
 __all__ = ["VisionHTTPServer", "serve_forever"]
 
 
+def _client_error_types():
+    # ValueError covers malformed query params and the servers' own request
+    # validation (e.g. EsrganServer max_pixels); UnidentifiedImageError is
+    # undecodable body bytes. Deliberately NOT broader (KeyError/OSError
+    # would misclassify genuine server faults as 400s).
+    errs = [ValueError]
+    try:
+        from PIL import UnidentifiedImageError
+
+        errs.insert(0, UnidentifiedImageError)
+    except Exception:
+        pass
+    return tuple(errs)
+
+
+_CLIENT_ERRORS = _client_error_types()
+
+
 def _load_image_bytes(data: bytes):
     from PIL import Image as PILImage
 
@@ -44,7 +62,12 @@ def _load_image_bytes(data: bytes):
     import numpy as np
 
     pil = PILImage.open(io.BytesIO(data))
-    pil = pil.convert("RGB") if pil.mode not in ("RGB", "RGBA", "L") else pil
+    if pil.mode == "P":
+        # palette PNGs: keep a transparency chunk as alpha (image_load's
+        # behavior, image/image.py) instead of silently dropping it
+        pil = pil.convert("RGBA" if "transparency" in pil.info else "RGB")
+    elif pil.mode not in ("RGB", "RGBA", "L"):
+        pil = pil.convert("RGB")
     return image_load_array(np.asarray(pil))
 
 
@@ -78,6 +101,22 @@ class VisionHTTPServer:
         from .serve import EsrganServer, ImageServer, SamServer, YoloServer
 
         self.services = {}
+        try:
+            self._build(sam_model, esrgan_model, birefnet_model, depthany_model,
+                        migan_model, yolo_model, batch_size, max_delay_ms,
+                        host, port, warmup)
+        except BaseException:
+            # a bind/warmup/validation failure must not leak the worker and
+            # prep threads of the services already constructed
+            for svc in self.services.values():
+                svc.close()
+            raise
+
+    def _build(self, sam_model, esrgan_model, birefnet_model, depthany_model,
+               migan_model, yolo_model, batch_size, max_delay_ms, host, port,
+               warmup):
+        from .serve import EsrganServer, ImageServer, SamServer, YoloServer
+
         if sam_model is not None:
             self.services["sam"] = SamServer(sam_model, batch_size=batch_size,
                                              max_delay_ms=max_delay_ms)
@@ -150,17 +189,12 @@ class VisionHTTPServer:
 
 def _make_handler(server: VisionHTTPServer):
     class Handler(BaseHTTPRequestHandler):
-        daemon_threads = True
+        # bound rfile reads: a client that sends fewer bytes than its
+        # Content-Length would otherwise pin a handler thread forever
+        timeout = 60
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
-
-        def _send(self, code: int, body: bytes, ctype: str):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
 
         def _json(self, code: int, obj):
             self._send(code, json.dumps(obj).encode(), "application/json")
@@ -171,63 +205,71 @@ def _make_handler(server: VisionHTTPServer):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _send(self, code: int, body: bytes, ctype: str):
+            self._responded = True
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
+            self._responded = False
             url = urlparse(self.path)
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                # resolve the route BEFORE paying for body decode
+                route = url.path
+                known = {"/v1/sam/mask": "sam", "/v1/esrgan": "esrgan",
+                         "/v1/birefnet": "birefnet", "/v1/depthany": "depthany",
+                         "/v1/migan": "migan", "/v1/yolo": "yolo"}
+                if route not in known:
+                    return self._json(404, {"error": "not found"})
+                svc = server.services.get(known[route])
+                if svc is None:
+                    return self._json(404, {"error": f"no {known[route]} model loaded"})
+
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    return self._json(400, {"error": "malformed Content-Length"})
                 if n <= 0:
+                    if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
+                        return self._json(411, {"error": "chunked bodies unsupported; "
+                                                "send Content-Length"})
                     return self._json(400, {"error": "empty body"})
-                img = _load_image_bytes(self.rfile.read(n))
-                q = parse_qs(url.query)
 
-                if url.path == "/v1/sam/mask":
-                    svc = server.services.get("sam")
-                    if svc is None:
-                        return self._json(404, {"error": "no sam model loaded"})
-                    if "box" in q:
-                        x0, y0, x1, y1 = (int(v) for v in q["box"][0].split(","))
-                        fut = svc.submit(img, box=((x0, y0), (x1, y1)))
-                    else:
-                        x = int(q.get("x", [img.width // 2])[0])
-                        y = int(q.get("y", [img.height // 2])[0])
-                        fut = svc.submit(img, point=(x, y))
-                    return self._send(200, _png_bytes(fut.result()), "image/png")
+                try:
+                    img = _load_image_bytes(self.rfile.read(n))
+                    q = parse_qs(url.query)
 
-                if url.path == "/v1/esrgan":
-                    svc = server.services.get("esrgan")
-                    if svc is None:
-                        return self._json(404, {"error": "no esrgan model loaded"})
-                    fut = svc.submit(img)
-                    return self._send(200, _png_bytes(fut.result()), "image/png")
+                    if route == "/v1/sam/mask":
+                        if "box" in q:
+                            x0, y0, x1, y1 = (int(v) for v in q["box"][0].split(","))
+                            fut = svc.submit(img, box=((x0, y0), (x1, y1)))
+                        else:
+                            x = int(q.get("x", [img.width // 2])[0])
+                            y = int(q.get("y", [img.height // 2])[0])
+                            fut = svc.submit(img, point=(x, y))
+                        return self._send(200, _png_bytes(fut.result()), "image/png")
 
-                if url.path in ("/v1/birefnet", "/v1/depthany"):
-                    name = url.path.rsplit("/", 1)[1]
-                    svc = server.services.get(name)
-                    if svc is None:
-                        return self._json(404, {"error": f"no {name} model loaded"})
-                    fut = svc.submit(img)
-                    return self._send(200, _png_bytes(fut.result()), "image/png")
+                    if route in ("/v1/esrgan", "/v1/birefnet", "/v1/depthany"):
+                        fut = svc.submit(img)
+                        return self._send(200, _png_bytes(fut.result()), "image/png")
 
-                if url.path == "/v1/migan":
-                    svc = server.services.get("migan")
-                    if svc is None:
-                        return self._json(404, {"error": "no migan model loaded"})
-                    import numpy as np
+                    if route == "/v1/migan":
+                        import numpy as np
 
-                    from .image import Image, ImageFormat
+                        from .image import Image, ImageFormat
 
-                    a = np.asarray(img.data)
-                    if a.ndim != 3 or a.shape[2] != 4:
-                        return self._json(400, {"error": "migan needs an RGBA body "
-                                                "(alpha channel = inpaint mask)"})
-                    mask = Image(np.ascontiguousarray(a[:, :, 3:4]), ImageFormat.alpha_u8)
-                    fut = svc.submit((img, mask))
-                    return self._send(200, _png_bytes(fut.result()), "image/png")
+                        a = np.asarray(img.data)
+                        if a.ndim != 3 or a.shape[2] != 4:
+                            return self._json(400, {"error": "migan needs an RGBA body "
+                                                    "(alpha channel = inpaint mask)"})
+                        mask = Image(np.ascontiguousarray(a[:, :, 3:4]), ImageFormat.alpha_u8)
+                        fut = svc.submit((img, mask))
+                        return self._send(200, _png_bytes(fut.result()), "image/png")
 
-                if url.path == "/v1/yolo":
-                    svc = server.services.get("yolo")
-                    if svc is None:
-                        return self._json(404, {"error": "no yolo model loaded"})
+                    # /v1/yolo
                     from .models.yolov9t import COCO_CLASS_NAMES
 
                     conf = float(q["conf"][0]) if "conf" in q else None
@@ -243,10 +285,18 @@ def _make_handler(server: VisionHTTPServer):
                         }
                         for d in dets
                     ])
-
-                return self._json(404, {"error": "not found"})
+                except _CLIENT_ERRORS as e:
+                    # bad image bytes / malformed params / size-limit
+                    # rejections are the CLIENT's fault, not a 500
+                    return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # noqa: BLE001 — HTTP boundary
+                if self._responded:
+                    # a 200 response was already (partially) written — a
+                    # second status line would corrupt the connection;
+                    # drop it (client disconnects land here)
+                    return None
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
 
     return Handler
 
