@@ -129,3 +129,41 @@ def test_cli_serve_dp_mesh(tmp_path, monkeypatch):
 
     rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2", "--batch", "3"])
     assert rc != 0  # batch not divisible by dp
+
+
+def test_cli_fails_fast_and_validates_prompt(tmp_path, capsys):
+    """Cheap argument validation runs BEFORE device init / weight loading
+    (reference parity: 'Expected 2 (point) or 4 (box) numbers')."""
+    from test_esrgan import RRDBNet, _write_gguf
+
+    # missing model: clean error, exit 1, no traceback
+    rc = main(["sam", "-m", "nope.gguf", "-i", "x.jpg", "-b", "cpu"])
+    assert rc != 0
+    assert "Model file not found" in capsys.readouterr().err
+
+    esr = _write_gguf(tmp_path / "esr.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+    # missing input file: clean error before any model load
+    rc = main(["esrgan", "-m", str(esr), "-i", str(tmp_path / "missing.png"), "-b", "cpu"])
+    assert rc != 0
+    assert "Input file not found" in capsys.readouterr().err
+
+    # bad prompt arity (reference cli.cpp:368 semantics)
+    img = tmp_path / "img.png"
+    from vision_tpu.image import Image, ImageFormat, image_save
+
+    image_save(Image(np.zeros((16, 16, 3), np.uint8), ImageFormat.rgb_u8), img)
+    rc = main(["sam", "-m", str(esr), "-i", str(img), "-p", "500", "-b", "cpu"])
+    assert rc != 0
+    assert "Expected 2 (point) or 4 (box)" in capsys.readouterr().err
+
+
+def test_cli_quantize_explicit_output_honored(tmp_path, capsys):
+    """-o given to quantize is used verbatim (a default-sentinel collision
+    used to silently redirect 'output.png' to a derived name)."""
+    from test_esrgan import RRDBNet, _write_gguf
+
+    esr = _write_gguf(tmp_path / "esr.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+    out = tmp_path / "output.png"  # deliberately the old sentinel value
+    rc = main(["quantize", "-m", str(esr), "-o", str(out), "--type", "f16"])
+    assert rc == 0
+    assert out.exists()

@@ -47,6 +47,8 @@ class _Timer:
     def __exit__(self, *exc):
         if exc[0] is None:
             print(f"done ({time.perf_counter() - self.t0:.2f}s)")
+        else:
+            print("failed")  # terminate the phase line so the error starts fresh
 
 
 def find_model(name_or_path: str) -> str:
@@ -87,8 +89,10 @@ def _device(args):
     btype = None
     if args.backend == "cpu":
         btype = BackendType.cpu
-    elif args.backend in ("gpu", "tpu"):
-        btype = BackendType.tpu | BackendType.gpu
+    elif args.backend == "tpu":
+        btype = BackendType.tpu
+    elif args.backend == "gpu":
+        btype = BackendType.gpu
     dev = backend_init(btype)
     print(f"Using device: {dev.jax_device} ({dev.type.name}, {dev.preferred_float_type.__name__})")
     return dev
@@ -100,7 +104,7 @@ def main(argv=None) -> int:
     )
     parser.add_argument("command", choices=list(USAGE_COMMANDS.keys()), help="model to run")
     parser.add_argument("-i", "--input", nargs="+", default=None, help="input image(s)")
-    parser.add_argument("-o", "--output", default="output.png", help="output file")
+    parser.add_argument("-o", "--output", default=None, help="output file")
     parser.add_argument("-m", "--model", default=None, help="model file (.gguf)")
     parser.add_argument("-p", "--prompt", nargs="+", type=int, default=None, help="prompt coords")
     parser.add_argument("-b", "--backend", default=None, choices=["cpu", "gpu", "tpu"])
@@ -144,6 +148,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.input is None and args.command not in ("serve", "quantize", "bench"):
         parser.error("-i/--input is required")
+    if args.output is None and args.command not in ("serve", "quantize", "bench"):
+        args.output = "output.png"
 
     if args.command == "bench":
         # the reference ships vision-bench as its own tool (tests/benchmark.cpp);
@@ -159,23 +165,47 @@ def main(argv=None) -> int:
 
         if not args.model:
             parser.error("quantize requires -m <in.gguf>")
-        src = find_model(args.model)
-        dst = args.output
-        if dst == "output.png":  # the image-verb default: derive a gguf name
-            dst = str(Path(src).with_suffix("")) + f"-{args.type.upper()}.gguf"
-        with _Timer(f"Quantizing to {args.type}"):
-            out = requantize_gguf(src, dst, args.type)
+        try:
+            src = find_model(args.model)
+            dst = args.output
+            if dst is None:  # no -o: derive a gguf name next to the source
+                dst = str(Path(src).with_suffix("")) + f"-{args.type.upper()}.gguf"
+            with _Timer(f"Quantizing to {args.type}"):
+                out = requantize_gguf(src, dst, args.type)
+        except VispError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
         print(f"-> {out} ({Path(out).stat().st_size / 1e6:.1f} MB, "
               f"from {Path(src).stat().st_size / 1e6:.1f} MB)")
         return 0
 
     from .image import image_load, image_save
 
+    # reference per-command default model files (cli.cpp:395-567,
+    # inference_yolov9t.cpp:306) — resolved through the same search paths
+    default_models = {
+        "sam": "MobileSAM-F16.gguf",
+        "birefnet": "BiRefNet-lite-F16.gguf",
+        "depthany": "DepthAnythingV2-Small-F32.gguf",
+        "migan": "MIGAN-512-places2-F16.gguf",
+        "esrgan": "RealESRGAN-x4.gguf",
+        "yolov9t": "yolov9t_converted-F16.gguf",
+    }
+
     try:
+        # cheap validation FIRST: device init + weight load can take minutes
+        # (remote compile / tunnel); a typo'd path must fail in milliseconds
+        if not args.model and args.command not in default_models:
+            raise VispError("No model specified (-m)")
+        model_path = find_model(args.model or default_models[args.command])
+        for inp in args.input or []:
+            if not Path(inp).exists():
+                raise VispError(f"Input file not found: {inp}")
+        if args.command == "sam" and args.prompt and len(args.prompt) not in (2, 4):
+            raise VispError(
+                f"Expected 2 (point) or 4 (box) numbers for -p, got {len(args.prompt)}"
+            )
         dev = _device(args)
-        model_path = find_model(args.model) if args.model else None
-        if model_path is None:
-            raise VispError("No model specified (-m). ")
 
         if args.command == "serve":
             from .api import ModelFamily, model_detect_family
