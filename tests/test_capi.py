@@ -264,3 +264,27 @@ def test_backend_init_cpu_never_touches_accelerators(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "CPU-PIN-OK" in r.stdout
+
+
+def test_image_from_raw_layouts_and_validation():
+    """Marshalling accepts both full-stride and trimmed-last-row payloads
+    (the shim copies only the final row's pixel bytes so it never overreads
+    a tightly allocated caller buffer) and rejects bad format codes."""
+    from vision_tpu.capi import FORMATS, _image_from_raw
+
+    w, h, ch, stride = 3, 4, 3, 16  # rgb_u8 rows padded to 16 bytes
+    rng = np.random.default_rng(2)
+    full = rng.integers(0, 256, (h, stride), np.uint8)
+    fmt_int = FORMATS.index(__import__("vision_tpu.image", fromlist=["ImageFormat"]).ImageFormat.rgb_u8)
+
+    img_full = _image_from_raw(w, h, stride, fmt_int, full.tobytes())
+    trimmed = full.tobytes()[: stride * (h - 1) + w * ch]
+    img_trim = _image_from_raw(w, h, stride, fmt_int, trimmed)
+    np.testing.assert_array_equal(np.asarray(img_full.data), np.asarray(img_trim.data))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="format code"):
+        _image_from_raw(w, h, stride, -1, full.tobytes())
+    with _pytest.raises(ValueError, match="does not match"):
+        _image_from_raw(w, h, stride, fmt_int, full.tobytes()[:-20])

@@ -18,6 +18,8 @@ only through its CLI, src/cli/inference_yolov9t.cpp)."""
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from .core.device import BackendType, backend_init
@@ -81,23 +83,42 @@ def model_detect_family(filepath: str) -> int:
 def model_load(filepath: str, device, family_int: int):
     from . import api
 
+    if family_int != -1 and not 0 <= family_int < len(FAMILIES):
+        raise ValueError(f"unknown model family code {family_int} (-1 = detect)")
     detected = model_detect_family(filepath)
-    if 0 <= family_int < len(FAMILIES) and family_int != detected:
+    if family_int != -1 and family_int != detected:
         raise ValueError(
             f"model file is '{FAMILIES[detected]}' but family "
             f"{FAMILIES[family_int]!r} was requested"
         )
     model = api.load_model(filepath, device)
-    return (model, detected)
+    # the lock serializes stateful per-handle paths (sam encode -> compute)
+    # so the shim's any-thread contract holds per model handle
+    return (model, detected, threading.Lock())
 
 
 def _image_from_raw(width: int, height: int, stride: int, fmt_int: int, data: bytes) -> Image:
+    if not 0 <= fmt_int < len(FORMATS):
+        raise ValueError(f"invalid image format code {fmt_int}")
     fmt = FORMATS[fmt_int]
     ch = _N_CHANNELS[fmt]
     itemsize = 4 if "f32" in fmt.value else 1
     dtype = np.float32 if itemsize == 4 else np.uint8
-    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
-    pixels = rows[:, : width * ch * itemsize].reshape(height, width, ch * itemsize)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    row_bytes = width * ch * itemsize
+    if raw.size == height * stride:
+        rows = raw.reshape(height, stride)[:, :row_bytes]
+    elif raw.size == stride * (height - 1) + row_bytes:
+        # the shim copies only the pixel bytes of the final row (an unpadded
+        # last row in the caller's buffer must not be overread)
+        head = raw[: stride * (height - 1)].reshape(max(height - 1, 0), stride)[:, :row_bytes]
+        rows = np.concatenate([head, raw[stride * (height - 1) :][None, :row_bytes]], axis=0)
+    else:
+        raise ValueError(
+            f"image payload of {raw.size} bytes does not match "
+            f"{width}x{height} stride {stride} format {fmt.value}"
+        )
+    pixels = rows.reshape(height, width, ch * itemsize)
     arr = pixels.view(dtype).reshape(height, width, ch)
     return Image(np.ascontiguousarray(arr), fmt)
 
@@ -105,19 +126,24 @@ def _image_from_raw(width: int, height: int, stride: int, fmt_int: int, data: by
 def model_compute(handle, images: list, args: list[int]):
     """images: list of (width, height, stride, fmt_int, data_bytes).
     Returns (np_u8_or_f32_buffer, width, height, stride, fmt_int)."""
-    model, family_int = handle
+    model, family_int, lock = handle
     family = FAMILIES[family_int]
     imgs = [_image_from_raw(*im) for im in images]
 
     if family == "sam":
         _expect(imgs, 1)
-        model.encode(imgs[0])
-        if len(args) == 2:
-            out = model.compute(point=(args[0], args[1]))
-        elif len(args) == 4:
-            out = model.compute(box=((args[0], args[1]), (args[2], args[3])))
-        else:
-            raise ValueError(f"sam: bad number of arguments ({len(args)}), must be 2 or 4")
+        # encode() stores the embedding on the model handle; concurrent
+        # computes on one handle must not interleave encode and compute
+        with lock:
+            model.encode(imgs[0])
+            if len(args) == 2:
+                out = model.compute(point=(args[0], args[1]))
+            elif len(args) == 4:
+                out = model.compute(box=((args[0], args[1]), (args[2], args[3])))
+            else:
+                raise ValueError(
+                    f"sam: bad number of arguments ({len(args)}), must be 2 or 4"
+                )
     elif family == "birefnet":
         _expect(imgs, 1)
         from .models.birefnet import birefnet_compute
@@ -154,7 +180,12 @@ def model_compute(handle, images: list, args: list[int]):
         from .models.yolov9t import draw_detections
 
         dets = model.compute(imgs[0], conf_thres=conf, iou_thres=iou)
-        out = draw_detections(imgs[0], dets)
+        # draw_detections needs RGB u8 pixel order; f32/bgra/argb inputs
+        # would fail in PIL or draw with swapped channels
+        canvas = imgs[0]
+        if canvas.format != ImageFormat.rgb_u8:
+            canvas = Image(np.ascontiguousarray(canvas.to_rgb_u8()), ImageFormat.rgb_u8)
+        out = draw_detections(canvas, dets)
     else:
         raise ValueError(f"Unsupported model family {family_int}")
 

@@ -8,7 +8,8 @@
 // forwards to vision_tpu/capi.py, which does all marshalling with
 // primitive types. Build: `make -C vision_tpu/native libvisp_capi.so`.
 // Consumers dlopen the library, call visp_init("<repo-or-site-dir>") once,
-// then use the visp_* calls from any thread (the GIL is acquired per call).
+// then use the visp_* calls from any thread (the GIL is acquired per call;
+// per-model handles serialize their own stateful paths in capi.py).
 
 #include <Python.h>
 
@@ -48,6 +49,16 @@ void set_error_from_python() {
 
 PyObject* g_capi = nullptr;  // vision_tpu.capi module
 
+// PyGILState_Ensure on an UNINITIALIZED runtime aborts the process, so every
+// entry point must check this BEFORE constructing a GIL guard.
+bool require_init() {
+    if (!Py_IsInitialized() || !g_capi) {
+        set_error("visp_init was not called");
+        return false;
+    }
+    return true;
+}
+
 struct GIL {
     PyGILState_STATE state;
     GIL() : state(PyGILState_Ensure()) {}
@@ -59,6 +70,12 @@ PyObject* call(const char* fn, PyObject* args) {
     if (!g_capi) {
         Py_XDECREF(args);
         set_error("visp_init was not called");
+        return nullptr;
+    }
+    if (!args) {
+        // a failed Py_BuildValue left an exception pending; calling into
+        // Python with NULL args would be undefined behavior
+        set_error_from_python();
         return nullptr;
     }
     PyObject* f = PyObject_GetAttrString(g_capi, fn);
@@ -88,7 +105,7 @@ struct visp_image_view {
 
 // opaque handle types
 typedef struct visp_device visp_device;   // PyObject* (Device)
-typedef struct visp_model visp_model;     // PyObject* ((model, family) tuple)
+typedef struct visp_model visp_model;     // PyObject* ((model, family, lock) tuple)
 typedef struct visp_image visp_image;     // PyObject* (u8 numpy buffer)
 
 VISP_API const char* visp_get_last_error() {
@@ -124,6 +141,10 @@ VISP_API int32_t visp_init(const char* dir) {
 // device
 
 VISP_API int32_t visp_device_init(int32_t type, visp_device** out_device) {
+    if (!require_init() || !out_device) {
+        if (!out_device) set_error("out_device is NULL");
+        return 0;
+    }
     GIL gil;
     PyObject* r = call("device_init", Py_BuildValue("(i)", type));
     if (!r) return 0;
@@ -138,6 +159,11 @@ VISP_API void visp_device_destroy(visp_device* d) {
 }
 
 VISP_API int32_t visp_device_type(const visp_device* d) {
+    if (!require_init()) return -1;
+    if (!d) {
+        set_error("device handle is NULL");
+        return -1;
+    }
     GIL gil;
     PyObject* r = call("device_type", Py_BuildValue("(O)", reinterpret_cast<PyObject*>(const_cast<visp_device*>(d))));
     if (!r) return -1;
@@ -149,6 +175,10 @@ VISP_API int32_t visp_device_type(const visp_device* d) {
 // models
 
 VISP_API int32_t visp_model_detect_family(const char* filepath, int32_t* out_family) {
+    if (!require_init() || !filepath || !out_family) {
+        if (Py_IsInitialized() && g_capi) set_error("filepath/out_family is NULL");
+        return 0;
+    }
     GIL gil;
     PyObject* r = call("model_detect_family", Py_BuildValue("(s)", filepath));
     if (!r) return 0;
@@ -159,6 +189,10 @@ VISP_API int32_t visp_model_detect_family(const char* filepath, int32_t* out_fam
 
 VISP_API int32_t visp_model_load(
     const char* filepath, const visp_device* dev, int32_t family, visp_model** out) {
+    if (!require_init() || !filepath || !dev || !out) {
+        if (Py_IsInitialized() && g_capi) set_error("filepath/device/out is NULL");
+        return 0;
+    }
     GIL gil;
     PyObject* r = call(
         "model_load",
@@ -192,19 +226,74 @@ VISP_API int32_t visp_model_compute(
     int32_t n_args,
     visp_image_view* out_image,
     visp_image** out_data) {
+    if (!require_init()) return 0;
+    if (!model || !out_image || !out_data || (n_inputs > 0 && !inputs)) {
+        set_error("model/inputs/out pointers must be non-NULL");
+        return 0;
+    }
+    // bytes/pixel per format index (capi.FORMATS order: rgba/bgra/argb/rgb/
+    // alpha u8, then rgba/rgb/alpha f32)
+    static const int32_t kBytesPerPixel[8] = {4, 4, 4, 3, 1, 16, 12, 4};
+    // validate views on the native side: a garbage extent would otherwise
+    // overread the caller's buffer or crash the interpreter below
+    for (int32_t i = 0; i < n_inputs; ++i) {
+        const visp_image_view& v = inputs[i];
+        if (v.width <= 0 || v.height <= 0 || v.stride <= 0 || !v.data) {
+            set_error("input image view has non-positive extent/stride or NULL data");
+            return 0;
+        }
+        if (v.format < 0 || v.format >= 8) {
+            set_error("input image view has an invalid format code");
+            return 0;
+        }
+        if ((int64_t)v.width * kBytesPerPixel[v.format] > v.stride) {
+            set_error("input image view stride is smaller than a pixel row");
+            return 0;
+        }
+    }
+
     GIL gil;
 
     PyObject* images = PyList_New(n_inputs);
+    if (!images) {
+        set_error_from_python();
+        return 0;
+    }
     for (int32_t i = 0; i < n_inputs; ++i) {
         const visp_image_view& v = inputs[i];
+        // full stride for all but the LAST row, then only its pixel bytes:
+        // copying stride*height would overread a tightly allocated buffer
+        // whose final row is unpadded (a common sub-rect layout)
+        Py_ssize_t row_bytes = (Py_ssize_t)v.width * kBytesPerPixel[v.format];
+        Py_ssize_t total = (Py_ssize_t)v.stride * (v.height - 1) + row_bytes;
         PyObject* bytes = PyBytes_FromStringAndSize(
-            reinterpret_cast<const char*>(v.data), (Py_ssize_t)v.stride * v.height);
-        PyObject* tup = Py_BuildValue("(iiiiN)", v.width, v.height, v.stride, v.format, bytes);
+            reinterpret_cast<const char*>(v.data), total);
+        PyObject* tup = bytes
+            ? Py_BuildValue("(iiiiN)", v.width, v.height, v.stride, v.format, bytes)
+            : nullptr;
+        if (!tup) {
+            Py_XDECREF(bytes);
+            Py_DECREF(images);
+            set_error_from_python();
+            return 0;
+        }
         PyList_SET_ITEM(images, i, tup);
     }
     PyObject* py_args = PyList_New(n_args);
+    if (!py_args) {
+        Py_DECREF(images);
+        set_error_from_python();
+        return 0;
+    }
     for (int32_t i = 0; i < n_args; ++i) {
-        PyList_SET_ITEM(py_args, i, PyLong_FromLong(args[i]));
+        PyObject* v = PyLong_FromLong(args ? args[i] : 0);
+        if (!v) {
+            Py_DECREF(images);
+            Py_DECREF(py_args);
+            set_error_from_python();
+            return 0;
+        }
+        PyList_SET_ITEM(py_args, i, v);
     }
 
     PyObject* r = call(
@@ -213,11 +302,22 @@ VISP_API int32_t visp_model_compute(
     if (!r) return 0;
 
     // r = (u8_buffer, width, height, stride, fmt)
-    PyObject* buf = PyTuple_GetItem(r, 0);  // borrowed
-    out_image->width = (int32_t)PyLong_AsLong(PyTuple_GetItem(r, 1));
-    out_image->height = (int32_t)PyLong_AsLong(PyTuple_GetItem(r, 2));
-    out_image->stride = (int32_t)PyLong_AsLong(PyTuple_GetItem(r, 3));
-    out_image->format = (int32_t)PyLong_AsLong(PyTuple_GetItem(r, 4));
+    if (!PyTuple_Check(r) || PyTuple_GET_SIZE(r) != 5) {
+        set_error("capi.model_compute returned an unexpected result shape");
+        Py_DECREF(r);
+        return 0;
+    }
+    PyObject* buf = PyTuple_GET_ITEM(r, 0);  // borrowed
+    visp_image_view out;
+    out.width = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(r, 1));
+    out.height = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(r, 2));
+    out.stride = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(r, 3));
+    out.format = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(r, 4));
+    if (PyErr_Occurred()) {
+        set_error_from_python();
+        Py_DECREF(r);
+        return 0;
+    }
 
     Py_buffer view;
     if (PyObject_GetBuffer(buf, &view, PyBUF_SIMPLE) != 0) {
@@ -225,8 +325,9 @@ VISP_API int32_t visp_model_compute(
         Py_DECREF(r);
         return 0;
     }
-    out_image->data = view.buf;
+    out.data = view.buf;
     PyBuffer_Release(&view);  // numpy keeps the memory alive while r lives
+    *out_image = out;  // written only on success
     *out_data = reinterpret_cast<visp_image*>(r);
     return 1;
 }
