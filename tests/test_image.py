@@ -279,3 +279,56 @@ def test_sam_compute_batch():
     assert len(batch) == 2
     for b, s in zip(batch, singles):
         np.testing.assert_array_equal(b.data, s.data)
+
+
+def test_stb_resize_mask_filters_linearly():
+    """stb v1 treats a 1-channel image's sole channel as the ALPHA channel
+    (reference alpha_channel()=0): it filters linearly, without the sRGB
+    decode/encode applied to color channels. A 0/255 edge midpoint must
+    land near 128 (linear), not ~188 (sRGB-space filtering)."""
+    from vision_tpu.image import Image, ImageFormat, image_scale
+
+    a = np.zeros((2, 16, 1), np.uint8)
+    a[:, 8:] = 255
+    out = image_scale(Image(a, ImageFormat.alpha_u8), (8, 2), "stb")
+    mid = int(out.data[0, 3, 0]), int(out.data[0, 4, 0])
+    # the transition pixels straddle 50%: linear filtering keeps them
+    # symmetric around ~127/128; sRGB-space filtering would push ~188
+    assert all(20 < v < 235 for v in mid)
+    assert abs((mid[0] + mid[1]) / 2 - 127.5) < 24.0, mid
+
+
+def test_stb_resize_downscale_uses_scaled_filter():
+    """FILTER_DEFAULT resolves per axis: scaled Mitchell when minifying.
+    A 4x downscale of an impulse must spread over > 4 source-pixel support
+    (the unscaled 4-tap kernel would keep it in 2 output pixels)."""
+    from vision_tpu.ops.resize import resize_matrix
+
+    w = resize_matrix(64, 16, "mitchell", False)
+    row = w[8]
+    assert (np.abs(row) > 1e-6).sum() >= 8  # scaled support
+    np.testing.assert_allclose(row.sum(), 1.0, atol=1e-5)  # normalized
+
+
+def test_stb_resize_preserves_transparent_color():
+    """STBIR_ALPHA_EPSILON semantics: fully transparent pixels keep their
+    color through the resize (premultiply by alpha+eps, unpremultiply by
+    the filtered value) instead of being zeroed."""
+    from vision_tpu.image import Image, ImageFormat, image_scale
+
+    a = np.zeros((8, 8, 4), np.uint8)
+    a[:, :, 1] = 200  # green everywhere, fully transparent
+    out = image_scale(Image(a, ImageFormat.rgba_u8), (4, 4), "stb")
+    assert int(out.data[2, 2, 3]) == 0  # still transparent
+    assert int(out.data[2, 2, 1]) > 150, out.data[2, 2]  # color survived
+
+
+def test_load_f32x4_rgb_u8_lane3():
+    """Reference u8x3 load builds {r,g,b,1}/255 — lane 3 is 1/255, not 1
+    (image-impl.h:22-26); f32x3 keeps lane 3 = 1.0."""
+    from vision_tpu.image import Image, ImageFormat
+
+    u8 = Image(np.zeros((1, 1, 3), np.uint8), ImageFormat.rgb_u8)
+    assert abs(float(u8.load_f32x4()[0, 0, 3]) - 1.0 / 255.0) < 1e-7
+    f32 = Image(np.zeros((1, 1, 3), np.float32), ImageFormat.rgb_f32)
+    assert float(f32.load_f32x4()[0, 0, 3]) == 1.0

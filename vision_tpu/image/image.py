@@ -155,16 +155,18 @@ class Image:
     def load_f32x4(self) -> np.ndarray:
         """Read pixels through the reference's 4-lane load semantics
         (image-impl.h:17-55): u8 normalized to [0,1]; alpha splats to all
-        lanes; rgb gets lane-3 = 1. Returns (H, W, 4) float32."""
+        lanes; rgb gets lane-3 = 1.0 (f32) or 1/255 (u8 — the reference
+        divides the whole {r,g,b,1} vector by 255). Returns (H, W, 4) f32."""
         a = self.data.astype(np.float32)
-        if not is_float(self.format):
+        u8 = not is_float(self.format)
+        if u8:
             a = a / 255.0
         c = self.channels
         if c == 1:
             return np.repeat(a, 4, axis=2)
         if c == 3:
-            ones = np.ones_like(a[:, :, :1])
-            return np.concatenate([a, ones], axis=2)
+            lane3 = np.full_like(a[:, :, :1], (1.0 / 255.0) if u8 else 1.0)
+            return np.concatenate([a, lane3], axis=2)
         m = channel_map(self.format)
         return a[:, :, list(m)]
 
@@ -308,26 +310,25 @@ def image_set_alpha(img: Image, alpha: Image) -> None:
         raise_error("extent mismatch in image_set_alpha")
     if is_float(img.format) or img.channels != 4:
         raise_error("image_set_alpha requires 4-channel u8 image")
+    if alpha.format != ImageFormat.alpha_u8:
+        # reference asserts alpha.format == alpha_u8 (image.cpp:313); a f32
+        # mask would silently truncate to 0/1 garbage here
+        raise_error("image_set_alpha requires an alpha_u8 mask")
     chan = channel_map(img.format)[3]
     img.data[:, :, chan] = alpha.data[:, :, 0]
 
 
 def _bilinear_resize_f32(a: np.ndarray, target: tuple[int, int]) -> np.ndarray:
-    """Bilinear resize with half-pixel centers and clamped edges."""
-    h, w = a.shape[:2]
+    """Bilinear resize, half-pixel centers, clamped edges — the shared
+    resize_matrix weights (identical semantics) via the BLAS contraction."""
+    from ..ops.resize import resize_matrix
+
     tw, th = target
-    sx, sy = w / tw, h / th
-    x = (np.arange(tw) + 0.5) * sx - 0.5
-    y = (np.arange(th) + 0.5) * sy - 0.5
-    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
-    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    y1 = np.minimum(y0 + 1, h - 1)
-    fx = np.clip(x - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
-    fy = np.clip(y - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
-    top = a[np.ix_(y0, x0)] * (1 - fx) + a[np.ix_(y0, x1)] * fx
-    bot = a[np.ix_(y1, x0)] * (1 - fx) + a[np.ix_(y1, x1)] * fx
-    return top * (1 - fy) + bot * fy
+    wy = resize_matrix(a.shape[0], th, "bilinear", False)
+    wx = resize_matrix(a.shape[1], tw, "bilinear", False)
+    squeeze = a.ndim == 2
+    out = _resize_apply(wy, wx, a[:, :, None] if squeeze else a)
+    return out[:, :, 0] if squeeze else out
 
 
 def _srgb_to_linear(u: np.ndarray) -> np.ndarray:
@@ -361,36 +362,63 @@ def _linear_to_srgb(v: np.ndarray) -> np.ndarray:
     return np.where(v <= 0.0031308, v * 12.92, 1.055 * v ** (1 / 2.4) - 0.055)
 
 
-def _image_scale_stb_u8(img: Image, target: tuple[int, int]) -> Image:
-    """stb_image_resize-compatible u8 path (reference image.cpp:338-343):
-    Catmull-Rom filter, sRGB-aware color channels, alpha-premultiplied
-    resampling when an alpha channel exists."""
+_STB_ALPHA_EPS = 1.0 / (1 << 20)  # STBIR_ALPHA_EPSILON (stb v1)
+
+
+def _stb_axis_matrices(img: Image, target: tuple[int, int]):
+    """stb v1 STBIR_FILTER_DEFAULT resolves PER AXIS: Catmull-Rom when
+    upsampling, scaled Mitchell when downsampling."""
     from ..ops.resize import resize_matrix
 
+    fy = "mitchell" if target[1] < img.height else "catmullrom"
+    fx = "mitchell" if target[0] < img.width else "catmullrom"
+    return (
+        resize_matrix(img.height, target[1], fy, False),
+        resize_matrix(img.width, target[0], fx, False),
+    )
+
+
+def _image_scale_stb_u8(img: Image, target: tuple[int, int]) -> Image:
+    """stb_image_resize v1-compatible u8 path (reference image.cpp:338-343
+    calls stbir_resize_uint8_generic with FILTER_DEFAULT, COLORSPACE_SRGB,
+    flags=0): Catmull-Rom up / scaled Mitchell down per axis, sRGB-aware
+    color channels, the alpha channel filtered linearly, and
+    alpha-premultiplied resampling with STBIR_ALPHA_EPSILON (transparent
+    texels keep their color through the resize)."""
     ach = alpha_channel(img.format)
-    lin = _srgb_lut()[img.data]  # exact u8 sRGB decode, no per-pixel powf
-    if img.channels > 1 and ach is not None and ach >= 0:
-        lin[:, :, ach] = img.data[:, :, ach].astype(np.float32) / 255.0
+    if img.channels == 1:
+        # alpha_u8: the sole channel IS the alpha channel (reference
+        # alpha_channel()=0) — filtered LINEARLY, no sRGB decode/encode
+        lin = img.data.astype(np.float32) / 255.0
+    else:
+        lin = _srgb_lut()[img.data]  # exact u8 sRGB decode, no per-pixel powf
+        if ach is not None and ach >= 0:
+            lin[:, :, ach] = img.data[:, :, ach].astype(np.float32) / 255.0
     if img.channels == 4:
-        alpha = lin[:, :, ach : ach + 1]
+        # premultiply with the stb epsilon: alpha' = alpha + eps keeps the
+        # color of fully transparent pixels recoverable after filtering
+        alpha = lin[:, :, ach] + _STB_ALPHA_EPS
         for ch in range(4):
             if ch != ach:
-                lin[:, :, ch] = lin[:, :, ch] * alpha[:, :, 0]
-    wy = resize_matrix(img.height, target[1], "catmullrom", False)
-    wx = resize_matrix(img.width, target[0], "catmullrom", False)
+                lin[:, :, ch] = lin[:, :, ch] * alpha
+        lin[:, :, ach] = alpha
+    wy, wx = _stb_axis_matrices(img, target)
     out = _resize_apply(wy, wx, lin)
     if img.channels == 4:
-        alpha_r = np.clip(out[:, :, ach : ach + 1], 0.0, 1.0)
+        alpha_r = out[:, :, ach]  # includes the filtered epsilon: never 0
         for ch in range(4):
             if ch != ach:
-                out[:, :, ch] = out[:, :, ch] / np.maximum(alpha_r[:, :, 0], 1e-6)
-        out[:, :, ach] = alpha_r[:, :, 0]
+                out[:, :, ch] = out[:, :, ch] / alpha_r
+        out[:, :, ach] = alpha_r - _STB_ALPHA_EPS
     u8 = np.empty((target[1], target[0], img.channels), np.float32)
-    for ch in range(img.channels):
-        if ch != ach or img.channels == 1:
-            u8[:, :, ch] = _linear_to_srgb(out[:, :, ch])
-        else:
-            u8[:, :, ch] = np.clip(out[:, :, ch], 0.0, 1.0)
+    if img.channels == 1:
+        u8[:, :, 0] = np.clip(out[:, :, 0], 0.0, 1.0)
+    else:
+        for ch in range(img.channels):
+            if ch != ach:
+                u8[:, :, ch] = _linear_to_srgb(out[:, :, ch])
+            else:
+                u8[:, :, ch] = np.clip(out[:, :, ch], 0.0, 1.0)
     return Image(np.ascontiguousarray((u8 * 255.0 + 0.5).astype(np.uint8)), img.format)
 
 
@@ -409,14 +437,28 @@ def preprocess_scale_method() -> str:
 
 
 def _image_scale_stb_f32(img: Image, target: tuple[int, int]) -> Image:
-    """stb float path: Catmull-Rom, CLAMP edges, no sRGB (stbir float data
-    is treated as linear; reference image.cpp:345-352)."""
-    from ..ops.resize import resize_matrix
-
+    """stb float path (reference image.cpp:333-337: FILTER_DEFAULT,
+    COLORSPACE_LINEAR, flags=0): Catmull-Rom up / scaled Mitchell down per
+    axis, CLAMP edges, no sRGB, alpha-premultiplied resampling (with the
+    stb epsilon) when the format has an alpha channel."""
+    ach = alpha_channel(img.format)
     a = img.data.astype(np.float32)
-    wy = resize_matrix(img.height, target[1], "catmullrom", False)
-    wx = resize_matrix(img.width, target[0], "catmullrom", False)
+    premult = img.channels == 4 and ach is not None and ach >= 0
+    if premult:
+        a = a.copy()
+        alpha = a[:, :, ach] + _STB_ALPHA_EPS
+        for ch in range(4):
+            if ch != ach:
+                a[:, :, ch] = a[:, :, ch] * alpha
+        a[:, :, ach] = alpha
+    wy, wx = _stb_axis_matrices(img, target)
     out = _resize_apply(wy, wx, a)
+    if premult:
+        alpha_r = out[:, :, ach]
+        for ch in range(4):
+            if ch != ach:
+                out[:, :, ch] = out[:, :, ch] / alpha_r
+        out[:, :, ach] = alpha_r - _STB_ALPHA_EPS
     return Image(np.ascontiguousarray(out.astype(np.float32)), img.format)
 
 
@@ -485,18 +527,33 @@ def image_erosion(src: Image, radius: int) -> Image:
     """Min-filter with replicate border (reference image.cpp:509-535)."""
     if src.format not in (ImageFormat.alpha_u8, ImageFormat.alpha_f32):
         raise_error("erosion operation only supports single channel alpha formats")
+    if src.format == ImageFormat.alpha_f32:
+        from ..native import erosion_native
+
+        native = erosion_native(src.data, radius)
+        if native is not None:
+            return Image(native.reshape(src.data.shape), src.format)
     a = src.data
-    # separable min over square neighborhood
+    # separable min over square neighborhood (running minimum — no
+    # (2r+1)-way full-image stack)
     for axis in (1, 0):
         pad = [(0, 0)] * a.ndim
         pad[axis] = (radius, radius)
         p = np.pad(a, pad, mode="edge")
-        windows = np.stack([np.take(p, np.arange(a.shape[axis]) + k, axis=axis) for k in range(2 * radius + 1)])
-        a = windows.min(axis=0)
+        idx = np.arange(a.shape[axis])
+        out = np.take(p, idx, axis=axis).copy()
+        for k in range(1, 2 * radius + 1):
+            np.minimum(out, np.take(p, idx + k, axis=axis), out=out)
+        a = out
     return Image(np.ascontiguousarray(a), src.format)
 
 
 def _blur4(a: np.ndarray, radius: int) -> np.ndarray:
+    from ..native import box_blur_native
+
+    native = box_blur_native(a, radius)
+    if native is not None:
+        return native
     b = _box_blur_axis(a, radius, axis=1)
     return _box_blur_axis(b, radius, axis=0)
 

@@ -80,9 +80,10 @@ def tile_scale(o: TileLayout, scale: int) -> TileLayout:
     return scaled
 
 
-def _axis_weights(layout: TileLayout, coord: tuple[int, int], axis: int) -> np.ndarray:
-    """Per-pixel blend weight along one axis for a tile (reference
-    tile_merge weight logic, image.cpp:669-691), already normalized."""
+def _axis_weights(layout: TileLayout, coord: tuple[int, int], axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pixel blend (weight, coverage) along one axis for a tile
+    (reference tile_merge weight logic, image.cpp:669-691). NOT yet
+    normalized — tile_weights divides by (coverage + 1)."""
     beg = layout.start(coord)[axis]
     end = layout.end(coord)[axis]
     pad_beg = layout.start(coord, layout.overlap)[axis]

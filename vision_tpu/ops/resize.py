@@ -40,25 +40,45 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
         x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
 
     w = np.zeros((n_out, n_in), np.float32)
-    if method in ("bicubic", "catmullrom"):
-        # Keys cubic kernel: A=-0.75 (torch 'bicubic'), A=-0.5 (Catmull-Rom,
-        # stb_image_resize's default filter)
-        A = -0.75 if method == "bicubic" else -0.5
+    if method in ("bicubic", "catmullrom", "mitchell"):
+        if method == "mitchell":
+            # Mitchell-Netravali B=C=1/3 — stb_image_resize v1's DEFAULT
+            # DOWNSAMPLE filter (STBIR_DEFAULT_FILTER_DOWNSAMPLE); support 2
+            B = C = 1.0 / 3.0
 
-        def k(t):
-            t = np.abs(t)
-            return np.where(
-                t <= 1,
-                ((A + 2) * t - (A + 3)) * t * t + 1,
-                np.where(t < 2, ((A * t - 5 * A) * t + 8 * A) * t - 4 * A, 0.0),
-            )
+            def k(t):
+                t = np.abs(t)
+                t2, t3 = t * t, t * t * t
+                return np.where(
+                    t < 1,
+                    ((12 - 9 * B - 6 * C) * t3 + (-18 + 12 * B + 6 * C) * t2 + (6 - 2 * B))
+                    / 6.0,
+                    np.where(
+                        t < 2,
+                        ((-B - 6 * C) * t3 + (6 * B + 30 * C) * t2
+                         + (-12 * B - 48 * C) * t + (8 * B + 24 * C)) / 6.0,
+                        0.0,
+                    ),
+                )
+        else:
+            # Keys cubic kernel: A=-0.75 (torch 'bicubic'), A=-0.5
+            # (Catmull-Rom, stb's default UPSAMPLE filter)
+            A = -0.75 if method == "bicubic" else -0.5
 
-        if method == "catmullrom" and n_out < n_in:
+            def k(t):
+                t = np.abs(t)
+                return np.where(
+                    t <= 1,
+                    ((A + 2) * t - (A + 3)) * t * t + 1,
+                    np.where(t < 2, ((A * t - 5 * A) * t + 8 * A) * t - 4 * A, 0.0),
+                )
+
+        if method in ("catmullrom", "mitchell") and n_out < n_in:
             # stbir DOWNSCALE semantics: the filter support scales with the
             # minification ratio (anti-aliasing) and each row is normalized
             # — a fixed 4-tap kernel would alias. torch 'bicubic'
-            # (antialias=False) keeps fixed taps, so only the stb filter
-            # takes this path.
+            # (antialias=False) keeps fixed taps, so only the stb filters
+            # take this path.
             scale = n_out / n_in
             support = 2.0 / scale
             first = np.floor(x - support).astype(np.int64)
