@@ -471,3 +471,23 @@ def test_modular_process_functions_match_reference_surface():
     mask = image_load_array((rng.random((200, 300, 1)) > 0.5).astype(np.uint8) * 255)
     out = migan_process_output(rng.random((256, 256, 3)).astype(np.float32) * 2 - 1, img, mask)
     assert out.extent == img.extent and out.format == ImageFormat.rgba_u8
+
+
+def test_shape_bucket_clamp_stays_multiple():
+    """max_extent clamping must keep the bucket a multiple (a raw min()
+    broke the whole contract when max_extent wasn't itself a multiple)."""
+    from vision_tpu.core.graph import shape_bucket
+
+    assert shape_bucket((1000, 800), 128, max_extent=1000) == (896, 896)
+    assert shape_bucket((100, 100), 128, max_extent=1000) == (128, 128)
+
+
+def test_backend_init_cpu_after_default_platform():
+    """An explicit CPU request succeeds even when another platform is jax's
+    default (the default enumeration hides the CPU backend)."""
+    from vision_tpu.core.device import BackendType, backend_init, backend_is_available
+
+    backend_init()  # whatever the default platform is
+    d = backend_init(BackendType.cpu)
+    assert d.type == BackendType.cpu
+    assert backend_is_available(BackendType.cpu)

@@ -546,3 +546,60 @@ def test_dequantize_q8_k():
     buf[260:292] = sums.view(np.uint8)
     got = dequantize_q8_k(buf.tobytes(), 256)
     np.testing.assert_allclose(got, np.float32(d) * q.astype(np.float32), rtol=1e-7)
+
+
+def test_writer_honors_alignment_kv(tmp_path):
+    """general.alignment in the KVs drives the writer's layout — copying a
+    source file's alignment (requantize_gguf does) used to pad with 32
+    while readers parsed back 64, shifting every tensor offset."""
+    from vision_tpu.core.gguf import GGUFFile, GGUFWriter
+
+    w = GGUFWriter(tmp_path / "a64.gguf", "esrgan")
+    w.add("general.alignment", 64)
+    w.add("esrgan.scale", 4)
+    vals = np.arange(40, dtype=np.float32).reshape(5, 8)
+    w.add_tensor("t.weight", vals)
+    w.write()
+    f = GGUFFile(tmp_path / "a64.gguf")
+    assert f.alignment == 64 and f.data_offset % 64 == 0
+    np.testing.assert_array_equal(f.tensor("t.weight"), vals)
+
+
+def test_writer_numpy_and_bool_kvs(tmp_path):
+    """numpy scalar/array metadata and bool arrays round-trip with correct
+    element types (numpy ints are not `int`; bool subclasses int)."""
+    from vision_tpu.core.gguf import GGUFFile, GGUFWriter
+
+    w = GGUFWriter(tmp_path / "kv.gguf", "esrgan")
+    w.add("x.ids", np.arange(3))
+    w.add("x.floats", np.float32(1.5))
+    w.add("x.flags", [True, False])
+    w.add("x.np_int", np.int32(7))
+    w.write()
+    f = GGUFFile(tmp_path / "kv.gguf")
+    assert f.get_array("x.ids") == [0, 1, 2]
+    assert f.metadata["x.flags"] == [True, False]
+    assert f.metadata["x.np_int"] == 7
+    assert abs(f.metadata["x.floats"] - 1.5) < 1e-6
+
+
+def test_metadata_only_file_opens(tmp_path):
+    """A zero-tensor GGUF (vocab/config-only) opens without a data section."""
+    from vision_tpu.core.gguf import GGUFFile, GGUFWriter
+
+    w = GGUFWriter(tmp_path / "meta.gguf", "esrgan")
+    w.add("esrgan.scale", 4)
+    w.write()
+    f = GGUFFile(tmp_path / "meta.gguf")
+    assert f.get_int("esrgan.scale") == 4 and not f.tensors
+
+
+def test_f32_to_bf16_nan_safe():
+    """NaN payloads must stay NaN (the round-half-even carry used to
+    overflow a NaN's exponent into +-0)."""
+    from vision_tpu.core.gguf import bf16_to_f32, f32_to_bf16
+
+    x = np.array([np.nan, -np.nan, 1.0, np.inf, -np.inf, 0.5], np.float32)
+    back = bf16_to_f32(f32_to_bf16(x))
+    assert np.isnan(back[0]) and np.isnan(back[1])
+    np.testing.assert_array_equal(back[2:], x[2:])

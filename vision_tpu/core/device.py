@@ -55,32 +55,24 @@ class BuildFlag(Flag):
     keep_quantized = auto()  # quantized weights stay int8-resident (core/quant.py)
 
 
+_FLAG_ENVS = (
+    ("VISP_FLASH_ATTENTION", BuildFlag.flash_attention),
+    ("VISP_PALLAS", BuildFlag.pallas),
+    ("VISP_DEFORM_SHIFT", BuildFlag.deform_shift),
+    ("VISP_KEEP_QUANT", BuildFlag.keep_quantized),
+)
+
+
 def _flag_env(flags: BuildFlag) -> BuildFlag:
     """Apply env overrides, mirroring VISP_FLASH_ATTENTION (ml.cpp:167-175)."""
-    v = os.environ.get("VISP_FLASH_ATTENTION")
-    if v is not None:
+    for env, flag in _FLAG_ENVS:
+        v = os.environ.get(env)
+        if v is None:
+            continue
         if v not in ("", "0", "off", "false"):
-            flags |= BuildFlag.flash_attention
+            flags |= flag
         else:
-            flags &= ~BuildFlag.flash_attention
-    v = os.environ.get("VISP_PALLAS")
-    if v is not None:
-        if v not in ("", "0", "off", "false"):
-            flags |= BuildFlag.pallas
-        else:
-            flags &= ~BuildFlag.pallas
-    v = os.environ.get("VISP_DEFORM_SHIFT")
-    if v is not None:
-        if v not in ("", "0", "off", "false"):
-            flags |= BuildFlag.deform_shift
-        else:
-            flags &= ~BuildFlag.deform_shift
-    v = os.environ.get("VISP_KEEP_QUANT")
-    if v is not None:
-        if v not in ("", "0", "off", "false"):
-            flags |= BuildFlag.keep_quantized
-        else:
-            flags &= ~BuildFlag.keep_quantized
+            flags &= ~flag
     return flags
 
 
@@ -128,7 +120,13 @@ class Device:
 
 def backend_is_available(btype: BackendType) -> bool:
     try:
-        return any(_classify(d) & btype for d in jax.devices())
+        if any(_classify(d) & btype for d in jax.devices()):
+            return True
+        if btype & BackendType.cpu:
+            # accelerator platforms hide the CPU backend from the default
+            # enumeration, but it always exists
+            return bool(jax.devices("cpu"))
+        return False
     except RuntimeError:
         return False
 
@@ -200,6 +198,15 @@ def backend_init(btype: BackendType | None = None) -> Device:
         for d, t in classified:
             if t & btype:
                 return Device(d, t, backend_default_flags(t))
+        if btype == BackendType.cpu:
+            # an accelerator is jax's default platform, so the default
+            # enumeration hides the CPU backend — once platforms are up,
+            # asking for it explicitly is free (no tunnel contact)
+            try:
+                for d in jax.devices("cpu"):
+                    return Device(d, BackendType.cpu, backend_default_flags(BackendType.cpu))
+            except RuntimeError:
+                pass
         from .errors import raise_error
 
         if _cpu_pinned and btype != BackendType.cpu:

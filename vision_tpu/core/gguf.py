@@ -129,10 +129,16 @@ def bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
 
 
 def f32_to_bf16(x: np.ndarray) -> np.ndarray:
-    """Round-to-nearest-even f32 -> bf16 (stored as uint16)."""
-    u = np.asarray(x, np.float32).view(np.uint32)
+    """Round-to-nearest-even f32 -> bf16 (stored as uint16), NaN-safe (the
+    rounding carry would otherwise overflow a NaN's exponent into +-0)."""
+    a = np.asarray(x, np.float32)
+    u = a.view(np.uint32)
     rounding = 0x7FFF + ((u >> 16) & 1)
-    return ((u + rounding) >> 16).astype(np.uint16)
+    out = ((u + rounding) >> 16).astype(np.uint16)
+    nan = np.isnan(a)
+    if nan.any():
+        out = np.where(nan, ((u >> 16) | 0x0040).astype(np.uint16), out)
+    return out
 
 
 def dequantize_q8_0(raw: bytes, n_elements: int) -> np.ndarray:
@@ -571,7 +577,12 @@ class GGUFFile:
                 )
         # Memory-map the data section once; individual tensors are zero-copy
         # views (cast/permute happens at device transfer, see weights.py).
-        self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r", offset=self.data_offset)
+        # A metadata-only file (zero tensors) may legitimately end before
+        # the aligned data offset — nothing to map.
+        if avail > 0:
+            self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r", offset=self.data_offset)
+        else:
+            self._mmap = np.zeros(0, np.uint8)
 
     # -- metadata accessors (reference ml.cpp:219-281) --
 
@@ -690,11 +701,12 @@ def model_load(path: str | Path) -> GGUFFile:
 
 
 def _value_type_of(v: Any) -> GGUFValueType:
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return GGUFValueType.BOOL
-    if isinstance(v, int):
+    if isinstance(v, (int, np.integer)):
+        v = int(v)
         return GGUFValueType.INT64 if (v < 0 or v >= 2**32) else GGUFValueType.UINT32
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         return GGUFValueType.FLOAT32
     if isinstance(v, str):
         return GGUFValueType.STRING
@@ -716,13 +728,26 @@ def _write_value(f: BinaryIO, v: Any, vtype: GGUFValueType | None = None) -> Non
     elif vtype == GGUFValueType.ARRAY:
         seq = list(v)
         etype = _value_type_of(seq[0]) if seq else GGUFValueType.INT32
-        if seq and all(isinstance(x, int) for x in seq):
-            etype = GGUFValueType.INT32 if all(-(2**31) <= x < 2**31 for x in seq) else GGUFValueType.INT64
+        # widen integer arrays to one element type (bools stay BOOL: Python
+        # bool subclasses int and numpy ints are not int, so test the
+        # resolved etype rather than isinstance)
+        if seq and etype in (GGUFValueType.UINT32, GGUFValueType.INT32, GGUFValueType.INT64):
+            ints = [int(x) for x in seq]
+            etype = (
+                GGUFValueType.INT32
+                if all(-(2**31) <= x < 2**31 for x in ints)
+                else GGUFValueType.INT64
+            )
+            seq = ints
         f.write(struct.pack("<I", int(etype)))
         f.write(struct.pack("<Q", len(seq)))
         for x in seq:
             if etype == GGUFValueType.STRING:
                 _write_string(f, x)
+            elif etype == GGUFValueType.BOOL:
+                f.write(struct.pack(_SCALAR_FMT[etype], bool(x)))
+            elif etype == GGUFValueType.FLOAT32:
+                f.write(struct.pack(_SCALAR_FMT[etype], float(x)))
             else:
                 f.write(struct.pack(_SCALAR_FMT[etype], x))
     else:
@@ -755,6 +780,13 @@ class GGUFWriter:
         self._tensors.append((name, _RawBlob(tuple(shape), blob), ggml_type))
 
     def write(self) -> None:
+        # honor a caller-supplied general.alignment KV: the layout below
+        # MUST pad with the same value a reader will parse back, or every
+        # tensor offset is silently shifted (requantize_gguf copies the KV
+        # from its source file verbatim)
+        self.alignment = int(self.kv.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+        if self.alignment < 1:
+            raise_error("general.alignment must be >= 1, got {}", self.alignment)
         with open(self.path, "wb") as f:
             f.write(GGUF_MAGIC)
             f.write(struct.pack("<I", 3))

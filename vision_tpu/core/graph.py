@@ -31,7 +31,10 @@ def shape_bucket(extent: tuple[int, int], multiple: int, max_extent: int | None 
     w = snap_to_multiple(extent[0], multiple)
     h = snap_to_multiple(extent[1], multiple)
     if max_extent is not None:
-        w, h = min(w, max_extent), min(h, max_extent)
+        # clamp must STAY a multiple — min() alone breaks the contract when
+        # max_extent is not itself a multiple
+        cap = max(max_extent // multiple, 1) * multiple
+        w, h = min(w, cap), min(h, cap)
     return (w, h)
 
 
@@ -45,12 +48,14 @@ class GraphCache:
         self._max = max_entries
 
     def get(self, key: Hashable, *build_args, **build_kwargs) -> Callable:
-        fn = self._cache.get(key)
+        fn = self._cache.pop(key, None)
         if fn is None:
+            fn = self._build(*build_args, **build_kwargs)
+            # evict AFTER a successful build (a failed build must not cost
+            # an entry), oldest-used first (re-insertion keeps recency)
             if len(self._cache) >= self._max:
                 self._cache.pop(next(iter(self._cache)))
-            fn = self._build(*build_args, **build_kwargs)
-            self._cache[key] = fn
+        self._cache[key] = fn
         return fn
 
     def clear(self) -> None:

@@ -134,8 +134,7 @@ def quantize_resident(a: np.ndarray, dtype: str = "bfloat16") -> QuantResident:
     from .gguf import q8_0_block_levels
 
     a = np.asarray(a, np.float32)
-    assert a.size % _BLOCK == 0, f"size {a.size} not a multiple of {_BLOCK}"
-    q, scale = q8_0_block_levels(a)
+    q, scale = q8_0_block_levels(a)  # raises on a non-multiple-of-32 size
     return QuantResident(q.reshape(-1), scale, None, tuple(a.shape), None, dtype)
 
 
@@ -145,14 +144,26 @@ def quantize_store(
     """Quantize every large float tensor of a parameter store in memory."""
     out = {}
     for k, v in params.items():
-        if (
+        # eligibility from METADATA only (dtype/size/shape exist on both
+        # numpy and jax arrays) — np.asarray on a device-resident bf16
+        # array is a pathological D2H transfer (CLAUDE.md), and doing it
+        # per check turned this into minutes per model over the tunnel
+        eligible = (
             not is_quant(v)
-            and np.issubdtype(np.asarray(v).dtype, np.floating)
-            and np.asarray(v).size >= min_elements
-            and np.asarray(v).size % _BLOCK == 0
+            and np.issubdtype(np.dtype(getattr(v, "dtype", np.dtype("O"))), np.floating)
+            and getattr(v, "size", 0) >= min_elements
+            and v.size % _BLOCK == 0
             and not any(s in k for s in skip)
-        ):
-            out[k] = quantize_resident(np.asarray(v), dtype)
+        )
+        if eligible:
+            a = v
+            if not isinstance(a, np.ndarray):
+                # ONE transfer, cast to f32 on device first (bf16 D2H is the
+                # slow path)
+                import jax.numpy as jnp
+
+                a = np.asarray(a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a)
+            out[k] = quantize_resident(np.asarray(a, np.float32), dtype)
         else:
             out[k] = v
     return out

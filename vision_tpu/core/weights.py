@@ -83,6 +83,15 @@ def load_weights(
     if float_dtype is None:
         float_dtype = device.preferred_float_type if device is not None else jnp.float32
     layout = file.tensor_layout
+    # {arch}.conv2d_weights is authoritative WHEN PRESENT (reference
+    # ml.cpp:435-445): those tensor indices are the permuted convs. The
+    # reference converter only emits it for whcn files, so cwhn files
+    # normally fall back to the shape heuristic (unpermute_cwhn).
+    conv_names = None
+    idx_list = file.conv2d_weight_indices()
+    if idx_list:
+        names_in_order = list(file.tensor_names())
+        conv_names = {names_in_order[i] for i in idx_list if 0 <= i < len(names_in_order)}
     out: dict[str, Any] = {}
     for name in file.tensor_names():
         if keep_quantized and file.is_quantized(name):
@@ -100,15 +109,13 @@ def load_weights(
                 out[name] = r
                 continue
         a = file.tensor(name)
-        if layout == "cwhn":
+        if layout == "cwhn" and (conv_names is None or name in conv_names):
             a = unpermute_cwhn(name, a)
         if np.issubdtype(a.dtype, np.floating):
             a = a.astype(np.dtype(float_dtype)) if np.dtype(float_dtype) != np.dtype("bfloat16") else a.astype(np.float32)
         out[name] = a
     if as_numpy:
-        if np.dtype(float_dtype) == np.dtype("bfloat16"):
-            # numpy has no bf16; deliver f32 host-side.
-            return out
+        # (bf16 floats were already delivered as f32 above: numpy has no bf16)
         return out
     dev = device.jax_device if device is not None else None
     result: dict[str, Any] = {}
