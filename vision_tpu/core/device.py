@@ -148,11 +148,11 @@ def _all_devices():
     return tuple(jax.devices())
 
 
-def backend_init(btype: BackendType | None = None) -> Device:
+def backend_init(btype: BackendType | str | None = None) -> Device:
     """Pick the best available device (reference backend_init, ml.cpp:59-95).
 
     Order of preference: TPU > GPU > CPU, or the first device matching
-    ``btype`` when given.
+    ``btype`` when given (a :class:`BackendType` or its name, e.g. ``"cpu"``).
 
     Debug env vars (the analog of the reference's assert/ASan build modes,
     CMakeLists.txt:41-65): ``VISP_DEBUG_NANS=1`` enables jax_debug_nans so
@@ -164,6 +164,17 @@ def backend_init(btype: BackendType | None = None) -> Device:
     first compile (the reference's "< 100 ms init" story — ml.cpp builds
     graphs in milliseconds, XLA does not; the cache is the TPU answer).
     """
+    if isinstance(btype, str):
+        try:
+            btype = BackendType[btype.lower()]
+        except KeyError:
+            from .errors import raise_error
+
+            raise_error(
+                "backend_init: unknown backend '{}' (expected one of {})",
+                btype,
+                "/".join(t.name for t in BackendType),
+            )
     if os.environ.get("VISP_DEBUG_NANS") not in (None, "", "0", "off", "false"):
         jax.config.update("jax_debug_nans", True)
     cache_dir = os.environ.get("VISP_COMPILE_CACHE")

@@ -265,41 +265,67 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
 
 
 @lru_cache(maxsize=8)
-def _birefnet_program(p: BirefnetParams, dtype, flash: bool, bound):
+def _birefnet_program(p: BirefnetParams, dtype, flash: bool, bound, mesh=None):
     """Jitted predict shared across model instances (weights are arguments;
-    the closure depends only on hashable config)."""
+    the closure depends only on hashable config). With ``mesh``, the image
+    batch is dp-sharded over the mesh so N chips each predict batch/N masks
+    (the reference's single-request birefnet_compute, vision.cpp:108-132,
+    scaled by the chip count over ICI)."""
 
-    @jax.jit
     def run(weights, x_u8):
         from ..ops.preprocess import normalize_u8
 
         x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
         return birefnet_predict(Params(weights), x, p, flash=flash, deform_bound=bound)
 
-    return run
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        bs = batch_sharding(mesh)
+        return jax.jit(run, in_shardings=(None, bs), out_shardings=bs)
+    return jax.jit(run)
 
 
 class BirefnetModel:
     """High-level handle with extent-keyed graph cache (reference
-    birefnet_model + vision.cpp:97-135)."""
+    birefnet_model + vision.cpp:97-135).
 
-    def __init__(self, params: dict, p: BirefnetParams, device: Device):
-        self.params = params
+    ``mesh``: optional jax.sharding.Mesh for multi-chip inference — weights
+    are placed on the mesh (replicated; swin qkv/mlp tp-shard when the mesh
+    has a tp axis > 1) and ``compute_batch`` / a mesh-aware ImageServer
+    shard the request batch over ``dp``."""
+
+    def __init__(self, params: dict, p: BirefnetParams, device: Device, mesh=None):
         self.p = p
         self.device = device
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         from ..core.graph import GraphCache
 
         self._graphs = GraphCache(self._build)
 
-    def _build(self):
+    def _build(self, sharded: bool = False):
         from ..core.device import BuildFlag
 
         flash = bool(self.device.flags & BuildFlag.flash_attention)
         bound = 2 if self.device.flags & BuildFlag.deform_shift else None
-        return _birefnet_program(self.p, self.device.preferred_float_type, flash, bound)
+        return _birefnet_program(
+            self.p,
+            self.device.preferred_float_type,
+            flash,
+            bound,
+            self.mesh if sharded else None,
+        )
 
-    def _fn(self, extent):
-        return self._graphs.get(extent)
+    def _fn(self, extent, sharded: bool = False):
+        """``sharded``: dp-shard the batch over the model's mesh (batch must
+        be a multiple of the mesh's dp extent; single-image ``compute`` always
+        uses the unsharded program — a batch of 1 can't split over dp)."""
+        return self._graphs.get((extent, sharded), sharded)
 
     def compute(self, image: Image) -> Image:
         extent = birefnet_image_extent(image.extent, self.p, self.device.max_alloc)
@@ -311,6 +337,28 @@ class BirefnetModel:
         if out.extent != image.extent:
             out = image_scale(out, image.extent, preprocess_scale_method())
         return image_f32_to_u8(out, ImageFormat.alpha_u8)
+
+    def compute_batch(self, images: list[Image]) -> list[Image]:
+        """Predict masks for a batch of images in ONE device program; with a
+        mesh the batch dp-shards so each chip runs len(images)/dp predictions
+        (multi-chip scaling of birefnet_compute, vision.cpp:108-132). All
+        images share one processed extent bucket (the largest request's)."""
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            assert len(images) % dp == 0, f"batch {len(images)} not divisible by dp={dp}"
+        extents = [
+            birefnet_image_extent(img.extent, self.p, self.device.max_alloc) for img in images
+        ]
+        extent = (max(e[0] for e in extents), max(e[1] for e in extents))
+        arrs = []
+        for img in images:
+            scaled = img if img.extent == extent else image_scale(img, extent, preprocess_scale_method())
+            arrs.append(scaled.to_rgb_u8())
+        y = self._fn(extent, sharded=self.mesh is not None)(
+            self.params, jnp.asarray(np.stack(arrs))
+        )
+        masks = np.asarray(y.astype(jnp.float32))
+        return [birefnet_process_output(m, img.extent) for m, img in zip(masks, images)]
 
 
 def birefnet_process_input(image: Image, p: BirefnetParams) -> np.ndarray:
@@ -340,12 +388,16 @@ def birefnet_process_output(mask: np.ndarray, target_extent: tuple[int, int]) ->
     return image_f32_to_u8(out, ImageFormat.alpha_u8)
 
 
-def birefnet_load_model(filepath: str, device: Device | None = None, dynamic_extent=(0, 0)) -> BirefnetModel:
+def birefnet_load_model(
+    filepath: str, device: Device | None = None, dynamic_extent=(0, 0), mesh=None
+) -> BirefnetModel:
+    """``mesh``: place weights on a device mesh for multi-chip serving
+    (quantized residency is single-chip only; a mesh forces dequant)."""
     device = device or backend_init()
     file = model_load(filepath)
     p = birefnet_detect_params(file, dynamic_extent, device.max_alloc)
     keep_q = bool(device.flags & BuildFlag.keep_quantized)
-    params = load_weights(file, device=None, as_numpy=True, keep_quantized=keep_q)
+    params = load_weights(file, device=None, as_numpy=True, keep_quantized=keep_q and mesh is None)
     params = fixup_weights(file, params)
     dtype = device.preferred_float_type
     out = {}
@@ -353,11 +405,11 @@ def birefnet_load_model(filepath: str, device: Device | None = None, dynamic_ext
         if is_quant(v):
             out[k] = v.astype(dtype).put(device.jax_device)
             continue
-        a = jax.device_put(v, device.jax_device)
+        a = v if mesh is not None else jax.device_put(v, device.jax_device)
         if np.issubdtype(v.dtype, np.floating):
-            a = a.astype(dtype)
+            a = np.asarray(a, dtype) if mesh is not None else a.astype(dtype)
         out[k] = a
-    return BirefnetModel(out, p, device)
+    return BirefnetModel(out, p, device, mesh=mesh)
 
 
 def birefnet_compute(model: BirefnetModel, image: Image) -> Image:

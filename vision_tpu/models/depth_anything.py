@@ -173,39 +173,63 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
 
 
 @lru_cache(maxsize=8)
-def _depthany_program(p: DepthAnythingParams, dtype, flash: bool):
-    """Jitted predict shared across model instances."""
+def _depthany_program(p: DepthAnythingParams, dtype, flash: bool, mesh=None):
+    """Jitted predict shared across model instances. With ``mesh``, the
+    image batch is dp-sharded so N chips each predict batch/N depth maps
+    (the reference's single-request depthany_compute, vision.cpp:137-168,
+    scaled by the chip count over ICI)."""
 
-    @jax.jit
     def run(weights, x_u8):
         from ..ops.preprocess import normalize_u8
 
         x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
         return depthany_predict(Params(weights), x, p, flash=flash)
 
-    return run
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        bs = batch_sharding(mesh)
+        return jax.jit(run, in_shardings=(None, bs), out_shardings=bs)
+    return jax.jit(run)
 
 
 class DepthAnythingModel:
     """High-level handle with shape-keyed graph cache (reference
-    depthany_model + rebuild-on-extent-change, vision.cpp:137-168)."""
+    depthany_model + rebuild-on-extent-change, vision.cpp:137-168).
 
-    def __init__(self, params: dict, p: DepthAnythingParams, device: Device):
-        self.params = params
+    ``mesh``: optional jax.sharding.Mesh — weights replicate over the mesh
+    (DINOv2 qkv/mlp tp-shard when the mesh's tp axis > 1) and a mesh-aware
+    ImageServer dp-shards the grouped request batch."""
+
+    def __init__(self, params: dict, p: DepthAnythingParams, device: Device, mesh=None):
         self.p = p
         self.device = device
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         from ..core.graph import GraphCache
 
         self._graphs = GraphCache(self._build)
 
-    def _build(self):
+    def _build(self, sharded: bool = False):
         from ..core.device import BuildFlag
 
         flash = bool(self.device.flags & BuildFlag.flash_attention)
-        return _depthany_program(self.p, self.device.preferred_float_type, flash)
+        return _depthany_program(
+            self.p,
+            self.device.preferred_float_type,
+            flash,
+            self.mesh if sharded else None,
+        )
 
-    def _fn(self, extent):
-        return self._graphs.get(extent)
+    def _fn(self, extent, sharded: bool = False):
+        """``sharded``: dp-shard the batch over the model's mesh (batch must
+        divide by the mesh's dp extent; single-image ``compute`` always uses
+        the unsharded program)."""
+        return self._graphs.get((extent, sharded), sharded)
 
     def compute(self, image: Image) -> Image:
         extent = depthany_image_extent(image.extent, self.p)
@@ -250,12 +274,16 @@ def depthany_process_output(depth: np.ndarray, target_extent: tuple[int, int]) -
     return out
 
 
-def depthany_load_model(filepath: str, device: Device | None = None) -> DepthAnythingModel:
+def depthany_load_model(
+    filepath: str, device: Device | None = None, mesh=None
+) -> DepthAnythingModel:
+    """``mesh``: place weights on a device mesh for multi-chip serving
+    (quantized residency is single-chip only; a mesh forces dequant)."""
     device = device or backend_init()
     keep_q = bool(device.flags & BuildFlag.keep_quantized)
     file = model_load(filepath)
     p = depthany_detect_params(file)
-    params = load_weights(file, device=None, as_numpy=True, keep_quantized=keep_q)
+    params = load_weights(file, device=None, as_numpy=True, keep_quantized=keep_q and mesh is None)
     params = fixup_weights(file, params)
     dtype = device.preferred_float_type
     out = {}
@@ -263,11 +291,14 @@ def depthany_load_model(filepath: str, device: Device | None = None) -> DepthAny
         if is_quant(v):
             out[k] = v.astype(dtype).put(device.jax_device)
             continue
+        if mesh is not None:
+            out[k] = np.asarray(v, dtype) if np.issubdtype(v.dtype, np.floating) else v
+            continue
         a = jax.device_put(
             v.astype(np.float32) if np.issubdtype(v.dtype, np.floating) else v, device.jax_device
         )
         out[k] = a.astype(dtype if np.issubdtype(v.dtype, np.floating) else v.dtype)
-    return DepthAnythingModel(out, p, device)
+    return DepthAnythingModel(out, p, device, mesh=mesh)
 
 
 def depthany_compute(model: DepthAnythingModel, image: Image) -> Image:

@@ -202,10 +202,12 @@ def migan_process_output(raw: np.ndarray, image: Image, mask: Image) -> Image:
 
 
 @lru_cache(maxsize=8)
-def _migan_program(pp: MiganParams, dtype):
-    """Jitted generate shared across model instances."""
+def _migan_program(pp: MiganParams, dtype, mesh=None):
+    """Jitted generate shared across model instances. With ``mesh``, the
+    (image, mask) batch is dp-sharded so N chips each inpaint batch/N
+    requests (the reference's single-request migan_compute,
+    vision.cpp:172-205, scaled by the chip count over ICI)."""
 
-    @jax.jit
     def run(weights, img_u8, mask_u8):
         # device-side preprocess (reference migan::preprocess,
         # migan.cpp:142-157): [alpha-0.5, alpha*(2rgb-1)]
@@ -217,18 +219,35 @@ def _migan_program(pp: MiganParams, dtype):
         x = jnp.concatenate([alpha - 0.5, color], axis=-1).astype(dtype)
         return migan_generate(Params(weights), x, pp)
 
-    return run
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        bs = batch_sharding(mesh)
+        return jax.jit(run, in_shardings=(None, bs, bs), out_shardings=bs)
+    return jax.jit(run)
 
 
 class MiganModel:
     """High-level handle (reference migan_model + migan_compute,
-    vision.cpp:172-205)."""
+    vision.cpp:172-205).
 
-    def __init__(self, params: dict, p: MiganParams, device: Device):
-        self.params = params
+    ``mesh``: optional jax.sharding.Mesh — weights replicate over the mesh
+    and a mesh-aware ImageServer dp-shards the grouped request batch via
+    ``_run_sharded`` (single-request ``compute`` stays unsharded)."""
+
+    def __init__(self, params: dict, p: MiganParams, device: Device, mesh=None):
         self.p = p
         self.device = device
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         self._run = _migan_program(self.p, device.preferred_float_type)
+        self._run_sharded = (
+            _migan_program(self.p, device.preferred_float_type, mesh) if mesh is not None else self._run
+        )
 
     def compute(self, image: Image, mask: Image) -> Image:
         res = (self.p.resolution, self.p.resolution)
@@ -251,10 +270,20 @@ class MiganModel:
         return result
 
 
-def migan_load_model(filepath: str, device: Device | None = None) -> MiganModel:
+def migan_load_model(filepath: str, device: Device | None = None, mesh=None) -> MiganModel:
+    """``mesh``: place weights on a device mesh for multi-chip serving
+    (quantized residency is single-chip only; a mesh forces dequant)."""
     device = device or backend_init()
     file = model_load(filepath)
     p = replace(migan_detect_params(file), invert_mask=True)
+    if mesh is not None:
+        params = load_weights(file, device=None, as_numpy=True, keep_quantized=False)
+        dtype = device.preferred_float_type
+        params = {
+            k: np.asarray(v, dtype) if np.issubdtype(v.dtype, np.floating) else v
+            for k, v in params.items()
+        }
+        return MiganModel(params, p, device, mesh=mesh)
     params = load_weights(
         file, device, keep_quantized=bool(device.flags & BuildFlag.keep_quantized)
     )

@@ -380,10 +380,21 @@ def _yolo_program(pp: Yolov9tParams, dtype):
 
 
 class Yolov9tModel:
-    def __init__(self, params: dict, p: Yolov9tParams, device: Device):
-        self.params = params
+    """``mesh``: optional jax.sharding.Mesh — weights replicate over the
+    mesh and a mesh-aware YoloServer dp-shards the grouped request batch
+    (the reference's single-request detection, vision.cpp single-image
+    semantics, scaled by the chip count); single-image ``compute`` stays
+    unsharded."""
+
+    def __init__(self, params: dict, p: Yolov9tParams, device: Device, mesh=None):
         self.p = p
         self.device = device
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         self._run = _yolo_program(p, device.preferred_float_type)
 
     def compute(self, image: Image, conf_thres=0.25, iou_thres=0.45) -> list[Detection]:
@@ -395,10 +406,20 @@ class Yolov9tModel:
         return scale_boxes(dets, image.extent, gain, dw, dh)
 
 
-def yolov9t_load_model(filepath: str, device: Device | None = None) -> Yolov9tModel:
+def yolov9t_load_model(filepath: str, device: Device | None = None, mesh=None) -> Yolov9tModel:
+    """``mesh``: place weights on a device mesh for multi-chip serving
+    (quantized residency is single-chip only; a mesh forces dequant)."""
     device = device or backend_init()
     file = model_load(filepath)
     p = yolov9t_detect_params(file)
+    if mesh is not None:
+        params = load_weights(file, device=None, as_numpy=True, keep_quantized=False)
+        dtype = device.preferred_float_type
+        params = {
+            k: np.asarray(v, dtype) if np.issubdtype(v.dtype, np.floating) else v
+            for k, v in params.items()
+        }
+        return Yolov9tModel(params, p, device, mesh=mesh)
     params = load_weights(
         file, device, keep_quantized=bool(device.flags & BuildFlag.keep_quantized)
     )

@@ -554,7 +554,10 @@ class ImageServer:
     strictly one request at a time, ``vision.cpp:97-205``). A request is
     an :class:`~vision_tpu.image.Image`; MI-GAN takes ``(image, mask)``.
     Outputs are post-processed back to each request's own extent with the
-    family's ``*_process_output`` semantics.
+    family's ``*_process_output`` semantics. A model constructed with a
+    ``mesh`` serves multi-chip: the grouped batch dp-shards over the mesh,
+    so N chips serve N requests per step (``batch_size`` must be a multiple
+    of the mesh's dp extent — groups always pad to the full batch).
     """
 
     def __init__(self, model, batch_size: int = 4, max_delay_ms: float = 2.0, prep_workers: int = 2):
@@ -564,6 +567,10 @@ class ImageServer:
         self.model = model
         self.kind = kind
         self.batch_size = batch_size
+        if model.mesh is not None:
+            dp = model.mesh.shape["dp"]
+            if batch_size % dp:
+                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         self._server = BatchServer(
             self._run_group,
             batch_size=batch_size,
@@ -612,14 +619,16 @@ class ImageServer:
         n = len(items)
         padded = items + [items[0]] * (self.batch_size - n)
         x = jnp.asarray(np.stack([it[0] for it in padded]))
+        sharded = self.model.mesh is not None
         if self.kind == "MiganModel":
             from .models.migan import migan_process_output
 
+            run = self.model._run_sharded if sharded else self.model._run
             m = jnp.asarray(np.stack([it[1] for it in padded]))
-            y = np.asarray(self.model._run(self.model.params, x, m)[:n].astype(jnp.float32))
+            y = np.asarray(run(self.model.params, x, m)[:n].astype(jnp.float32))
             return [migan_process_output(yi, img, mask) for yi, (_, _, _, (img, mask)) in zip(y, items)]
         extent = items[0][1]
-        fn = self.model._fn(extent)
+        fn = self.model._fn(extent, sharded=sharded)
         y = np.asarray(fn(self.model.params, x)[:n].astype(jnp.float32))
         if self.kind == "BirefnetModel":
             from .models.birefnet import birefnet_process_output as post
@@ -672,13 +681,15 @@ class ImageServer:
 
 
 def _yolo_topk_program(model, k: int):
-    """Batched detection forward + top-k candidate extraction on device."""
+    """Batched detection forward + top-k candidate extraction on device.
+    With a mesh-constructed model the image batch dp-shards over the mesh
+    (each chip detects batch/dp images; the per-image top-k needs no
+    cross-chip collective)."""
     import jax
     import jax.numpy as jnp
 
     run = model._run
 
-    @jax.jit
     def fn(weights, x):
         out = run(weights, x)
         smax = jnp.max(out.scores, axis=-1)  # (B, A) best class per anchor
@@ -690,7 +701,12 @@ def _yolo_topk_program(model, k: int):
         sc = jnp.take_along_axis(out.scores, idx[..., None], axis=1)
         return b.astype(jnp.float32), sc.astype(jnp.float32)
 
-    return fn
+    if model.mesh is not None:
+        from .parallel import batch_sharding
+
+        bs = batch_sharding(model.mesh)
+        return jax.jit(fn, in_shardings=(None, bs), out_shardings=(bs, bs))
+    return jax.jit(fn)
 
 
 class YoloServer:
@@ -711,6 +727,10 @@ class YoloServer:
         self.batch_size = batch_size
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
+        if model.mesh is not None:
+            dp = model.mesh.shape["dp"]
+            if batch_size % dp:
+                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         # device-side candidate extraction: only the top-K anchors by max
         # class score cross D2H (K * 84 floats vs all 8400 * 84 — ~8x less
         # transfer; SamServer does the analogous on-device reduction). K
