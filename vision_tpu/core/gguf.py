@@ -317,7 +317,7 @@ def dequantize_q3_k(raw: bytes, n_elements: int) -> np.ndarray:
     hsel = np.empty((nb, 16, 16), np.uint8)
     for s in range(16):
         hsel[:, s] = (hmask[:, (s % 2) * 16 : (s % 2) * 16 + 16] >> (s // 2)) & 1
-    q = q - np.where(hsel.astype(bool), 0.0, 4.0)
+    q = q - np.where(hsel.astype(bool), np.float32(0.0), np.float32(4.0))
     out = q * (d * sc)[:, :, None]
     return out.reshape(-1)
 
