@@ -30,7 +30,7 @@ USAGE_COMMANDS = {
     "esrgan": "ESRGAN/Real-ESRGAN upscaling",
     "yolov9t": "YOLOv9t object detection",
     "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
-    "quantize": "rewrite a .gguf at a different float type (q8_0/f16/f32)",
+    "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, f16, f32)",
     "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 
@@ -137,7 +137,9 @@ def main(argv=None) -> int:
         help="serve: load an additional model (family auto-detected; repeatable)",
     )
     parser.add_argument(
-        "--type", default="q8_0", choices=["q8_0", "f16", "f32"],
+        "--type", "-t", default="q8_0",
+        choices=["q8_0", "q4_0", "q4_1", "q5_0", "q5_1",
+                 "q2_k", "q3_k", "q4_k", "q5_k", "q6_k", "f16", "f32"],
         help="quantize: target float storage type",
     )
     parser.add_argument(

@@ -24,7 +24,7 @@ from pathlib import Path
 import numpy as np
 
 from ..core.errors import raise_error
-from ..core.gguf import GGMLType, GGUFWriter, quantize_q8_0
+from ..core.gguf import REQUANTIZE_TYPES, GGMLType, GGUFWriter, quantize_q8_0
 
 __all__ = ["convert_model"]
 
@@ -90,22 +90,26 @@ class Writer:
 
     def add_tensor(self, name, t: np.ndarray, float_type=None):
         ft = float_type or self.float_type
-        if (
-            ft == "q8_0"
-            and t.dtype == np.float32
-            and t.ndim >= 2
-            and t.shape[-1] % 32 == 0
-        ):
-            # block-quantize eligible weights (ggml rule: blocks run along the
-            # innermost stored dim, so rows must divide the 32-block); small /
-            # 1D / ragged tensors stay f32 like ggml's fallback
-            self.w.add_raw_tensor(name, tuple(t.shape), GGMLType.Q8_0, quantize_q8_0(t))
-            self._index += 1
-            return
+        target = REQUANTIZE_TYPES.get(ft, (0, None))[1] if ft else None
+        if target is not None and t.dtype == np.float32 and t.ndim >= 2:
+            # block-quantize eligible weights (ggml rule: blocks run along
+            # the innermost stored dim, so rows must divide the block);
+            # K-ineligible 32-divisible rows fall back to q8_0, and small /
+            # 1D / ragged tensors stay f32, like llama-quantize's ladder
+            from ..core.quantize import block_size, quantize_blocks
+
+            if t.shape[-1] % block_size(target) == 0:
+                self.w.add_raw_tensor(name, tuple(t.shape), target, quantize_blocks(target, t))
+                self._index += 1
+                return
+            if block_size(target) == 256 and t.shape[-1] % 32 == 0:
+                self.w.add_raw_tensor(name, tuple(t.shape), GGMLType.Q8_0, quantize_q8_0(t))
+                self._index += 1
+                return
         gt = None
         if ft == "f16" and t.dtype == np.float32:
             gt = GGMLType.F16
-        if ft == "f32" or (ft == "q8_0" and t.dtype == np.float32):
+        if ft == "f32" or (target is not None and t.dtype == np.float32):
             gt = GGMLType.F32
         self.w.add_tensor(name, t, gt)
         self._index += 1
@@ -119,8 +123,10 @@ class Writer:
     def finish(self):
         if self.conv2d_weights:
             self.w.add(f"{self.arch}.conv2d_weights", self.conv2d_weights)
-        # 7 = MOSTLY_Q8_0 (gguf convention)
-        self.w.add("general.file_type", {"f16": 1, "q8_0": 7}.get(self.float_type or "", 0))
+        # gguf llama_ftype convention (7 = MOSTLY_Q8_0, ...)
+        self.w.add(
+            "general.file_type", REQUANTIZE_TYPES.get(self.float_type or "", (0, None))[0]
+        )
         self.w.write()
 
 
@@ -556,7 +562,10 @@ def main():
     p.add_argument("arch", choices=list(ARCH_NAMES.keys()))
     p.add_argument("input")
     p.add_argument("--output", "-o", default="models")
-    p.add_argument("--quantize", "-q", choices=["f16", "q8_0"], default=None)
+    p.add_argument(
+        "--quantize", "-q", default=None,
+        choices=[t for t in REQUANTIZE_TYPES if t != "f32"],
+    )
     p.add_argument("--layout", "-l", choices=["whcn", "cwhn"], default=None)
     p.add_argument("--esrgan-scale", type=int, default=None)
     args = p.parse_args()

@@ -79,6 +79,11 @@ class GGMLType(IntEnum):
     BF16 = 30
 
 
+_K_TYPES = frozenset(
+    {GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K}
+)
+
+
 _SCALAR_FMT = {
     GGUFValueType.UINT8: "<B",
     GGUFValueType.INT8: "<b",
@@ -829,42 +834,72 @@ class GGUFWriter:
                     f.write(b"\x00" * pad)
 
 
+# ggml llama_ftype values for the single-type files requantize_gguf writes
+# (the K entries are the _S "plain" variants — every eligible tensor gets
+# the same type, no per-tensor mixing)
+REQUANTIZE_TYPES = {
+    "f32": (0, None),
+    "f16": (1, None),
+    "q4_0": (2, GGMLType.Q4_0),
+    "q4_1": (3, GGMLType.Q4_1),
+    "q8_0": (7, GGMLType.Q8_0),
+    "q5_0": (8, GGMLType.Q5_0),
+    "q5_1": (9, GGMLType.Q5_1),
+    "q2_k": (10, GGMLType.Q2_K),
+    "q3_k": (11, GGMLType.Q3_K),
+    "q4_k": (14, GGMLType.Q4_K),
+    "q5_k": (16, GGMLType.Q5_K),
+    "q6_k": (18, GGMLType.Q6_K),
+}
+
+
 def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") -> Path:
     """Rewrite a GGUF file at a different float storage type.
 
     The ``vision-cli quantize`` workhorse — the analog of the gguf-py /
-    llama-quantize tooling the reference's quantized model files come from.
+    llama-quantize tooling the reference's quantized model files come from
+    (and strictly wider: the reference's own converter only writes f16/f32).
     Every KV and the stored tensor layout are preserved; only float payloads
     change representation:
 
-    * ``q8_0`` — floats with >= 2 dims whose innermost stored dim divides
-      the 32-block become Q8_0 (same eligibility rule as the converter);
-      tensors already stored Q8_0 are copied block-for-block; ragged/1D
-      floats fall back to f32.
+    * block types (``q8_0``/``q4_0``/``q4_1``/``q5_0``/``q5_1`` and the
+      K-quants ``q2_k``/``q3_k``/``q4_k``/``q5_k``/``q6_k``) — floats with
+      >= 2 dims whose innermost stored dim divides the type's block
+      (32 legacy / 256 K) are encoded via core/quantize.py; tensors already
+      stored at the target type are copied block-for-block. Ineligible
+      floats fall back down the same ladder llama-quantize uses:
+      K-ineligible but 32-divisible tensors become q8_0; everything else
+      stays f32 (biases/norms keep full precision).
     * ``f16`` / ``f32`` — everything float (including quantized payloads,
       which dequantize first) is stored at that width.
 
     Integer tensors are copied unchanged.
     """
-    if float_type not in ("f32", "f16", "q8_0"):
+    if float_type not in REQUANTIZE_TYPES:
         raise_error("requantize: unsupported float type '{}'", float_type)
+    from .quantize import quantize_blocks
+
+    file_type_kv, target = REQUANTIZE_TYPES[float_type]
     f = GGUFFile(src)
     w = GGUFWriter(dst, f.arch or "unknown")
     for k, v in f.metadata.items():
         if k != "general.file_type":
             w.add(k, v)
-    w.add("general.file_type", {"f32": 0, "f16": 1, "q8_0": 7}[float_type])
+    w.add("general.file_type", file_type_kv)
+    block = 256 if target in _K_TYPES else 32
     for name in f.tensor_names():
         info = f.tensors[name]
-        if float_type == "q8_0" and info.ggml_type == GGMLType.Q8_0:
-            w.add_raw_tensor(name, info.shape, GGMLType.Q8_0, f.raw(name).tobytes())
+        if target is not None and info.ggml_type == target:
+            w.add_raw_tensor(name, info.shape, target, f.raw(name).tobytes())
             continue
         a = f.tensor(name)
         if not np.issubdtype(a.dtype, np.floating):
             w.add_tensor(name, a)
             continue
         a = np.ascontiguousarray(a, np.float32)
-        if float_type == "q8_0" and a.ndim >= 2 and a.shape[-1] % 32 == 0:
+        if target is not None and a.ndim >= 2 and a.shape[-1] % block == 0:
+            w.add_raw_tensor(name, a.shape, target, quantize_blocks(target, a))
+        elif target in _K_TYPES and a.ndim >= 2 and a.shape[-1] % 32 == 0:
             w.add_raw_tensor(name, a.shape, GGMLType.Q8_0, quantize_q8_0(a))
         elif float_type == "f16":
             w.add_tensor(name, a, GGMLType.F16)
