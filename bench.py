@@ -216,8 +216,19 @@ def _wait_for_tpu(attempts=4, probe_timeout=240, backoff=300):
 
     for i in range(attempts):
         try:
+            # Require an actual TPU device: during some outage modes the
+            # plugin soft-fails and jax silently falls back to CPU, which
+            # would "pass" a bare jax.devices() probe and let the bench run
+            # on this box's one CPU core, emitting wrong numbers as TPU.
             rc = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, sys; "
+                    "tpu = lambda d: d.platform.lower() == 'tpu' or "
+                    "'tpu' in str(getattr(d, 'device_kind', '')).lower(); "
+                    "sys.exit(0 if any(tpu(d) for d in jax.devices()) else 3)",
+                ],
                 timeout=probe_timeout,
                 capture_output=True,
             ).returncode
@@ -226,7 +237,11 @@ def _wait_for_tpu(attempts=4, probe_timeout=240, backoff=300):
         if rc == 0:
             return True
         if i < attempts - 1:
-            why = "probe hung" if rc is None else f"probe rc={rc}"
+            why = (
+                "probe hung"
+                if rc is None
+                else "no TPU device (CPU fallback)" if rc == 3 else f"probe rc={rc}"
+            )
             print(
                 f"bench: TPU tunnel unavailable ({why}); retry "
                 f"{i + 1}/{attempts - 1} in {backoff}s",

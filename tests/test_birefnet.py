@@ -539,6 +539,28 @@ def test_birefnet_image_extent():
     assert w < 4096 and w % 128 == 0 and h % 128 == 0
 
 
+def test_birefnet_batch_extent_recaps_combined_area():
+    """A wide image and a tall image each pass the per-image area cap, but
+    their elementwise-max bucket would not — the batch extent must re-apply
+    the max_alloc cap to the combined extent."""
+    from vision_tpu.models.birefnet import birefnet_batch_extent
+
+    pd = BirefnetParams(image_size=-1, image_multiple=128)
+    max_alloc = 2 << 30
+    budget_px = max_alloc / (240 * 4)
+    wide = birefnet_image_extent((4096, 1024), pd, max_alloc)
+    tall = birefnet_image_extent((1024, 4096), pd, max_alloc)
+    assert wide[0] * wide[1] <= budget_px and tall[0] * tall[1] <= budget_px
+    naive = (max(wide[0], tall[0]), max(wide[1], tall[1]))
+    assert naive[0] * naive[1] > budget_px  # the bug being guarded against
+    w, h = birefnet_batch_extent([(4096, 1024), (1024, 4096)], pd, max_alloc)
+    assert w % 128 == 0 and h % 128 == 0
+    assert w * h <= budget_px
+    # fixed-extent models are unaffected
+    pf = BirefnetParams(image_size=1024, image_multiple=128)
+    assert birefnet_batch_extent([(4096, 1024), (300, 200)], pf, max_alloc) == (1024, 1024)
+
+
 @pytest.mark.parametrize("k,stride,pad", [(1, 1, 0), (3, 1, 1), (7, 1, 3), (3, 2, 1)])
 def test_deform_conv_shift_matches_gather(k, stride, pad):
     """The gather-free shift formulation is exact while |offset| <= bound."""

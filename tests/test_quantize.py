@@ -12,13 +12,8 @@ llama-quantize tooling; here the full reader-supported format family is
 also writable (vision-cli quantize / vision-convert -q).
 """
 
-import sys
-from pathlib import Path
-
 import numpy as np
 import pytest
-
-sys.path.insert(0, str(Path(__file__).parent))
 
 from vision_tpu.core.errors import VispError
 from vision_tpu.core.gguf import (

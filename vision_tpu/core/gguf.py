@@ -379,16 +379,17 @@ _RESIDENT_TYPES = frozenset(
 )
 
 
-def q8_0_block_levels(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Shared Q8_0 absmax block quantization: f32 -> (q int8 (nb, 32),
+def q8_0_block_levels(x: np.ndarray, block: int = 32) -> tuple[np.ndarray, np.ndarray]:
+    """Shared Q8_0 absmax block quantization: f32 -> (q int8 (nb, block),
     d f32 (nb,)). ggml quantize_row_q8_0 semantics — d = amax/127 and
     roundf (half AWAY from zero, not numpy's half-to-even) so files match
     llama-quantize/gguf-py bit-for-bit on exact ties. Used by the file
-    quantizer below and the in-memory residency quantizer (core/quant.py)."""
+    quantizer below, the in-memory residency quantizer (core/quant.py),
+    and the Q8_K encoder (block=256; core/quantize.py)."""
     a = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
-    if a.size % 32 != 0:
-        raise_error("quantize_q8_0: size {} not a multiple of 32", a.size)
-    b = a.reshape(-1, 32)
+    if a.size % block != 0:
+        raise_error("quantize_q8_0: size {} not a multiple of {}", a.size, block)
+    b = a.reshape(-1, block)
     amax = np.abs(b).max(axis=1)
     d = (amax / 127.0).astype(np.float32)
     inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0).astype(np.float32)

@@ -30,9 +30,14 @@ from __future__ import annotations
 import numpy as np
 
 from .errors import raise_error
-from .gguf import GGMLType, quantize_q8_0
+from .gguf import GGMLType, q8_0_block_levels, quantize_q8_0
 
 __all__ = ["QUANTIZERS", "quantize_blocks", "block_size"]
+
+
+def _safe_inv(x: np.ndarray) -> np.ndarray:
+    """1/x with 0 -> 0 (the ggml ``id = d ? 1/d : 0`` idiom), NaN-free."""
+    return np.where(x != 0, 1.0 / np.where(x == 0, 1.0, x), 0.0)
 
 
 def _blocks(x: np.ndarray, block: int, fmt: str) -> np.ndarray:
@@ -85,9 +90,9 @@ def _pack_high_bits(hb: np.ndarray) -> np.ndarray:
 def quantize_q4_0(x: np.ndarray) -> bytes:
     b = _blocks(x, 32, "q4_0")
     d = _signed_extreme(b) / -8.0
-    dv = _f16_round(d)
-    inv = np.where(dv != 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    q = _trunc_round(b * inv[:, None] + 8.0, 0, 15)
+    # ggml computes levels with the PRE-f16 f32 reciprocal (id = 1/d before
+    # GGML_FP32_TO_FP16 storage) — required for llama-quantize byte parity.
+    q = _trunc_round(b * _safe_inv(d)[:, None] + 8.0, 0, 15)
     out = np.empty((b.shape[0], 18), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:] = _pack_nibbles(q)
@@ -98,9 +103,8 @@ def quantize_q4_1(x: np.ndarray) -> bytes:
     b = _blocks(x, 32, "q4_1")
     mn = b.min(axis=1)
     d = (b.max(axis=1) - mn) / 15.0
-    dv, mv = _f16_round(d), _f16_round(mn)
-    inv = np.where(dv != 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    q = _trunc_round((b - mv[:, None]) * inv[:, None], 0, 15)
+    # f32 d and min in the level math (ggml quantize_row_q4_1_ref).
+    q = _trunc_round((b - mn[:, None]) * _safe_inv(d)[:, None], 0, 15)
     out = np.empty((b.shape[0], 20), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:4] = _f16_bytes(mn)
@@ -111,9 +115,7 @@ def quantize_q4_1(x: np.ndarray) -> bytes:
 def quantize_q5_0(x: np.ndarray) -> bytes:
     b = _blocks(x, 32, "q5_0")
     d = _signed_extreme(b) / -16.0
-    dv = _f16_round(d)
-    inv = np.where(dv != 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    q = _trunc_round(b * inv[:, None] + 16.0, 0, 31).astype(np.uint8)
+    q = _trunc_round(b * _safe_inv(d)[:, None] + 16.0, 0, 31).astype(np.uint8)
     out = np.empty((b.shape[0], 22), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:6] = _pack_high_bits(q >> 4)
@@ -125,9 +127,7 @@ def quantize_q5_1(x: np.ndarray) -> bytes:
     b = _blocks(x, 32, "q5_1")
     mn = b.min(axis=1)
     d = (b.max(axis=1) - mn) / 31.0
-    dv, mv = _f16_round(d), _f16_round(mn)
-    inv = np.where(dv != 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    q = _trunc_round((b - mv[:, None]) * inv[:, None], 0, 31).astype(np.uint8)
+    q = _trunc_round((b - mn[:, None]) * _safe_inv(d)[:, None], 0, 31).astype(np.uint8)
     out = np.empty((b.shape[0], 24), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:4] = _f16_bytes(mn)
@@ -146,16 +146,16 @@ def _fit_minmax(sub: np.ndarray, nmax: int, iters: int = 3):
 
     Alternating least squares: init S/M from the range, then repeat
     (quantize levels; re-solve the 2x2 normal equations for S, M given the
-    levels; project to the constraint set). sub: (n, k) -> (S (n,), M (n,),
-    q (n, k))."""
+    levels; project to the constraint set). sub: (n, k) -> (S (n,), M (n,)).
+    Final levels are NOT returned — every caller recomputes them against
+    the f16/6-bit-coded scales the decoder will actually see
+    (_requant_affine)."""
     mn = np.minimum(sub.min(axis=1), 0.0)
     S = (sub.max(axis=1) - mn) / nmax
     M = -mn
     k = sub.shape[1]
-    q = np.zeros_like(sub)
     for _ in range(iters):
-        inv = np.where(S > 0, 1.0 / np.where(S == 0, 1.0, S), 0.0)
-        q = np.clip(np.round((sub + M[:, None]) * inv[:, None]), 0, nmax)
+        q = np.clip(np.round((sub + M[:, None]) * _safe_inv(S)[:, None]), 0, nmax)
         # minimize sum((S*q - M - x)^2) over (S, M)
         sq, sqq = q.sum(axis=1), (q * q).sum(axis=1)
         sx, sqx = sub.sum(axis=1), (q * sub).sum(axis=1)
@@ -167,9 +167,7 @@ def _fit_minmax(sub: np.ndarray, nmax: int, iters: int = 3):
         bad = (S_new <= 0) | (M_new < 0)
         S = np.where(bad, (sub.max(axis=1) - np.minimum(sub.min(axis=1), 0)) / nmax, S_new)
         M = np.where(bad, -np.minimum(sub.min(axis=1), 0.0), np.maximum(M_new, 0.0))
-    inv = np.where(S > 0, 1.0 / np.where(S == 0, 1.0, S), 0.0)
-    q = np.clip(np.round((sub + M[:, None]) * inv[:, None]), 0, nmax)
-    return S, M, q
+    return S, M
 
 
 def _fit_signed(sub: np.ndarray, lmin: int, lmax: int, iters: int = 3):
@@ -178,19 +176,16 @@ def _fit_signed(sub: np.ndarray, lmin: int, lmax: int, iters: int = 3):
     to lmin — when the extreme is positive s comes out negative, which the
     signed scale represents and which buys the asymmetric range's extra
     level (the same trick ggml's max/-32 init uses). Then alternate
-    (quantize; least-squares re-solve s = <x,q>/<q,q>)."""
+    (quantize; least-squares re-solve s = <x,q>/<q,q>). Returns s (n,);
+    callers recompute final levels against the coded scales."""
     ext = _signed_extreme(sub)
     s = ext / lmin
-    q = np.zeros_like(sub)
     for _ in range(iters):
-        inv = np.where(s != 0, 1.0 / np.where(s == 0, 1.0, s), 0.0)
-        q = np.clip(np.round(sub * inv[:, None]), lmin, lmax)
+        q = np.clip(np.round(sub * _safe_inv(s)[:, None]), lmin, lmax)
         qq = (q * q).sum(axis=1)
         ok = qq > 0
         s = np.where(ok, (q * sub).sum(axis=1) / np.where(ok, qq, 1.0), s)
-    inv = np.where(s != 0, 1.0 / np.where(s == 0, 1.0, s), 0.0)
-    q = np.clip(np.round(sub * inv[:, None]), lmin, lmax)
-    return s, q
+    return s
 
 
 def _super_scale(v: np.ndarray, smax: int):
@@ -199,8 +194,7 @@ def _super_scale(v: np.ndarray, smax: int):
     u8)."""
     d = v.max(axis=1) / smax
     dv = _f16_round(d)
-    inv = np.where(dv > 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    code = np.clip(np.round(v * inv[:, None]), 0, smax).astype(np.uint8)
+    code = np.clip(np.round(v * _safe_inv(dv)[:, None]), 0, smax).astype(np.uint8)
     return d, dv, code
 
 
@@ -209,7 +203,7 @@ def _requant_affine(sub, dv, sc, mv, mn, nmax):
     q = round((x + dmin*mn) / (d*sc)) in [0, nmax]."""
     S = dv[:, None] * sc.astype(np.float32)
     M = mv[:, None] * mn.astype(np.float32)
-    inv = np.where(S > 0, 1.0 / np.where(S == 0, 1.0, S), 0.0)
+    inv = _safe_inv(S)
     return np.clip(np.round((sub + M[:, :, None]) * inv[:, :, None]), 0, nmax).astype(np.uint8)
 
 
@@ -249,7 +243,7 @@ def quantize_q4_k(x: np.ndarray) -> bytes:
     b = _blocks(x, 256, "q4_k")
     nb = b.shape[0]
     sub = b.reshape(nb, 8, 32)
-    S, M, _ = _fit_minmax(sub.reshape(nb * 8, 32), 15)
+    S, M = _fit_minmax(sub.reshape(nb * 8, 32), 15)
     d, dv, sc = _super_scale(S.reshape(nb, 8), 63)
     dmin, mv, mn = _super_scale(M.reshape(nb, 8), 63)
     q = _requant_affine(sub, dv, sc, mv, mn, 15)
@@ -265,7 +259,7 @@ def quantize_q5_k(x: np.ndarray) -> bytes:
     b = _blocks(x, 256, "q5_k")
     nb = b.shape[0]
     sub = b.reshape(nb, 8, 32)
-    S, M, _ = _fit_minmax(sub.reshape(nb * 8, 32), 31)
+    S, M = _fit_minmax(sub.reshape(nb * 8, 32), 31)
     d, dv, sc = _super_scale(S.reshape(nb, 8), 63)
     dmin, mv, mn = _super_scale(M.reshape(nb, 8), 63)
     q = _requant_affine(sub, dv, sc, mv, mn, 31)
@@ -285,7 +279,7 @@ def quantize_q2_k(x: np.ndarray) -> bytes:
     b = _blocks(x, 256, "q2_k")
     nb = b.shape[0]
     sub = b.reshape(nb, 16, 16)
-    S, M, _ = _fit_minmax(sub.reshape(nb * 16, 16), 3)
+    S, M = _fit_minmax(sub.reshape(nb * 16, 16), 3)
     d, dv, sc = _super_scale(S.reshape(nb, 16), 15)
     dmin, mv, mn = _super_scale(M.reshape(nb, 16), 15)
     q = _requant_affine(sub, dv, sc, mv, mn, 3)
@@ -301,16 +295,14 @@ def quantize_q3_k(x: np.ndarray) -> bytes:
     b = _blocks(x, 256, "q3_k")
     nb = b.shape[0]
     sub = b.reshape(nb, 16, 16)
-    s, _ = _fit_signed(sub.reshape(nb * 16, 16), -4, 3)
+    s = _fit_signed(sub.reshape(nb * 16, 16), -4, 3)
     s = s.reshape(nb, 16)
     # signed 6-bit effective scale (sc_stored - 32) under one f16 d
     d = np.abs(s).max(axis=1) / 31.0
     dv = _f16_round(d)
-    inv = np.where(dv > 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    eff = np.clip(np.round(s * inv[:, None]), -32, 31)
+    eff = np.clip(np.round(s * _safe_inv(dv)[:, None]), -32, 31)
     Sf = dv[:, None] * eff
-    sinv = np.where(Sf != 0, 1.0 / np.where(Sf == 0, 1.0, Sf), 0.0)
-    qe = np.clip(np.round(sub * sinv[:, :, None]), -4, 3)
+    qe = np.clip(np.round(sub * _safe_inv(Sf)[:, :, None]), -4, 3)
     q3 = (qe + 4.0).astype(np.uint8)  # 0..7: low 2 bits -> qs, bit 2 -> hmask
     out = np.empty((nb, 110), np.uint8)
     # hmask byte h*16+e, bit j <- high bit of sub-block 2j+h, element e
@@ -337,15 +329,13 @@ def quantize_q6_k(x: np.ndarray) -> bytes:
     b = _blocks(x, 256, "q6_k")
     nb = b.shape[0]
     sub = b.reshape(nb, 16, 16)
-    s, _ = _fit_signed(sub.reshape(nb * 16, 16), -32, 31)
+    s = _fit_signed(sub.reshape(nb * 16, 16), -32, 31)
     s = s.reshape(nb, 16)
     d = np.abs(s).max(axis=1) / 127.0
     dv = _f16_round(d)
-    inv = np.where(dv > 0, 1.0 / np.where(dv == 0, 1.0, dv), 0.0)
-    sc = np.clip(np.round(s * inv[:, None]), -128, 127)
+    sc = np.clip(np.round(s * _safe_inv(dv)[:, None]), -128, 127)
     Sf = dv[:, None] * sc
-    sinv = np.where(Sf != 0, 1.0 / np.where(Sf == 0, 1.0, Sf), 0.0)
-    q = (np.clip(np.round(sub * sinv[:, :, None]), -32, 31) + 32.0).astype(np.uint8)
+    q = (np.clip(np.round(sub * _safe_inv(Sf)[:, :, None]), -32, 31) + 32.0).astype(np.uint8)
     # natural order (nb, 2 half, 4 group, 32) — see dequantize_q6_k
     g = q.reshape(nb, 2, 4, 32)
     out = np.empty((nb, 210), np.uint8)
@@ -367,11 +357,8 @@ def quantize_q6_k(x: np.ndarray) -> bytes:
 def quantize_q8_k(x: np.ndarray) -> bytes:
     b = _blocks(x, 256, "q8_k")
     nb = b.shape[0]
-    amax = np.abs(b).max(axis=1)
-    d = (amax / 127.0).astype(np.float32)
-    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0).astype(np.float32)
-    v = b * inv[:, None]
-    q = np.clip(np.sign(v) * np.floor(np.abs(v) + 0.5), -127, 127).astype(np.int8)
+    # same absmax/round-half-away-from-zero semantics as Q8_0, 256-block
+    q, d = q8_0_block_levels(b, block=256)
     out = np.empty((nb, 292), np.uint8)
     out[:, 0:4] = d.reshape(-1, 1).view(np.uint8)
     out[:, 4:260] = q.view(np.uint8)

@@ -90,6 +90,17 @@ def birefnet_image_extent(input_extent, p: BirefnetParams, max_alloc: int) -> tu
     return (_next_multiple(w, p.image_multiple), _next_multiple(h, p.image_multiple))
 
 
+def birefnet_batch_extent(input_extents, p: BirefnetParams, max_alloc: int) -> tuple[int, int]:
+    """Shared processing extent for a fused batch: the elementwise max of
+    the per-image capped extents, RE-capped — a wide image and a tall image
+    each within the max_alloc area budget combine to a bucket that is not,
+    so the cap must be re-applied to the combined extent."""
+    extents = [birefnet_image_extent(e, p, max_alloc) for e in input_extents]
+    return birefnet_image_extent(
+        (max(e[0] for e in extents), max(e[1] for e in extents)), p, max_alloc
+    )
+
+
 def birefnet_detect_params(file: GGUFFile, dynamic_extent=(0, 0), max_alloc: int = 1 << 62) -> BirefnetParams:
     if file.arch != "birefnet":
         raise_error("Architecture expected to be 'birefnet', but was '{}' ({})", file.arch, file.path)
@@ -346,10 +357,9 @@ class BirefnetModel:
         if self.mesh is not None:
             dp = self.mesh.shape["dp"]
             assert len(images) % dp == 0, f"batch {len(images)} not divisible by dp={dp}"
-        extents = [
-            birefnet_image_extent(img.extent, self.p, self.device.max_alloc) for img in images
-        ]
-        extent = (max(e[0] for e in extents), max(e[1] for e in extents))
+        extent = birefnet_batch_extent(
+            [img.extent for img in images], self.p, self.device.max_alloc
+        )
         arrs = []
         for img in images:
             scaled = img if img.extent == extent else image_scale(img, extent, preprocess_scale_method())
