@@ -259,6 +259,140 @@ def ref_q8_k(raw: bytes, n: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Scalar reference ENCODERS for the legacy formats, straight from ggml's
+# quantize_row_*_ref loops (one value at a time, all arithmetic np.float32
+# to mirror the reference's C floats). These pin the byte-for-byte
+# llama-quantize parity contract of vision_tpu.core.quantize's legacy
+# encoders — independently of that module, which shares no code here.
+# K-quant encoders are deliberately NOT pinned: their fit is an ALS search,
+# format-valid but not byte-identical to ggml's heuristic (see
+# core/quantize.py docstring); their bytes are covered by the roundtrip
+# bounds in tests/test_quantize.py through the decoder vectors above.
+# ---------------------------------------------------------------------------
+
+
+def _f16b(v: float) -> bytes:
+    return np.float16(v).tobytes()
+
+
+def _signed_max(blk) -> np.float32:
+    """ggml's running `if (amax < fabsf(v)) { amax = fabsf(v); max = v; }`."""
+    amax = np.float32(0.0)
+    mx = np.float32(0.0)
+    for v in blk:
+        if amax < abs(v):
+            amax, mx = abs(v), v
+    return mx
+
+
+def enc_q4_0(x: np.ndarray) -> bytes:
+    out = bytearray()
+    for i in range(len(x) // 32):
+        blk = x[i * 32 : (i + 1) * 32].astype(np.float32)
+        d = _signed_max(blk) / np.float32(-8.0)
+        idv = np.float32(1.0) / d if d else np.float32(0.0)
+        out += _f16b(d)
+        for j in range(16):
+            xi0 = min(15, int(blk[j] * idv + np.float32(8.5)))
+            xi1 = min(15, int(blk[j + 16] * idv + np.float32(8.5)))
+            out.append(xi0 | (xi1 << 4))
+    return bytes(out)
+
+
+def enc_q4_1(x: np.ndarray) -> bytes:
+    out = bytearray()
+    for i in range(len(x) // 32):
+        blk = x[i * 32 : (i + 1) * 32].astype(np.float32)
+        mn, mx = blk.min(), blk.max()
+        d = (mx - mn) / np.float32(15.0)
+        idv = np.float32(1.0) / d if d else np.float32(0.0)
+        out += _f16b(d) + _f16b(mn)
+        for j in range(16):
+            xi0 = min(15, int((blk[j] - mn) * idv + np.float32(0.5)))
+            xi1 = min(15, int((blk[j + 16] - mn) * idv + np.float32(0.5)))
+            out.append(xi0 | (xi1 << 4))
+    return bytes(out)
+
+
+def enc_q5_0(x: np.ndarray) -> bytes:
+    out = bytearray()
+    for i in range(len(x) // 32):
+        blk = x[i * 32 : (i + 1) * 32].astype(np.float32)
+        d = _signed_max(blk) / np.float32(-16.0)
+        idv = np.float32(1.0) / d if d else np.float32(0.0)
+        qh = 0
+        qs = bytearray()
+        for j in range(16):
+            xi0 = min(31, int(blk[j] * idv + np.float32(16.5)))
+            xi1 = min(31, int(blk[j + 16] * idv + np.float32(16.5)))
+            qs.append((xi0 & 0x0F) | ((xi1 & 0x0F) << 4))
+            qh |= ((xi0 & 0x10) >> 4) << j
+            qh |= ((xi1 & 0x10) >> 4) << (j + 16)
+        out += _f16b(d) + struct.pack("<I", qh) + qs
+    return bytes(out)
+
+
+def enc_q5_1(x: np.ndarray) -> bytes:
+    out = bytearray()
+    for i in range(len(x) // 32):
+        blk = x[i * 32 : (i + 1) * 32].astype(np.float32)
+        mn, mx = blk.min(), blk.max()
+        d = (mx - mn) / np.float32(31.0)
+        idv = np.float32(1.0) / d if d else np.float32(0.0)
+        qh = 0
+        qs = bytearray()
+        for j in range(16):
+            xi0 = min(31, int((blk[j] - mn) * idv + np.float32(0.5)))
+            xi1 = min(31, int((blk[j + 16] - mn) * idv + np.float32(0.5)))
+            qs.append((xi0 & 0x0F) | ((xi1 & 0x0F) << 4))
+            qh |= ((xi0 & 0x10) >> 4) << j
+            qh |= ((xi1 & 0x10) >> 4) << (j + 16)
+        out += _f16b(d) + _f16b(mn) + struct.pack("<I", qh) + qs
+    return bytes(out)
+
+
+def enc_q8_0(x: np.ndarray) -> bytes:
+    """roundf = half AWAY from zero (C), not python's banker's rounding."""
+    out = bytearray()
+    for i in range(len(x) // 32):
+        blk = x[i * 32 : (i + 1) * 32].astype(np.float32)
+        amax = np.float32(max(abs(v) for v in blk)) if len(blk) else np.float32(0)
+        d = amax / np.float32(127.0)
+        idv = np.float32(1.0) / d if d else np.float32(0.0)
+        out += _f16b(d)
+        for v in blk:
+            x0 = v * idv
+            q = int(np.floor(abs(x0) + np.float32(0.5)))
+            out += struct.pack("b", q if x0 >= 0 else -q)
+    return bytes(out)
+
+
+ENCODERS = {
+    "q4_0": enc_q4_0,
+    "q4_1": enc_q4_1,
+    "q5_0": enc_q5_0,
+    "q5_1": enc_q5_1,
+    "q8_0": enc_q8_0,
+}
+
+
+def _encoder_input() -> np.ndarray:
+    """5 blocks of 32 covering the edge cases: gaussian, all-zero, constant
+    positive (min > 0 exercises the affine formats' offset), a block whose
+    signed extreme is POSITIVE (negative scale in the absmax formats), and
+    exact power-of-two values that land on .5 rounding ties."""
+    rng = np.random.default_rng(0x51544E45)  # "QTNE"
+    blocks = [
+        rng.normal(size=32),
+        np.zeros(32),
+        np.full(32, 0.375),
+        np.concatenate([[3.0], rng.normal(size=31) * 0.5]),  # +extreme
+        np.linspace(-1.0, 1.0, 32),  # includes exact ties after scaling
+    ]
+    return np.concatenate(blocks).astype(np.float32)
+
+
 # name -> (scalar decoder, elements/block, bytes/block)
 FORMATS = {
     "q4_0": (ref_q4_0, 32, 18),
@@ -301,6 +435,10 @@ def main() -> None:
         assert np.isfinite(expected).all(), name
         arrays[f"{name}_raw"] = np.frombuffer(raw, np.uint8)
         arrays[f"{name}_expected"] = expected
+    enc_in = _encoder_input()
+    arrays["enc_input"] = enc_in
+    for name, enc in ENCODERS.items():
+        arrays[f"{name}_enc_bytes"] = np.frombuffer(enc(enc_in), np.uint8)
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "quant_vectors.npz"
     out.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(out, **arrays)

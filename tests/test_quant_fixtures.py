@@ -47,6 +47,27 @@ def test_dequantize_matches_frozen_fixture(name):
     assert got.dtype == np.float32
 
 
+LEGACY_ENCODERS = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
+
+
+@pytest.mark.parametrize("name", LEGACY_ENCODERS)
+def test_legacy_encoder_matches_ggml_reference_bytes(name):
+    """The legacy encoders claim byte-for-byte llama-quantize parity; the
+    fixture's *_enc_bytes were produced by scalar quantize_row_*_ref loops
+    (f32 scalar arithmetic, one value at a time — scripts/
+    make_quant_fixtures.py) over edge-case blocks including zero, constant,
+    positive-extreme, and exact .5 rounding ties. Any deviation in scale
+    choice, reciprocal precision, rounding association, or bit packing in
+    the vectorized encoder shows up as a byte diff here."""
+    from vision_tpu.core.gguf import GGMLType
+    from vision_tpu.core.quantize import QUANTIZERS
+
+    data = np.load(FIXTURES)
+    x = data["enc_input"]
+    got = np.frombuffer(QUANTIZERS[GGMLType[name.upper()]][0](x), np.uint8)
+    np.testing.assert_array_equal(got, data[f"{name}_enc_bytes"], err_msg=name)
+
+
 # -- hand-worked literals ----------------------------------------------------
 # fp16 bytes used below: 1.0=0x3C00, 1.5=0x3E00, 2.0=0x4000, 0.5=0x3800,
 # 0.25=0x3400, -1.0=0xBC00 (little-endian on disk: low byte first).

@@ -60,11 +60,14 @@ def _f16_round(d: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- legacy 32
 
 
-def _trunc_round(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
-    """ggml legacy-quantizer rounding: ``MIN(hi, (int)(v + 0.5))`` — add
-    half then truncate toward zero (values here are >= -0.5 so this is
-    floor), then clamp. Matches quantize_row_q4_0_ref et al. exactly."""
-    return np.clip(np.floor(v + 0.5), lo, hi)
+def _trunc_round(v: np.ndarray, off: float, hi: float) -> np.ndarray:
+    """ggml legacy-quantizer rounding: ``MIN(hi, (int)(v + off))`` — the
+    level offset and the half are added in ONE f32 addition exactly as the
+    reference's ``x0 + 8.5f`` is (two separate adds can round differently
+    in f32), then truncate toward zero (values here are >= -0.5 so this is
+    floor), then clamp. Matches quantize_row_q4_0_ref et al. byte-exactly;
+    v must already be f32 so the python-float ``off`` doesn't upcast."""
+    return np.clip(np.floor(v + off), 0, hi)
 
 
 def _signed_extreme(b: np.ndarray) -> np.ndarray:
@@ -92,7 +95,7 @@ def quantize_q4_0(x: np.ndarray) -> bytes:
     d = _signed_extreme(b) / -8.0
     # ggml computes levels with the PRE-f16 f32 reciprocal (id = 1/d before
     # GGML_FP32_TO_FP16 storage) — required for llama-quantize byte parity.
-    q = _trunc_round(b * _safe_inv(d)[:, None] + 8.0, 0, 15)
+    q = _trunc_round(b * _safe_inv(d)[:, None], 8.5, 15)
     out = np.empty((b.shape[0], 18), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:] = _pack_nibbles(q)
@@ -104,7 +107,7 @@ def quantize_q4_1(x: np.ndarray) -> bytes:
     mn = b.min(axis=1)
     d = (b.max(axis=1) - mn) / 15.0
     # f32 d and min in the level math (ggml quantize_row_q4_1_ref).
-    q = _trunc_round((b - mn[:, None]) * _safe_inv(d)[:, None], 0, 15)
+    q = _trunc_round((b - mn[:, None]) * _safe_inv(d)[:, None], 0.5, 15)
     out = np.empty((b.shape[0], 20), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:4] = _f16_bytes(mn)
@@ -115,7 +118,7 @@ def quantize_q4_1(x: np.ndarray) -> bytes:
 def quantize_q5_0(x: np.ndarray) -> bytes:
     b = _blocks(x, 32, "q5_0")
     d = _signed_extreme(b) / -16.0
-    q = _trunc_round(b * _safe_inv(d)[:, None] + 16.0, 0, 31).astype(np.uint8)
+    q = _trunc_round(b * _safe_inv(d)[:, None], 16.5, 31).astype(np.uint8)
     out = np.empty((b.shape[0], 22), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:6] = _pack_high_bits(q >> 4)
@@ -127,7 +130,7 @@ def quantize_q5_1(x: np.ndarray) -> bytes:
     b = _blocks(x, 32, "q5_1")
     mn = b.min(axis=1)
     d = (b.max(axis=1) - mn) / 31.0
-    q = _trunc_round((b - mn[:, None]) * _safe_inv(d)[:, None], 0, 31).astype(np.uint8)
+    q = _trunc_round((b - mn[:, None]) * _safe_inv(d)[:, None], 0.5, 31).astype(np.uint8)
     out = np.empty((b.shape[0], 24), np.uint8)
     out[:, :2] = _f16_bytes(d)
     out[:, 2:4] = _f16_bytes(mn)
