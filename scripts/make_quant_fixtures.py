@@ -259,6 +259,44 @@ def ref_q8_k(raw: bytes, n: int) -> np.ndarray:
     return out
 
 
+# The public non-linear 4-bit grid (ggml kvalues_iq4nl), written out here
+# independently of vision_tpu.core.gguf._IQ4_KVALUES.
+KVALUES_IQ4NL = [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113]
+
+
+def ref_iq4_nl(raw: bytes, n: int) -> np.ndarray:
+    """18-byte block = fp16 d + 16 nibble bytes (q4_0 nibble order);
+    y = d * kvalues[q]."""
+    out = np.empty(n, np.float32)
+    for i in range(n // 32):
+        b = raw[i * 18 : (i + 1) * 18]
+        d = f16(b[0], b[1])
+        for j in range(16):
+            out[i * 32 + j] = d * KVALUES_IQ4NL[b[2 + j] & 0x0F]
+            out[i * 32 + j + 16] = d * KVALUES_IQ4NL[b[2 + j] >> 4]
+    return out
+
+
+def ref_iq4_xs(raw: bytes, n: int) -> np.ndarray:
+    """136-byte super-block = fp16 d + u16 scales_h + 4 x u8 scales_l +
+    128 nibble bytes; sub-block ib of 32 has 6-bit scale
+    ls = scales_l nibble | (scales_h 2 bits << 4), value d*(ls-32), and
+    q4_0 nibble order within the sub-block."""
+    out = np.empty(n, np.float32)
+    for i in range(n // 256):
+        b = raw[i * 136 : (i + 1) * 136]
+        d = f16(b[0], b[1])
+        (sh,) = struct.unpack("<H", b[2:4])
+        for ib in range(8):
+            ls = ((b[4 + ib // 2] >> (4 * (ib % 2))) & 0x0F) | (((sh >> (2 * ib)) & 3) << 4)
+            dl = d * (ls - 32)
+            qs = b[8 + ib * 16 : 8 + (ib + 1) * 16]
+            for j in range(16):
+                out[i * 256 + ib * 32 + j] = dl * KVALUES_IQ4NL[qs[j] & 0x0F]
+                out[i * 256 + ib * 32 + j + 16] = dl * KVALUES_IQ4NL[qs[j] >> 4]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scalar reference ENCODERS for the legacy formats, straight from ggml's
 # quantize_row_*_ref loops (one value at a time, all arithmetic np.float32
@@ -406,6 +444,8 @@ FORMATS = {
     "q5_k": (ref_q5_k, 256, 176),
     "q6_k": (ref_q6_k, 256, 210),
     "q8_k": (ref_q8_k, 256, 292),
+    "iq4_nl": (ref_iq4_nl, 32, 18),
+    "iq4_xs": (ref_iq4_xs, 256, 136),
 }
 
 
@@ -421,7 +461,7 @@ def main() -> None:
         scale_spans = {  # offsets of fp16 fields within each block
             "q4_0": [0], "q4_1": [0, 2], "q5_0": [0], "q5_1": [0, 2],
             "q8_0": [0], "q2_k": [80, 82], "q3_k": [108], "q4_k": [0, 2],
-            "q5_k": [0, 2], "q6_k": [208],
+            "q5_k": [0, 2], "q6_k": [208], "iq4_nl": [0], "iq4_xs": [0],
         }
         for i in range(nb):
             if name == "q8_k":  # f32 scale

@@ -34,6 +34,8 @@ DECODERS = {
     "q5_k": G.dequantize_q5_k,
     "q6_k": G.dequantize_q6_k,
     "q8_k": G.dequantize_q8_k,
+    "iq4_nl": G.dequantize_iq4_nl,
+    "iq4_xs": G.dequantize_iq4_xs,
 }
 
 
@@ -200,6 +202,35 @@ def test_q6_k_hand_worked():
     blk = bytes(ql) + bytes(qh) + bytes(sc) + bytes([0x00, 0x38])
     y = G.dequantize_q6_k(blk, 256)
     assert (y[0], y[32], y[64], y[96]) == (17.0, -4.5, -7.0, -56.0)
+
+
+def test_iq4_nl_hand_worked():
+    # d=2.0; qs[0]=0x80 -> elem0 nibble 0 = kvalues[0] = -127 -> -254.0,
+    #                      elem16 nibble 8 = kvalues[8] = 1   ->    2.0;
+    # qs[1]=0xF7 -> elem1 kvalues[7] = -10 -> -20.0,
+    #               elem17 kvalues[15] = 113 -> 226.0
+    blk = bytes([0x00, 0x40, 0x80, 0xF7] + [0] * 14)
+    y = G.dequantize_iq4_nl(blk, 32)
+    assert (y[0], y[16], y[1], y[17]) == (-254.0, 2.0, -20.0, 226.0)
+    # all-zero nibbles decode to d * kvalues[0] everywhere
+    assert (y[2:16] == -254.0).all() and (y[18:] == -254.0).all()
+
+
+def test_iq4_xs_hand_worked():
+    # d=0.5; scales_h=0x0002 -> ib0 high bits = 2, ib1.. = 0;
+    # scales_l[0]=0x31 -> ib0 low nibble 1, ib1 low nibble 3:
+    #   ls(ib0) = 1 | (2<<4) = 33 -> dl = 0.5*(33-32) =  0.5
+    #   ls(ib1) = 3           = 3 -> dl = 0.5*(3-32)  = -14.5
+    # qs[0]=0x39 -> elem0 kvalues[9]=13 -> 6.5, elem16 kvalues[3]=-65 -> -32.5
+    # qs[16]=0x08 (first byte of ib1) -> elem32 kvalues[8]=1 -> -14.5
+    import struct
+
+    sl = bytes([0x31, 0, 0, 0])
+    qs = bytearray(128)
+    qs[0], qs[16] = 0x39, 0x08
+    blk = bytes([0x00, 0x38]) + struct.pack("<H", 2) + sl + bytes(qs)
+    y = G.dequantize_iq4_xs(blk, 256)
+    assert (y[0], y[16], y[32]) == (6.5, -32.5, -14.5)
 
 
 def test_q8_k_hand_worked():

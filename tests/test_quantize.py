@@ -39,6 +39,8 @@ _RMS_BOUNDS = {
     GGMLType.Q5_K: 0.049,
     GGMLType.Q6_K: 0.024,
     GGMLType.Q8_K: 0.0092,
+    GGMLType.IQ4_NL: 0.10,
+    GGMLType.IQ4_XS: 0.105,
 }
 
 
@@ -112,6 +114,8 @@ def _tiny_gguf(path):
     ("q6_k", 18, GGMLType.Q6_K, GGMLType.Q8_0),
     ("q5_0", 8, GGMLType.Q5_0, GGMLType.Q5_0),    # 96 % 32 == 0 -> direct
     ("q4_1", 3, GGMLType.Q4_1, GGMLType.Q4_1),
+    ("iq4_nl", 25, GGMLType.IQ4_NL, GGMLType.IQ4_NL),  # 32-block, direct
+    ("iq4_xs", 30, GGMLType.IQ4_XS, GGMLType.Q8_0),    # 256 super-block ladder
 ])
 def test_requantize_gguf_new_types(tmp_path, ftype, kv, big, ragged):
     src = _tiny_gguf(tmp_path / "in.gguf")

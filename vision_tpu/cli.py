@@ -136,10 +136,11 @@ def main(argv=None) -> int:
         "--extra-model", action="append", default=[], metavar="GGUF",
         help="serve: load an additional model (family auto-detected; repeatable)",
     )
+    from .core.gguf import REQUANTIZE_TYPES
+
     parser.add_argument(
         "--type", "-t", default="q8_0",
-        choices=["q8_0", "q4_0", "q4_1", "q5_0", "q5_1",
-                 "q2_k", "q3_k", "q4_k", "q5_k", "q6_k", "f16", "f32"],
+        choices=list(REQUANTIZE_TYPES),
         help="quantize: target float storage type",
     )
     parser.add_argument(

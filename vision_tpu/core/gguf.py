@@ -71,6 +71,8 @@ class GGMLType(IntEnum):
     Q5_K = 13
     Q6_K = 14
     Q8_K = 15
+    IQ4_NL = 20
+    IQ4_XS = 23
     I8 = 24
     I16 = 25
     I32 = 26
@@ -356,6 +358,47 @@ def dequantize_q8_k(raw: bytes, n_elements: int) -> np.ndarray:
     return (q * d).reshape(-1)
 
 
+# The IQ4 non-linear 4-bit level table (ggml kvalues_iq4nl): 16 hand-tuned
+# int8 values replacing the uniform (q-8) grid — denser near zero where
+# gaussian weights concentrate. IQ4_NL/IQ4_XS are the only IQ formats whose
+# layout is fully determined by this public table; the codebook formats
+# (IQ1_*/IQ2_*/IQ3_*) depend on large trained lattice grids that cannot be
+# derived from the format spec, so this reader intentionally rejects them.
+_IQ4_KVALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.float32,
+)
+
+
+def dequantize_iq4_nl(raw: bytes, n_elements: int) -> np.ndarray:
+    """IQ4_NL: f16 scale + 16 nibble bytes (18 bytes / 32 elements);
+    v = d * kvalues[q] with the q4_0 nibble order."""
+    n_blocks = n_elements // 32
+    buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 18).reshape(n_blocks, 18)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    idx = np.concatenate([buf[:, 2:] & 0x0F, buf[:, 2:] >> 4], axis=1)
+    return (_IQ4_KVALUES[idx] * d).reshape(-1)
+
+
+def dequantize_iq4_xs(raw: bytes, n_elements: int) -> np.ndarray:
+    """IQ4_XS super-block (136 bytes / 256): f16 d + u16 scales_h +
+    4x u8 scales_l + 128 nibble bytes. Sub-block ib (32 elems) scale is the
+    6-bit ls = scales_l nibble | (scales_h 2-bit << 4), value d*(ls-32);
+    nibble order within each sub-block matches q4_0."""
+    nb = n_elements // 256
+    buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 136).reshape(nb, 136)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)  # (nb, 1)
+    sh = buf[:, 2:4].copy().view(np.uint16).astype(np.uint32)  # (nb, 1)
+    sl = buf[:, 4:8]  # (nb, 4)
+    ib = np.arange(8)
+    lo = (sl[:, ib // 2] >> (4 * (ib % 2))) & 0x0F  # (nb, 8)
+    hi = (sh >> (2 * ib)) & 3
+    ls = (lo | (hi << 4)).astype(np.float32) - 32.0  # (nb, 8)
+    qs = buf[:, 8:].reshape(nb, 8, 16)
+    idx = np.concatenate([qs & 0x0F, qs >> 4], axis=2)  # (nb, 8, 32)
+    return (_IQ4_KVALUES[idx] * (d[:, :, None] * ls[:, :, None])).reshape(-1)
+
+
 # ggml_type -> (dequant fn, elements per block, bytes per block)
 _DEQUANTIZE = {
     GGMLType.Q4_0: (dequantize_q4_0, 32, 18),
@@ -369,13 +412,23 @@ _DEQUANTIZE = {
     GGMLType.Q5_K: (dequantize_q5_k, 256, 176),
     GGMLType.Q6_K: (dequantize_q6_k, 256, 210),
     GGMLType.Q8_K: (dequantize_q8_k, 256, 292),
+    GGMLType.IQ4_NL: (dequantize_iq4_nl, 32, 18),
+    GGMLType.IQ4_XS: (dequantize_iq4_xs, 256, 136),
 }
 
 # types quant_blocks can decompose for int8-resident weights (core/quant.py);
 # K-quants expand at load instead (their 6-bit scale tables don't reduce to
 # one (q, scale, min) per 32-block without materializing the same f32 data)
 _RESIDENT_TYPES = frozenset(
-    {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0}
+    {
+        GGMLType.Q4_0,
+        GGMLType.Q4_1,
+        GGMLType.Q5_0,
+        GGMLType.Q5_1,
+        GGMLType.Q8_0,
+        GGMLType.IQ4_NL,
+        GGMLType.IQ4_XS,
+    }
 )
 
 
@@ -446,6 +499,30 @@ def quant_blocks(ggml_type: GGMLType, raw: bytes, n_elements: int):
         m = buf[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(-1)
         q = _int_nibbles(buf[:, 8:]) + _high_bits(buf[:, 4:8]).astype(np.int8)
         return q.reshape(-1), d, m
+    if ggml_type == GGMLType.IQ4_NL:
+        # non-linear grid, but kvalues are int8 — the LEVEL VALUES themselves
+        # are the resident int8 tensor: v = kvalues[idx] * d.
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 18).reshape(nb, 18)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        idx = np.concatenate([buf[:, 2:] & 0x0F, buf[:, 2:] >> 4], axis=1)
+        return _IQ4_KVALUES[idx].astype(np.int8).reshape(-1), d, None
+    if ggml_type == GGMLType.IQ4_XS:
+        # sub-block scales are exactly per-32, matching this contract
+        nsb = n_elements // 256
+        buf = np.frombuffer(raw, dtype=np.uint8, count=nsb * 136).reshape(nsb, 136)
+        d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+        sh = buf[:, 2:4].copy().view(np.uint16).astype(np.uint32)
+        ib = np.arange(8)
+        lo = (buf[:, 4:8][:, ib // 2] >> (4 * (ib % 2))) & 0x0F
+        hi = (sh >> (2 * ib)) & 3
+        ls = ((lo | (hi << 4)).astype(np.float32) - 32.0)
+        qs = buf[:, 8:].reshape(nsb, 8, 16)
+        idx = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
+        return (
+            _IQ4_KVALUES[idx].astype(np.int8).reshape(-1),
+            (d * ls).reshape(-1),
+            None,
+        )
     raise_error("quant_blocks: unsupported ggml type {}", ggml_type.name)
 
 
@@ -851,6 +928,8 @@ REQUANTIZE_TYPES = {
     "q4_k": (14, GGMLType.Q4_K),
     "q5_k": (16, GGMLType.Q5_K),
     "q6_k": (18, GGMLType.Q6_K),
+    "iq4_nl": (25, GGMLType.IQ4_NL),
+    "iq4_xs": (30, GGMLType.IQ4_XS),
 }
 
 
@@ -878,7 +957,7 @@ def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") 
     """
     if float_type not in REQUANTIZE_TYPES:
         raise_error("requantize: unsupported float type '{}'", float_type)
-    from .quantize import quantize_blocks
+    from .quantize import block_size, quantize_blocks
 
     file_type_kv, target = REQUANTIZE_TYPES[float_type]
     f = GGUFFile(src)
@@ -887,7 +966,7 @@ def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") 
         if k != "general.file_type":
             w.add(k, v)
     w.add("general.file_type", file_type_kv)
-    block = 256 if target in _K_TYPES else 32
+    block = block_size(target) if target is not None else 0
     for name in f.tensor_names():
         info = f.tensors[name]
         if target is not None and info.ggml_type == target:
@@ -900,7 +979,9 @@ def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") 
         a = np.ascontiguousarray(a, np.float32)
         if target is not None and a.ndim >= 2 and a.shape[-1] % block == 0:
             w.add_raw_tensor(name, a.shape, target, quantize_blocks(target, a))
-        elif target in _K_TYPES and a.ndim >= 2 and a.shape[-1] % 32 == 0:
+        elif target is not None and block > 32 and a.ndim >= 2 and a.shape[-1] % 32 == 0:
+            # super-block-ineligible (K / iq4_xs) but 32-divisible -> q8_0,
+            # same fallback rung llama-quantize uses
             w.add_raw_tensor(name, a.shape, GGMLType.Q8_0, quantize_q8_0(a))
         elif float_type == "f16":
             w.add_tensor(name, a, GGMLType.F16)

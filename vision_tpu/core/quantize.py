@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 from .errors import raise_error
-from .gguf import GGMLType, q8_0_block_levels, quantize_q8_0
+from .gguf import _IQ4_KVALUES, GGMLType, q8_0_block_levels, quantize_q8_0
 
 __all__ = ["QUANTIZERS", "quantize_blocks", "block_size"]
 
@@ -370,6 +370,68 @@ def quantize_q8_k(x: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+# -------------------------------------------------------- IQ4 (non-linear)
+
+# midpoints between consecutive kvalues: nearest-level quantization onto
+# the non-uniform grid is one searchsorted against these
+_IQ4_MID = (_IQ4_KVALUES[:-1] + _IQ4_KVALUES[1:]) / 2.0
+
+
+def _iq4_nearest(v: np.ndarray) -> np.ndarray:
+    """Index of the nearest _IQ4_KVALUES entry for each scaled value."""
+    return np.searchsorted(_IQ4_MID, v).astype(np.uint8)
+
+
+def _fit_iq4(sub: np.ndarray, iters: int = 3):
+    """Fit ``x ~= s * kvalues[q]`` per row with s free-signed. Init maps
+    the signed extreme to kvalues[0] (-127, the grid's largest-magnitude
+    entry — ggml's iq4 init does the same), then alternate (nearest-level
+    quantize; least-squares re-solve s = <x,k(q)>/<k(q),k(q)>)."""
+    s = _signed_extreme(sub) / float(_IQ4_KVALUES[0])
+    for _ in range(iters):
+        kq = _IQ4_KVALUES[_iq4_nearest(sub * _safe_inv(s)[:, None])]
+        kk = (kq * kq).sum(axis=1)
+        ok = kk > 0
+        s = np.where(ok, (kq * sub).sum(axis=1) / np.where(ok, kk, 1.0), s)
+    return s
+
+
+def quantize_iq4_nl(x: np.ndarray) -> bytes:
+    b = _blocks(x, 32, "iq4_nl")
+    d = _fit_iq4(b)
+    # final levels against the f16-stored scale the decoder will see
+    idx = _iq4_nearest(b * _safe_inv(_f16_round(d))[:, None])
+    out = np.empty((b.shape[0], 18), np.uint8)
+    out[:, :2] = _f16_bytes(d)
+    out[:, 2:] = idx[:, :16] | (idx[:, 16:] << 4)
+    return out.tobytes()
+
+
+def quantize_iq4_xs(x: np.ndarray) -> bytes:
+    b = _blocks(x, 256, "iq4_xs")
+    nb = b.shape[0]
+    sub = b.reshape(nb, 8, 32)
+    s = _fit_iq4(sub.reshape(nb * 8, 32)).reshape(nb, 8)
+    # 6-bit signed sub-scales (ls - 32) under one f16 super-scale d
+    d = np.abs(s).max(axis=1) / 31.0
+    dv = _f16_round(d)
+    ls = np.clip(np.round(s * _safe_inv(dv)[:, None]), -32, 31)
+    Sf = dv[:, None] * ls
+    idx = _iq4_nearest(sub * _safe_inv(Sf)[:, :, None])
+    lsq = (ls + 32.0).astype(np.uint8)  # 0..63
+    out = np.empty((nb, 136), np.uint8)
+    out[:, 0:2] = _f16_bytes(d)
+    # scales_h: little-endian u16, bits 2*ib..2*ib+1 = top 2 bits of ls[ib]
+    sh = ((lsq.astype(np.uint32) >> 4) << (2 * np.arange(8, dtype=np.uint32))).sum(
+        axis=1, dtype=np.uint32
+    )
+    out[:, 2:4] = sh.astype(np.uint16).reshape(-1, 1).view(np.uint8)
+    # scales_l: byte k = low nibble of ls[2k] | low nibble of ls[2k+1] << 4
+    out[:, 4:8] = (lsq[:, 0::2] & 0x0F) | ((lsq[:, 1::2] & 0x0F) << 4)
+    out[:, 8:] = (idx[:, :, :16] | (idx[:, :, 16:] << 4)).reshape(nb, 128)
+    return out.tobytes()
+
+
 # ggml_type -> (encoder, elements per block)
 QUANTIZERS = {
     GGMLType.Q4_0: (quantize_q4_0, 32),
@@ -383,6 +445,8 @@ QUANTIZERS = {
     GGMLType.Q5_K: (quantize_q5_k, 256),
     GGMLType.Q6_K: (quantize_q6_k, 256),
     GGMLType.Q8_K: (quantize_q8_k, 256),
+    GGMLType.IQ4_NL: (quantize_iq4_nl, 32),
+    GGMLType.IQ4_XS: (quantize_iq4_xs, 256),
 }
 
 
