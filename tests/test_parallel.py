@@ -110,30 +110,44 @@ def test_sam_encoder_dp_sharded_matches_single_device():
     from vision_tpu.models.mobile_sam import SamModel, SamParams
     from vision_tpu.models.random_weights import random_mobile_sam_params
 
-    # the heaviest test in the suite (three 1024^2 encoder executables on 8
-    # virtual devices): drop every previously-cached executable first —
-    # with the whole suite's compilation state resident, the XLA CPU client
-    # has been observed to abort mid-execution here
+    # formerly the heaviest test in the suite (three 1024^2 encoder
+    # executables on 8 virtual devices): drop every previously-cached
+    # executable first — with the whole suite's compilation state resident,
+    # the XLA CPU client has been observed to abort mid-execution here
     jax.clear_caches()
     gc.collect()
 
     # dp=2 x tp=4 over all 8 devices: batch sharding + tp collectives. A
     # batch of 2 (one image per dp shard) proves the same parity as the
-    # earlier batch-4/dp-4 form at ~half the 1024^2 CPU execution cost —
-    # every encode here runs on one physical core.
+    # earlier batch-4/dp-4 form, and the sharding property is geometry-
+    # invariant, so the encoder runs the halved 512 TinyViT geometry
+    # (same dims/heads/windows, quarter the pixels — every encode here
+    # executes on one physical core).
+    from vision_tpu.models.mobile_sam import TinyVitLayer, TinyVitParams
+
+    tp512 = TinyVitParams(
+        img_size=512,
+        layers=(
+            TinyVitLayer(128, 64, 2, 2, 7, True),
+            TinyVitLayer(64, 128, 2, 4, 7, True),
+            TinyVitLayer(32, 160, 6, 5, 14, True),
+            TinyVitLayer(32, 320, 2, 10, 7, False),
+        ),
+    )
+    p512 = SamParams(image_size=512)
     mesh = make_mesh(8, tp=4)
     dev = backend_init(BackendType.cpu)
     params = random_mobile_sam_params(seed=0)
     rng = np.random.default_rng(7)
-    uniq = [rng.integers(0, 256, (1024, 1024, 3)).astype(np.uint8) for _ in range(2)]
+    uniq = [rng.integers(0, 256, (512, 512, 3)).astype(np.uint8) for _ in range(2)]
     images = [image_load_array(uniq[i]) for i in range(2)]
 
-    sharded_model = SamModel(params, SamParams(), dev, mesh=mesh)
+    sharded_model = SamModel(params, p512, dev, mesh=mesh, tiny_vit=tp512)
     emb = sharded_model.encode_batch(images)
     assert emb.sharding.spec == P("dp"), emb.sharding
     emb = np.asarray(emb)
 
-    single = SamModel(params, SamParams(), dev)
+    single = SamModel(params, p512, dev, tiny_vit=tp512)
     single.encode(images[0])
     e0 = np.asarray(single.embed)[0]
     single.encode(images[1])

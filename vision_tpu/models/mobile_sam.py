@@ -243,8 +243,19 @@ def tiny_vit(p: Params, x, tp: TinyVitParams = TinyVitParams(), flash: bool = Fa
     return x
 
 
-def sam_encode_image(params: Params, image, p: SamParams = SamParams(), flash: bool = False):
-    return tiny_vit(params["enc"], image, TinyVitParams(), flash)
+def sam_encode_image(
+    params: Params,
+    image,
+    p: SamParams = SamParams(),
+    flash: bool = False,
+    tp: TinyVitParams = TinyVitParams(),
+):
+    """``tp``: encoder geometry — the production MobileSAM is the 1024
+    default (reference mobile-sam.h:16-38 hardcodes it); non-default
+    geometries (e.g. a halved 512 variant) encode fine but produce a
+    different embedding resolution, which the 64x64 prompt decoder does
+    not accept."""
+    return tiny_vit(params["enc"], image, tp, flash)
 
 
 # ---------------------------------------------------------------------------
@@ -516,24 +527,25 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     return out
 
 
-def _sam_enc_fn(dtype, flash: bool):
+def _sam_enc_fn(dtype, flash: bool, tp: TinyVitParams = TinyVitParams()):
     def enc_fn(weights, x_u8):
         from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
 
         x = normalize_u8(x_u8, MEAN, STD, dtype)
-        return sam_encode_image(Params(weights), x, flash=flash)
+        return sam_encode_image(Params(weights), x, flash=flash, tp=tp)
 
     return enc_fn
 
 
 @lru_cache(maxsize=8)
-def _sam_programs(dtype, flash: bool):
+def _sam_programs(dtype, flash: bool, tp: TinyVitParams = TinyVitParams()):
     """Jitted SAM executables shared across model instances. The closures
-    depend only on (dtype, flash) — weights are arguments — so two SamModel
-    instances with the same config reuse ONE traced/compiled program
-    instead of re-tracing per instance (the reference's per-model graph
-    cache, vision.cpp:37-52, generalized across models)."""
-    enc = jax.jit(_sam_enc_fn(dtype, flash))
+    depend only on (dtype, flash, encoder geometry) — weights are arguments
+    — so two SamModel instances with the same config reuse ONE
+    traced/compiled program instead of re-tracing per instance (the
+    reference's per-model graph cache, vision.cpp:37-52, generalized
+    across models)."""
+    enc = jax.jit(_sam_enc_fn(dtype, flash, tp))
 
     @jax.jit
     def dec_point(weights, embed, coords):
@@ -563,15 +575,26 @@ def _sam_programs(dtype, flash: bool):
 
 
 class SamModel:
-    def __init__(self, params: dict, p: SamParams, device: Device, mesh=None):
+    def __init__(
+        self,
+        params: dict,
+        p: SamParams,
+        device: Device,
+        mesh=None,
+        tiny_vit: TinyVitParams = TinyVitParams(),
+    ):
         """``mesh``: optional jax.sharding.Mesh for multi-chip inference —
         weights are placed on the mesh (replicated, or tp-sharded over the
         mesh's ``tp`` axis via the default rules) and ``encode_batch`` shards
         the image batch over ``dp``, scaling the reference's single-request
-        semantics (vision.cpp:36-95) by the chip count over ICI."""
+        semantics (vision.cpp:36-95) by the chip count over ICI.
+        ``tiny_vit``: encoder geometry; non-default geometries change the
+        embedding resolution, so compute()'s 64x64 prompt decode only works
+        with the production 1024 default (see sam_encode_image)."""
         self.p = p
         self.device = device
         self.mesh = mesh
+        self.tiny_vit = tiny_vit
         self.image_extent: tuple[int, int] | None = None
         self.embed = None
 
@@ -586,13 +609,15 @@ class SamModel:
             params = shard_params(params, mesh)
         self.params = params
 
-        enc, dec_point, dec_box, dec_point_batch, dec_box_batch = _sam_programs(dtype, flash)
+        enc, dec_point, dec_box, dec_point_batch, dec_box_batch = _sam_programs(
+            dtype, flash, tiny_vit
+        )
         self._enc_single = enc
         if mesh is not None:
             from ..parallel import batch_sharding
 
             enc = jax.jit(
-                _sam_enc_fn(dtype, flash),
+                _sam_enc_fn(dtype, flash, tiny_vit),
                 in_shardings=(None, batch_sharding(mesh)),
                 out_shardings=batch_sharding(mesh),
             )
