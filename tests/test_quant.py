@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from vision_tpu.core.gguf import (
     GGMLType,
     GGUFWriter,
+    dequantize_iq4_nl,
+    dequantize_iq4_xs,
     dequantize_q4_0,
     dequantize_q4_1,
     dequantize_q5_0,
@@ -62,6 +64,13 @@ def _raw_blocks(fmt, nb, rng):
         return np.concatenate([d, qh, qs16], axis=1).tobytes()
     if fmt == GGMLType.Q5_1:
         return np.concatenate([d, m, qh, qs16], axis=1).tobytes()
+    if fmt == GGMLType.IQ4_NL:
+        return np.concatenate([d, qs16], axis=1).tobytes()
+    if fmt == GGMLType.IQ4_XS:
+        sh = rng.integers(0, 256, (nb, 2), dtype=np.uint8)
+        sl = rng.integers(0, 256, (nb, 4), dtype=np.uint8)
+        qs128 = rng.integers(0, 256, (nb, 128), dtype=np.uint8)
+        return np.concatenate([d, sh, sl, qs128], axis=1).tobytes()
     raise AssertionError(fmt)
 
 
@@ -73,6 +82,8 @@ def _raw_blocks(fmt, nb, rng):
         (GGMLType.Q4_1, dequantize_q4_1),
         (GGMLType.Q5_0, dequantize_q5_0),
         (GGMLType.Q5_1, dequantize_q5_1),
+        (GGMLType.IQ4_NL, dequantize_iq4_nl),
+        (GGMLType.IQ4_XS, dequantize_iq4_xs),
     ],
 )
 def test_quant_blocks_bit_exact(fmt, dequant):
@@ -80,8 +91,9 @@ def test_quant_blocks_bit_exact(fmt, dequant):
     rng = np.random.default_rng(0)
     nb = 7
     raw = _raw_blocks(fmt, nb, rng)
-    expected = dequant(raw, nb * 32)
-    q, scale, minv = quant_blocks(fmt, raw, nb * 32)
+    n = nb * (256 if fmt == GGMLType.IQ4_XS else 32)
+    expected = dequant(raw, n)
+    q, scale, minv = quant_blocks(fmt, raw, n)
     assert q.dtype == np.int8 and scale.dtype == np.float32
     got = q.reshape(-1, 32).astype(np.float32) * scale[:, None]
     if minv is not None:

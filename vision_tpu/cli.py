@@ -30,7 +30,7 @@ USAGE_COMMANDS = {
     "esrgan": "ESRGAN/Real-ESRGAN upscaling",
     "yolov9t": "YOLOv9t object detection",
     "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
-    "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, f16, f32)",
+    "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, iq4_nl/xs, f16, f32)",
     "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 

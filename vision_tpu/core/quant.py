@@ -16,8 +16,11 @@ from host to graph.
 
 ``Params.find`` (core/params.py) dequantizes transparently, so model code
 is unchanged; model loaders only need the ``QuantResident.put`` branch
-when uploading. All five GGUF block formats reduce exactly to this form
-(Q4/Q5 levels fit int8; affine variants carry ``minv``).
+when uploading. Seven GGUF block formats reduce exactly to this form:
+the five legacy 32-block ones (Q4/Q5 levels fit int8; affine variants
+carry ``minv``) plus IQ4_NL/IQ4_XS, whose non-linear grid VALUES are int8
+and whose scales are per-32 (gguf.py ``_RESIDENT_TYPES``). K-quants expand
+at load instead.
 """
 
 from __future__ import annotations

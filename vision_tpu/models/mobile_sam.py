@@ -228,7 +228,8 @@ def basic_layer(p: Params, x, lp: TinyVitLayer, flash=False):
 
 
 def tiny_vit(p: Params, x, tp: TinyVitParams = TinyVitParams(), flash: bool = False):
-    """TinyViT encoder -> (B, 64, 64, 256) embedding (mobile-sam.cpp:185-208)."""
+    """TinyViT encoder -> (B, R, R, 256) embedding, R = final-stage
+    resolution (64 for the production 1024 geometry; mobile-sam.cpp:185-208)."""
     x = patch_embed(p["patch_embed"], x)
     x = conv_layer(p["layers"][0], x, tp.layers[0])
     for i in range(1, len(tp.layers)):
@@ -637,7 +638,8 @@ class SamModel:
     def encode_batch(self, images: list[Image]):
         """Encode a batch of images in one program; with a mesh, the batch is
         dp-sharded so each chip encodes len(images)/dp images and the result
-        stays sharded on device. Returns the (N, 64, 64, 256) embeddings."""
+        stays sharded on device. Returns the (N, R, R, 256) embeddings
+        (R = 64 for the production geometry; see sam_encode_image)."""
         if self.mesh is not None:
             dp = self.mesh.shape["dp"]
             assert len(images) % dp == 0, f"batch {len(images)} not divisible by dp={dp}"
