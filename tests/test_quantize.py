@@ -135,6 +135,22 @@ def test_requantize_gguf_new_types(tmp_path, ftype, kv, big, ragged):
     np.testing.assert_array_equal(f.tensor("bias"), ref.tensor("bias"))
 
 
+def test_requantize_stats_out(tmp_path):
+    """stats_out collects (name, stored type, rel-RMS): quantized tensors
+    get a positive bounded error, f32 fallbacks 0.0, integer tensors None."""
+    src = _tiny_gguf(tmp_path / "in.gguf")
+    stats = []
+    requantize_gguf(src, tmp_path / "out.gguf", "q4_k", stats_out=stats)
+    by_name = {n: (t, r) for n, t, r in stats}
+    assert set(by_name) == {"big.weight", "ragged.weight", "bias", "index"}
+    t, r = by_name["big.weight"]
+    assert t == "Q4_K" and 0 < r < 0.12
+    t, r = by_name["ragged.weight"]
+    assert t == "Q8_0" and 0 < r < 0.01  # ladder fallback, still measured
+    assert by_name["bias"] == ("F32", 0.0)
+    assert by_name["index"] == ("I32", None)
+
+
 def test_requantize_same_type_copies_blocks(tmp_path):
     """Requantizing at the stored type is a lossless block copy."""
     src = _tiny_gguf(tmp_path / "in.gguf")

@@ -144,6 +144,11 @@ def main(argv=None) -> int:
         help="quantize: target float storage type",
     )
     parser.add_argument(
+        "--verify", action="store_true",
+        help="quantize: report per-tensor reconstruction error (rel-RMS) "
+             "after writing, like llama-quantize's per-tensor stats",
+    )
+    parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
         help="bench: arguments forwarded to vision_tpu.benchmark "
              "(e.g. --bench-args sam-encode-1024 --k 8)",
@@ -173,11 +178,20 @@ def main(argv=None) -> int:
             dst = args.output
             if dst is None:  # no -o: derive a gguf name next to the source
                 dst = str(Path(src).with_suffix("")) + f"-{args.type.upper()}.gguf"
+            stats = [] if args.verify else None
             with _Timer(f"Quantizing to {args.type}"):
-                out = requantize_gguf(src, dst, args.type)
+                out = requantize_gguf(src, dst, args.type, stats_out=stats)
         except VispError as e:
             print(f"Error: {e}", file=sys.stderr)
             return 1
+        if stats:
+            width = max(len(n) for n, _, _ in stats)
+            for n, tname, rms in stats:
+                err = "  (int, copied)" if rms is None else f"  rel-rms {rms:.4f}"
+                print(f"  {n:<{width}}  {tname:<7}{err}")
+            lossy = [r for _, _, r in stats if r]
+            if lossy:
+                print(f"  worst rel-rms {max(lossy):.4f} over {len(lossy)} quantized tensors")
         print(f"-> {out} ({Path(out).stat().st_size / 1e6:.1f} MB, "
               f"from {Path(src).stat().st_size / 1e6:.1f} MB)")
         return 0

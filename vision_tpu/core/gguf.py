@@ -933,7 +933,12 @@ REQUANTIZE_TYPES = {
 }
 
 
-def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") -> Path:
+def requantize_gguf(
+    src: str | Path,
+    dst: str | Path,
+    float_type: str = "q8_0",
+    stats_out: list | None = None,
+) -> Path:
     """Rewrite a GGUF file at a different float storage type.
 
     The ``vision-cli quantize`` workhorse — the analog of the gguf-py /
@@ -954,6 +959,12 @@ def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") 
       which dequantize first) is stored at that width.
 
     Integer tensors are copied unchanged.
+
+    ``stats_out``: pass a list to collect per-tensor
+    ``(name, stored_type_name, rel_rms)`` reconstruction stats (the
+    llama-quantize per-tensor report; rel_rms is 0.0 for lossless copies,
+    None for integer tensors). Costs one extra dequant pass per quantized
+    tensor.
     """
     if float_type not in REQUANTIZE_TYPES:
         raise_error("requantize: unsupported float type '{}'", float_type)
@@ -966,26 +977,53 @@ def requantize_gguf(src: str | Path, dst: str | Path, float_type: str = "q8_0") 
         if k != "general.file_type":
             w.add(k, v)
     w.add("general.file_type", file_type_kv)
+    def note(name, stored: GGMLType, a=None, raw=None, n=0):
+        if stats_out is None:
+            return
+        if a is None:
+            stats_out.append((name, stored.name, None))
+            return
+        if raw is None:
+            rms = 0.0
+            if stored == GGMLType.F16:  # lossy width cut
+                back = a.astype(np.float16).astype(np.float32)
+                denom = float(np.sqrt(np.mean(a**2))) or 1.0
+                rms = float(np.sqrt(np.mean((back - a) ** 2))) / denom
+        else:
+            back = _DEQUANTIZE[stored][0](raw, n)
+            denom = float(np.sqrt(np.mean(a**2))) or 1.0
+            rms = float(np.sqrt(np.mean((back - a.reshape(-1)) ** 2))) / denom
+        stats_out.append((name, stored.name, rms))
+
     block = block_size(target) if target is not None else 0
     for name in f.tensor_names():
         info = f.tensors[name]
         if target is not None and info.ggml_type == target:
             w.add_raw_tensor(name, info.shape, target, f.raw(name).tobytes())
+            note(name, target, f.tensor(name).astype(np.float32) if stats_out is not None else None,
+                 f.raw(name).tobytes() if stats_out is not None else None, info.n_elements)
             continue
         a = f.tensor(name)
         if not np.issubdtype(a.dtype, np.floating):
             w.add_tensor(name, a)
+            note(name, info.ggml_type)
             continue
         a = np.ascontiguousarray(a, np.float32)
         if target is not None and a.ndim >= 2 and a.shape[-1] % block == 0:
-            w.add_raw_tensor(name, a.shape, target, quantize_blocks(target, a))
+            raw = quantize_blocks(target, a)
+            w.add_raw_tensor(name, a.shape, target, raw)
+            note(name, target, a, raw, a.size)
         elif target is not None and block > 32 and a.ndim >= 2 and a.shape[-1] % 32 == 0:
             # super-block-ineligible (K / iq4_xs) but 32-divisible -> q8_0,
             # same fallback rung llama-quantize uses
-            w.add_raw_tensor(name, a.shape, GGMLType.Q8_0, quantize_q8_0(a))
+            raw = quantize_q8_0(a)
+            w.add_raw_tensor(name, a.shape, GGMLType.Q8_0, raw)
+            note(name, GGMLType.Q8_0, a, raw, a.size)
         elif float_type == "f16":
             w.add_tensor(name, a, GGMLType.F16)
+            note(name, GGMLType.F16, a)
         else:
             w.add_tensor(name, a)
+            note(name, GGMLType.F32, a)
     w.write()
     return Path(dst)
