@@ -491,3 +491,25 @@ def test_backend_init_cpu_after_default_platform():
     d = backend_init(BackendType.cpu)
     assert d.type == BackendType.cpu
     assert backend_is_available(BackendType.cpu)
+
+
+def test_checkpoint_loader_preserves_integer_buffers(tmp_path):
+    """_load_checkpoint keeps integer checkpoint buffers (bn
+    num_batches_tracked, index tables) at their dtype — the reference
+    converter writes them as integer GGUF tensors, not F32 (review r4c)."""
+    import torch
+
+    from vision_tpu.convert.convert import _load_checkpoint
+
+    torch.save(
+        {
+            "w": torch.ones(4, dtype=torch.float16),
+            "n": torch.tensor(7, dtype=torch.int64),
+            "idx": torch.arange(6, dtype=torch.int32),
+        },
+        tmp_path / "m.pth",
+    )
+    out = _load_checkpoint(tmp_path / "m.pth")
+    assert out["w"].dtype == np.float32  # halves widen to f32
+    assert out["n"].dtype == np.int64 and int(out["n"]) == 7
+    assert out["idx"].dtype == np.int32

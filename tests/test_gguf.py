@@ -603,3 +603,63 @@ def test_f32_to_bf16_nan_safe():
     back = bf16_to_f32(f32_to_bf16(x))
     assert np.isnan(back[0]) and np.isnan(back[1])
     np.testing.assert_array_equal(back[2:], x[2:])
+
+
+def test_corrupt_header_sizes_raise_clean_errors(tmp_path):
+    """Flipped bytes in u64 length/count fields (string length, array count,
+    n_dims) -> clean VispError, never a ~2^50-byte allocation attempt
+    (MemoryError/OOM); a zero or non-integer general.alignment errors
+    cleanly instead of ZeroDivisionError (review r4c)."""
+    import struct as st
+
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.gguf import GGUFFile
+
+    def s(x: str) -> bytes:
+        b = x.encode()
+        return st.pack("<Q", len(b)) + b
+
+    hdr_kv = b"GGUF" + st.pack("<IQQ", 3, 0, 1)  # 0 tensors, 1 kv
+
+    huge_str = tmp_path / "hs.gguf"
+    huge_str.write_bytes(hdr_kv + st.pack("<Q", 1 << 50) + b"xx")
+    with pytest.raises(VispError, match="corrupt"):
+        GGUFFile(huge_str)
+
+    huge_arr = tmp_path / "ha.gguf"  # ARRAY of STRING with count 2^50
+    huge_arr.write_bytes(
+        hdr_kv + s("a") + st.pack("<I", 9) + st.pack("<I", 8) + st.pack("<Q", 1 << 50)
+    )
+    with pytest.raises(VispError, match="corrupt"):
+        GGUFFile(huge_arr)
+
+    huge_counts = tmp_path / "hc.gguf"  # n_kv itself absurd
+    huge_counts.write_bytes(b"GGUF" + st.pack("<IQQ", 3, 0, 1 << 50))
+    with pytest.raises(VispError, match="corrupt"):
+        GGUFFile(huge_counts)
+
+    huge_dims = tmp_path / "hd.gguf"  # tensor claiming 2^30 dims
+    huge_dims.write_bytes(b"GGUF" + st.pack("<IQQ", 3, 1, 0) + s("t") + st.pack("<I", 1 << 30))
+    with pytest.raises(VispError, match="corrupt"):
+        GGUFFile(huge_dims)
+
+    zero_align = tmp_path / "za.gguf"  # general.alignment = 0 (u32)
+    zero_align.write_bytes(hdr_kv + s("general.alignment") + st.pack("<II", 4, 0))
+    with pytest.raises(VispError, match="alignment"):
+        GGUFFile(zero_align)
+
+    str_align = tmp_path / "sa.gguf"  # general.alignment = "x" (string)
+    str_align.write_bytes(hdr_kv + s("general.alignment") + st.pack("<I", 8) + s("x"))
+    with pytest.raises(VispError, match="alignment"):
+        GGUFFile(str_align)
+
+
+def test_add_raw_tensor_rejects_long_names(tmp_path):
+    """add_raw_tensor enforces the same GGML_MAX_NAME gate as add_tensor —
+    a quantized conversion must not silently write names the reference C++
+    loader cannot represent (review r4c)."""
+    from vision_tpu.core.errors import VispError
+
+    w = GGUFWriter(tmp_path / "n.gguf", "esrgan")
+    with pytest.raises(VispError, match="too long"):
+        w.add_raw_tensor("x" * 64, (32,), GGMLType.Q8_0, b"\0" * 34)

@@ -339,3 +339,29 @@ def test_requantize_k_quant_input(tmp_path):
     # half a quantization step + the f16 rounding of the per-block scale
     tol = step[:, None] * 0.51 + np.abs(v32) * 2.0**-10 + 1e-8
     assert np.all(np.abs(got.reshape(-1, 32) - v32) <= tol)
+
+
+def test_resident_cwhn_honors_conv2d_weights_list(tmp_path):
+    """A cwhn file carrying ``{arch}.conv2d_weights`` treats the list as
+    authoritative for the RESIDENT path too (reference ml.cpp:435-445): a
+    heuristic-matching tensor NOT in the list must load identically under
+    keep_quantized True/False (review r4c — the modes used to disagree)."""
+    rng = np.random.default_rng(5)
+    conv = rng.standard_normal((16, 3, 3, 32)).astype(np.float32)  # listed
+    fake = rng.standard_normal((8, 4, 4, 32)).astype(np.float32)  # conv-shaped, unlisted
+
+    path = tmp_path / "c.gguf"
+    w = GGUFWriter(path, "testarch")
+    w.add("testarch.tensor_data_layout", "cwhn")
+    w.add("testarch.conv2d_weights", [0])
+    w.add_raw_tensor("conv.weight", conv.shape, GGMLType.Q8_0, quantize_q8_0(conv))
+    w.add_raw_tensor("fake.weight", fake.shape, GGMLType.Q8_0, quantize_q8_0(fake))
+    w.write()
+
+    f = model_load(str(path))
+    dense = load_weights(f, device=None, float_dtype=np.float32)
+    res = load_weights(f, device=None, float_dtype=np.float32, keep_quantized=True)
+    assert dense["conv.weight"].shape == res["conv.weight"].shape == (16, 32, 3, 3)
+    assert dense["fake.weight"].shape == res["fake.weight"].shape == (8, 4, 4, 32)
+    for k in ("conv.weight", "fake.weight"):
+        np.testing.assert_array_equal(np.asarray(res[k].dequant()), dense[k])

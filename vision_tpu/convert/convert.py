@@ -25,11 +25,20 @@ import numpy as np
 
 from ..core.errors import raise_error
 from ..core.gguf import REQUANTIZE_TYPES, GGMLType, GGUFWriter, quantize_q8_0
+from ..core.weights import is_conv_2d_name
 
 __all__ = ["convert_model"]
 
 BN_EPS = 1e-5
-CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)
+
+
+def _to_numpy(v) -> np.ndarray:
+    """Floats widen to f32 (f16/bf16 have no straight numpy path); integer
+    buffers (e.g. bn num_batches_tracked, index tables) keep their dtype —
+    the reference converter writes them as integer GGUF tensors."""
+    if v.is_floating_point():
+        return v.float().numpy()
+    return v.numpy()
 
 
 def _load_checkpoint(path: Path) -> dict[str, np.ndarray]:
@@ -41,7 +50,7 @@ def _load_checkpoint(path: Path) -> dict[str, np.ndarray]:
         except ImportError:
             raise_error("safetensors is not available in this environment")
         with safe_open(str(path), "pt") as f:
-            return {k: f.get_tensor(k).float().numpy() for k in f.keys()}
+            return {k: _to_numpy(f.get_tensor(k)) for k in f.keys()}
     sd = torch.load(str(path), map_location="cpu", weights_only=True)
     # unwrap common checkpoint containers (BasicSR/Real-ESRGAN releases use
     # {'params'|'params_ema': {...}}; lightning etc. use 'state_dict')
@@ -50,16 +59,13 @@ def _load_checkpoint(path: Path) -> dict[str, np.ndarray]:
             if key in sd and isinstance(sd[key], dict):
                 sd = sd[key]
                 break
-    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return {k: _to_numpy(v) for k, v in sd.items() if hasattr(v, "numpy")}
 
 
 def is_conv_2d(name: str, t: np.ndarray) -> bool:
-    return (
-        t.ndim == 4
-        and t.shape[2] == t.shape[3]
-        and t.shape[2] in CONV_KERNEL_SIZES
-        and name.endswith("weight")
-    )
+    # one shape heuristic shared with the loader (weights.is_conv_2d_name):
+    # what this writer permutes, that reader un-permutes
+    return is_conv_2d_name(name, tuple(t.shape))
 
 
 def conv_2d_to_nhwc(k: np.ndarray) -> np.ndarray:

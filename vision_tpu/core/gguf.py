@@ -81,11 +81,6 @@ class GGMLType(IntEnum):
     BF16 = 30
 
 
-_K_TYPES = frozenset(
-    {GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K}
-)
-
-
 _SCALAR_FMT = {
     GGUFValueType.UINT8: "<B",
     GGUFValueType.INT8: "<b",
@@ -370,21 +365,20 @@ _IQ4_KVALUES = np.array(
 )
 
 
-def dequantize_iq4_nl(raw: bytes, n_elements: int) -> np.ndarray:
-    """IQ4_NL: f16 scale + 16 nibble bytes (18 bytes / 32 elements);
-    v = d * kvalues[q] with the q4_0 nibble order."""
+def _iq4_nl_unpack(raw: bytes, n_elements: int) -> tuple[np.ndarray, np.ndarray]:
+    """IQ4_NL payload -> (d f32 (nb, 1), kvalue indices (nb, 32)) — the one
+    unpack shared by dequantize_iq4_nl and quant_blocks (their bit-for-bit
+    agreement is the residency contract)."""
     n_blocks = n_elements // 32
     buf = np.frombuffer(raw, dtype=np.uint8, count=n_blocks * 18).reshape(n_blocks, 18)
     d = buf[:, :2].copy().view(np.float16).astype(np.float32)
     idx = np.concatenate([buf[:, 2:] & 0x0F, buf[:, 2:] >> 4], axis=1)
-    return (_IQ4_KVALUES[idx] * d).reshape(-1)
+    return d, idx
 
 
-def dequantize_iq4_xs(raw: bytes, n_elements: int) -> np.ndarray:
-    """IQ4_XS super-block (136 bytes / 256): f16 d + u16 scales_h +
-    4x u8 scales_l + 128 nibble bytes. Sub-block ib (32 elems) scale is the
-    6-bit ls = scales_l nibble | (scales_h 2-bit << 4), value d*(ls-32);
-    nibble order within each sub-block matches q4_0."""
+def _iq4_xs_unpack(raw: bytes, n_elements: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """IQ4_XS payload -> (d f32 (nb, 1), sub-block scales ls (nb, 8),
+    kvalue indices (nb, 8, 32)); shared like :func:`_iq4_nl_unpack`."""
     nb = n_elements // 256
     buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 136).reshape(nb, 136)
     d = buf[:, :2].copy().view(np.float16).astype(np.float32)  # (nb, 1)
@@ -396,6 +390,22 @@ def dequantize_iq4_xs(raw: bytes, n_elements: int) -> np.ndarray:
     ls = (lo | (hi << 4)).astype(np.float32) - 32.0  # (nb, 8)
     qs = buf[:, 8:].reshape(nb, 8, 16)
     idx = np.concatenate([qs & 0x0F, qs >> 4], axis=2)  # (nb, 8, 32)
+    return d, ls, idx
+
+
+def dequantize_iq4_nl(raw: bytes, n_elements: int) -> np.ndarray:
+    """IQ4_NL: f16 scale + 16 nibble bytes (18 bytes / 32 elements);
+    v = d * kvalues[q] with the q4_0 nibble order."""
+    d, idx = _iq4_nl_unpack(raw, n_elements)
+    return (_IQ4_KVALUES[idx] * d).reshape(-1)
+
+
+def dequantize_iq4_xs(raw: bytes, n_elements: int) -> np.ndarray:
+    """IQ4_XS super-block (136 bytes / 256): f16 d + u16 scales_h +
+    4x u8 scales_l + 128 nibble bytes. Sub-block ib (32 elems) scale is the
+    6-bit ls = scales_l nibble | (scales_h 2-bit << 4), value d*(ls-32);
+    nibble order within each sub-block matches q4_0."""
+    d, ls, idx = _iq4_xs_unpack(raw, n_elements)
     return (_IQ4_KVALUES[idx] * (d[:, :, None] * ls[:, :, None])).reshape(-1)
 
 
@@ -502,27 +512,12 @@ def quant_blocks(ggml_type: GGMLType, raw: bytes, n_elements: int):
     if ggml_type == GGMLType.IQ4_NL:
         # non-linear grid, but kvalues are int8 — the LEVEL VALUES themselves
         # are the resident int8 tensor: v = kvalues[idx] * d.
-        buf = np.frombuffer(raw, dtype=np.uint8, count=nb * 18).reshape(nb, 18)
-        d = buf[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
-        idx = np.concatenate([buf[:, 2:] & 0x0F, buf[:, 2:] >> 4], axis=1)
-        return _IQ4_KVALUES[idx].astype(np.int8).reshape(-1), d, None
+        d, idx = _iq4_nl_unpack(raw, n_elements)
+        return _IQ4_KVALUES[idx].astype(np.int8).reshape(-1), d.reshape(-1), None
     if ggml_type == GGMLType.IQ4_XS:
         # sub-block scales are exactly per-32, matching this contract
-        nsb = n_elements // 256
-        buf = np.frombuffer(raw, dtype=np.uint8, count=nsb * 136).reshape(nsb, 136)
-        d = buf[:, :2].copy().view(np.float16).astype(np.float32)
-        sh = buf[:, 2:4].copy().view(np.uint16).astype(np.uint32)
-        ib = np.arange(8)
-        lo = (buf[:, 4:8][:, ib // 2] >> (4 * (ib % 2))) & 0x0F
-        hi = (sh >> (2 * ib)) & 3
-        ls = ((lo | (hi << 4)).astype(np.float32) - 32.0)
-        qs = buf[:, 8:].reshape(nsb, 8, 16)
-        idx = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
-        return (
-            _IQ4_KVALUES[idx].astype(np.int8).reshape(-1),
-            (d * ls).reshape(-1),
-            None,
-        )
+        d, ls, idx = _iq4_xs_unpack(raw, n_elements)
+        return _IQ4_KVALUES[idx].astype(np.int8).reshape(-1), (d * ls).reshape(-1), None
     raise_error("quant_blocks: unsupported ggml type {}", ggml_type.name)
 
 
@@ -564,23 +559,30 @@ class TensorInfo:
         return self.n_elements * _GGML_NP_DTYPE[self.ggml_type].itemsize
 
 
-def _read_string(f: BinaryIO) -> str:
+def _read_string(f: BinaryIO, limit: int) -> str:
+    """``limit``: total file size — a declared length past it means a corrupt
+    header; raising ValueError (caught by the open-time handler) beats
+    letting f.read(n) attempt a ~2^50-byte allocation (MemoryError/OOM)."""
     (n,) = struct.unpack("<Q", f.read(8))
+    if n > limit:
+        raise ValueError(f"string length {n} exceeds file size {limit}")
     return f.read(n).decode("utf-8")
 
 
-def _read_value(f: BinaryIO, vtype: GGUFValueType) -> Any:
+def _read_value(f: BinaryIO, vtype: GGUFValueType, limit: int) -> Any:
     if vtype == GGUFValueType.STRING:
-        return _read_string(f)
+        return _read_string(f, limit)
     if vtype == GGUFValueType.ARRAY:
         etype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
         (count,) = struct.unpack("<Q", f.read(8))
+        if count > limit:  # every element occupies >= 1 byte in the file
+            raise ValueError(f"array count {count} exceeds file size {limit}")
         if etype in _SCALAR_FMT and etype != GGUFValueType.BOOL:
             fmt = _SCALAR_FMT[etype]
             size = struct.calcsize(fmt)
             data = f.read(size * count)
             return list(struct.unpack(f"<{count}{fmt[-1]}", data)) if count else []
-        return [_read_value(f, etype) for _ in range(count)]
+        return [_read_value(f, etype, limit) for _ in range(count)]
     fmt = _SCALAR_FMT[vtype]
     (v,) = struct.unpack(fmt, f.read(struct.calcsize(fmt)))
     return v
@@ -598,6 +600,9 @@ class GGUFFile:
         self.metadata: dict[str, Any] = {}
         self.tensors: dict[str, TensorInfo] = {}
         with open(path, "rb") as f:
+            f.seek(0, 2)
+            file_size = f.tell()
+            f.seek(0)
             magic = f.read(4)
             if magic != GGUF_MAGIC:
                 raise_error("{}: not a GGUF file (bad magic)", self.path)
@@ -606,14 +611,18 @@ class GGUFFile:
                 if self.version < 2:
                     raise_error("{}: unsupported GGUF version {}", self.path, self.version)
                 n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+                if n_tensors > file_size or n_kv > file_size:
+                    raise ValueError(f"header counts {n_tensors}/{n_kv} exceed file size")
                 for _ in range(n_kv):
-                    key = _read_string(f)
+                    key = _read_string(f, file_size)
                     vtype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
-                    self.metadata[key] = _read_value(f, vtype)
+                    self.metadata[key] = _read_value(f, vtype, file_size)
                 infos = []
                 for _ in range(n_tensors):
-                    name = _read_string(f)
+                    name = _read_string(f, file_size)
                     (n_dims,) = struct.unpack("<I", f.read(4))
+                    if n_dims > 8:  # GGML_MAX_DIMS is 4; a huge count = corruption
+                        raise ValueError(f"tensor '{name}' claims {n_dims} dims")
                     ne = struct.unpack(f"<{n_dims}Q", f.read(8 * n_dims))
                     (type_int,) = struct.unpack("<I", f.read(4))
                     try:
@@ -624,13 +633,21 @@ class GGUFFile:
                         ggml_type = type_int  # type: ignore[assignment]
                     (offset,) = struct.unpack("<Q", f.read(8))
                     infos.append(TensorInfo(name, tuple(reversed(ne)), ggml_type, offset))
-            except (struct.error, ValueError, UnicodeDecodeError) as e:
+            except (struct.error, ValueError, UnicodeDecodeError, MemoryError, OverflowError) as e:
                 raise_error("{}: corrupt GGUF header (truncated?): {}", self.path, e)
-            self.alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+            align = self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT)
+            try:
+                align = int(align)
+            except (TypeError, ValueError):
+                align = 0
+            if align < 1:
+                raise_error(
+                    "{}: invalid general.alignment {!r} (need a positive integer)",
+                    self.path, self.metadata.get("general.alignment"),
+                )
+            self.alignment = align
             pos = f.tell()
             self.data_offset = (pos + self.alignment - 1) // self.alignment * self.alignment
-            f.seek(0, 2)
-            file_size = f.tell()
         for info in infos:
             self.tensors[info.name] = info
         # validate tensor spans up front: a truncated or corrupt file fails
@@ -860,6 +877,8 @@ class GGUFWriter:
     def add_raw_tensor(self, name: str, shape: tuple[int, ...], ggml_type: GGMLType, blob: bytes) -> None:
         """Add a tensor whose data bytes are already in final (e.g.
         quantized-block) form."""
+        if len(name.encode()) >= 64:  # GGML_MAX_NAME — same gate as add_tensor
+            raise_error("tensor name too long for GGUF (>=64 chars): {}", name)
         self._tensors.append((name, _RawBlob(tuple(shape), blob), ggml_type))
 
     def write(self) -> None:
@@ -1000,8 +1019,10 @@ def requantize_gguf(
         info = f.tensors[name]
         if target is not None and info.ggml_type == target:
             w.add_raw_tensor(name, info.shape, target, f.raw(name).tobytes())
-            note(name, target, f.tensor(name).astype(np.float32) if stats_out is not None else None,
-                 f.raw(name).tobytes() if stats_out is not None else None, info.n_elements)
+            if stats_out is not None:
+                # byte-identical pass-through: rel-rms is 0 by construction,
+                # no need to dequantize the payload twice to report it
+                stats_out.append((name, target.name, 0.0))
             continue
         a = f.tensor(name)
         if not np.issubdtype(a.dtype, np.floating):

@@ -35,7 +35,10 @@ import numpy as np
 __all__ = ["QuantResident", "is_quant", "quantize_resident", "quantize_store", "store_nbytes"]
 
 _BLOCK = 32
-_CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)  # mirror weights.is_conv_2d_name
+# canonical conv-kernel-size set for the is_conv_2d shape heuristic
+# (reference convert.py:110-117); weights.py and convert/convert.py import
+# it from here so the three layout paths can never desync
+_CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)
 
 
 @jax.tree_util.register_pytree_node_class

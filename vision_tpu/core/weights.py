@@ -27,11 +27,9 @@ import numpy as np
 
 from .device import Device
 from .gguf import GGUFFile
-from .quant import QuantResident, is_quant
+from .quant import _CONV_KERNEL_SIZES, QuantResident, is_quant
 
 __all__ = ["load_weights", "is_conv_2d_name", "unpermute_cwhn"]
-
-_CONV_KERNEL_SIZES = (1, 3, 4, 7, 14)
 
 
 def is_conv_2d_name(name: str, shape: tuple[int, ...]) -> bool:
@@ -104,7 +102,9 @@ def load_weights(
                     q, scale, minv, tuple(file.tensors[name].shape), None,
                     str(np.dtype(float_dtype)),
                 )
-                if layout == "cwhn":
+                # same authority rule as the dense path below: a present
+                # conv2d_weights list overrides the shape heuristic
+                if layout == "cwhn" and (conv_names is None or name in conv_names):
                     r = r.unpermute_cwhn(name)
                 out[name] = r
                 continue
