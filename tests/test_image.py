@@ -332,3 +332,100 @@ def test_load_f32x4_rgb_u8_lane3():
     assert abs(float(u8.load_f32x4()[0, 0, 3]) - 1.0 / 255.0) < 1e-7
     f32 = Image(np.zeros((1, 1, 3), np.float32), ImageFormat.rgb_f32)
     assert float(f32.load_f32x4()[0, 0, 3]) == 1.0
+
+
+def test_stb_unchanged_axis_uses_mitchell():
+    """stb v1 stbir__use_upsampling is ``ratio > 1``: an axis whose size is
+    UNCHANGED takes the Mitchell downsample filter (softening a hard edge to
+    ~14/241), not the identity Catmull-Rom (review r4c)."""
+    from vision_tpu.image import Image, ImageFormat, image_scale
+
+    a = np.zeros((4, 4, 1), np.uint8)
+    a[:, 2:] = 255  # hard vertical 0|255 edge
+    out = image_scale(Image(a, ImageFormat.alpha_u8), (4, 2), method="stb")
+    # width unchanged: Mitchell taps [1/18, 16/18, 1/18] with clamped edges
+    # -> [0, 255/18, 255*17/18, 255] = [0, 14, 241, 255]; the identity
+    # Catmull-Rom would give [0, 0, 255, 255]
+    col = out.data[0, :, 0].tolist()
+    assert col == [0, 14, 241, 255], col
+
+
+def test_stb_f32_transparent_pixels_lose_color():
+    """stb v1 gates STBIR_ALPHA_EPSILON on non-float types: the f32 path
+    premultiplies by raw alpha and unpremultiplies with alpha ? 1/alpha : 0,
+    so a fully transparent region's color becomes 0 (review r4c); the u8
+    path keeps color via the epsilon."""
+    from vision_tpu.image import Image, ImageFormat, image_scale
+
+    a = np.zeros((4, 4, 4), np.float32)
+    a[:, :, 1] = 0.8  # green everywhere, alpha 0 everywhere
+    out = image_scale(Image(a, ImageFormat.rgba_f32), (2, 2), method="stb")
+    assert float(np.abs(out.data[:, :, 3]).max()) == 0.0
+    assert float(np.abs(out.data[:, :, 1]).max()) == 0.0  # color zeroed
+
+    o = np.zeros((4, 4, 4), np.float32)
+    o[:, :, 1] = 0.8
+    o[:, :, 3] = 1.0  # fully opaque: color must survive
+    out_o = image_scale(Image(o, ImageFormat.rgba_f32), (2, 2), method="stb")
+    np.testing.assert_allclose(out_o.data[:, :, 1], 0.8, rtol=1e-5)
+
+
+def test_image_eq_is_identity():
+    """The generated dataclass __eq__ would tuple-compare numpy arrays and
+    raise; Image uses identity (compare pixels via image_difference_rms)."""
+    from vision_tpu.image import Image, ImageFormat
+
+    a = Image(np.zeros((2, 2, 3), np.uint8), ImageFormat.rgb_u8)
+    b = Image(np.zeros((2, 2, 3), np.uint8), ImageFormat.rgb_u8)
+    assert (a == b) is False and (a == a) is True
+    assert a in [b, a]
+
+
+def test_image_load_keeps_la_alpha(tmp_path):
+    """Gray+alpha (PIL 'LA') files keep their alpha channel as rgba instead
+    of silently flattening to opaque RGB (review r4c)."""
+    from PIL import Image as PILImage
+
+    from vision_tpu.image import ImageFormat, image_load
+
+    la = PILImage.merge(
+        "LA",
+        [
+            PILImage.fromarray(np.full((3, 3), 128, np.uint8)),
+            PILImage.fromarray(np.array([[0, 128, 255]] * 3, np.uint8)),
+        ],
+    )
+    la.save(tmp_path / "la.png")
+    img = image_load(tmp_path / "la.png")
+    assert img.format == ImageFormat.rgba_u8
+    assert img.data[0, 0, 3] == 0 and img.data[0, 2, 3] == 255
+
+
+def test_f32_to_u8_rejects_swizzled_formats():
+    """bgra/argb destinations would be stored in RGBA lane order and lie
+    about their format; reject like the reference's write-target assert."""
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.image import Image, ImageFormat, image_f32_to_u8
+
+    src = Image(np.zeros((2, 2, 4), np.float32), ImageFormat.rgba_f32)
+    with pytest.raises(VispError, match="does not support"):
+        image_f32_to_u8(src, ImageFormat.bgra_u8)
+
+
+def test_u8_to_f32_accepts_rgb_constants():
+    """Length-3 offset/scale (the shared IMAGENET constants) pad a neutral
+    4th lane — identical to passing the explicit 4-tuples."""
+    from vision_tpu.image import Image, ImageFormat, image_u8_to_f32
+
+    rng = np.random.default_rng(3)
+    src = Image(rng.integers(0, 256, (4, 5, 3), np.uint8), ImageFormat.rgb_u8)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    a = image_u8_to_f32(
+        src, ImageFormat.rgb_f32,
+        offset=tuple(-m for m in mean), scale=tuple(1 / s for s in std),
+    )
+    b = image_u8_to_f32(
+        src, ImageFormat.rgb_f32,
+        offset=tuple(-m for m in mean) + (0.0,), scale=tuple(1 / s for s in std) + (1.0,),
+    )
+    np.testing.assert_array_equal(a.data, b.data)

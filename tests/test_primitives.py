@@ -183,6 +183,10 @@ def test_attention_flash_path():
         ("bicubic", False, (16, 16)),
         ("bicubic", True, (16, 16)),
         ("nearest", False, (20, 12)),
+        # n_out == 1: torch defines scale = 0 (source index 0), not the
+        # half-pixel center (review r4c)
+        ("bilinear", True, (1, 5)),
+        ("bilinear", True, (4, 1)),
     ],
 )
 def test_resize_matches_torch(mode, align, size):

@@ -102,13 +102,16 @@ def alpha_channel(fmt: ImageFormat) -> int:
     return _ALPHA_CHANNEL[fmt]
 
 
-@dataclass
+@dataclass(eq=False)
 class Image:
     """Owning pixel container: (H, W, C) numpy array + format.
 
     Collapses the reference's image_view/image_span/image_data trio
     (image.h:37-98) — numpy views provide non-owning references natively.
-    ``extent`` is (width, height) like the reference.
+    ``extent`` is (width, height) like the reference. ``eq=False``:
+    a generated __eq__ would tuple-compare the arrays and raise the numpy
+    ambiguous-truth-value error; identity comparison is the useful default
+    (compare pixels with image_difference_rms).
     """
 
     data: np.ndarray  # (H, W, C), uint8 or float32
@@ -222,6 +225,8 @@ def image_load(filepath: str | Path) -> Image:
         raise_error("Failed to load image {}: {}", filepath, e)
     if pil.mode == "P":
         pil = pil.convert("RGBA" if "transparency" in pil.info else "RGB")
+    elif pil.mode == "LA":  # gray+alpha: keep the alpha channel
+        pil = pil.convert("RGBA")
     elif pil.mode not in ("L", "RGB", "RGBA"):
         pil = pil.convert("RGB")
     a = np.asarray(pil)
@@ -272,8 +277,16 @@ def image_u8_to_f32(
             dst_extent = src.extent
     if is_float(src.format) or not is_float(dst_format_):
         raise_error("image_u8_to_f32 requires u8 source and f32 destination")
-    offset = np.asarray(np.broadcast_to(np.asarray(offset, np.float32), (4,)))
-    scale = np.asarray(np.broadcast_to(np.asarray(scale, np.float32), (4,)))
+    def _lane4(v, neutral: float) -> np.ndarray:
+        # rgb-only constants (e.g. the shared IMAGENET_MEAN/STD 3-tuples)
+        # get a neutral 4th lane instead of a broadcast error
+        v = np.asarray(v, np.float32)
+        if v.ndim == 1 and v.shape[0] == 3:
+            v = np.concatenate([v, np.float32([neutral])])
+        return np.asarray(np.broadcast_to(v, (4,)))
+
+    offset = _lane4(offset, 0.0)
+    scale = _lane4(scale, 1.0)
 
     dw, dh = dst_extent
     ox, oy = tile_offset
@@ -295,6 +308,10 @@ def image_f32_to_u8(
     """src * scale + offset, clamp, truncate (reference image.cpp:257-288)."""
     if not is_float(src.format) or is_float(dst_format):
         raise_error("image_f32_to_u8 requires f32 source and u8 destination")
+    if dst_format in (ImageFormat.bgra_u8, ImageFormat.argb_u8):
+        # the store is unmapped RGBA lane order; the reference's image_data
+        # target likewise asserts bgra/argb are not supported for writing
+        raise_error("image_f32_to_u8 does not support writing {}", dst_format)
     out4 = src.load_f32x4() * np.float32(scale) + np.float32(offset)
     return Image(np.ascontiguousarray(_store_u8(out4, dst_format)), dst_format)
 
@@ -367,11 +384,13 @@ _STB_ALPHA_EPS = 1.0 / (1 << 20)  # STBIR_ALPHA_EPSILON (stb v1)
 
 def _stb_axis_matrices(img: Image, target: tuple[int, int]):
     """stb v1 STBIR_FILTER_DEFAULT resolves PER AXIS: Catmull-Rom when
-    upsampling, scaled Mitchell when downsampling."""
+    upsampling, scaled Mitchell otherwise — stbir__use_upsampling is
+    ``ratio > 1``, so an UNCHANGED axis takes the Mitchell (downsample)
+    filter and is softened slightly, exactly like stb."""
     from ..ops.resize import resize_matrix
 
-    fy = "mitchell" if target[1] < img.height else "catmullrom"
-    fx = "mitchell" if target[0] < img.width else "catmullrom"
+    fy = "catmullrom" if target[1] > img.height else "mitchell"
+    fx = "catmullrom" if target[0] > img.width else "mitchell"
     return (
         resize_matrix(img.height, target[1], fy, False),
         resize_matrix(img.width, target[0], fx, False),
@@ -439,26 +458,27 @@ def preprocess_scale_method() -> str:
 def _image_scale_stb_f32(img: Image, target: tuple[int, int]) -> Image:
     """stb float path (reference image.cpp:333-337: FILTER_DEFAULT,
     COLORSPACE_LINEAR, flags=0): Catmull-Rom up / scaled Mitchell down per
-    axis, CLAMP edges, no sRGB, alpha-premultiplied resampling (with the
-    stb epsilon) when the format has an alpha channel."""
+    axis, CLAMP edges, no sRGB. stb v1 gates STBIR_ALPHA_EPSILON on
+    ``type != STBIR_TYPE_FLOAT`` — the float path premultiplies by RAW
+    alpha and unpremultiplies with ``alpha ? 1/alpha : 0``, so fully
+    transparent pixels come out with color 0 (unlike the u8 path)."""
     ach = alpha_channel(img.format)
-    a = img.data.astype(np.float32)
+    a = img.data.astype(np.float32)  # astype copies: safe to write below
     premult = img.channels == 4 and ach is not None and ach >= 0
     if premult:
-        a = a.copy()
-        alpha = a[:, :, ach] + _STB_ALPHA_EPS
+        alpha = a[:, :, ach].copy()
         for ch in range(4):
             if ch != ach:
                 a[:, :, ch] = a[:, :, ch] * alpha
-        a[:, :, ach] = alpha
     wy, wx = _stb_axis_matrices(img, target)
     out = _resize_apply(wy, wx, a)
     if premult:
         alpha_r = out[:, :, ach]
+        with np.errstate(divide="ignore"):
+            recip = np.where(alpha_r != 0.0, 1.0 / alpha_r, 0.0)
         for ch in range(4):
             if ch != ach:
-                out[:, :, ch] = out[:, :, ch] / alpha_r
-        out[:, :, ach] = alpha_r - _STB_ALPHA_EPS
+                out[:, :, ch] = out[:, :, ch] * recip
     return Image(np.ascontiguousarray(out.astype(np.float32)), img.format)
 
 

@@ -46,8 +46,8 @@ __all__ = [
     "depthany_compute",
 ]
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406, 0.0)
-IMAGENET_STD = (0.229, 0.224, 0.225, 1.0)
+# shared rgb constants; image_u8_to_f32 pads the neutral 4th lane
+from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 
 @dataclass(frozen=True)
@@ -182,7 +182,7 @@ def _depthany_program(p: DepthAnythingParams, dtype, flash: bool, mesh=None):
     def run(weights, x_u8):
         from ..ops.preprocess import normalize_u8
 
-        x = normalize_u8(x_u8, IMAGENET_MEAN[:3], IMAGENET_STD[:3], dtype)
+        x = normalize_u8(x_u8, IMAGENET_MEAN, IMAGENET_STD, dtype)
         return depthany_predict(Params(weights), x, p, flash=flash)
 
     if mesh is not None:

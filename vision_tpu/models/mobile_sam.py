@@ -455,8 +455,8 @@ def sam_predict_mask(params: Params, image_embed, prompt_embed) -> SamPrediction
 # Pre/post processing (reference mobile-sam.cpp:480-583, vision.cpp:54-95)
 # ---------------------------------------------------------------------------
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406, 0.0)
-IMAGENET_STD = (0.229, 0.224, 0.225, 1.0)
+# shared rgb constants; image_u8_to_f32 pads the neutral 4th lane
+from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 
 def sam_process_input_u8(image: Image, p: SamParams = SamParams()) -> np.ndarray:
@@ -530,9 +530,9 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
 
 def _sam_enc_fn(dtype, flash: bool, tp: TinyVitParams = TinyVitParams()):
     def enc_fn(weights, x_u8):
-        from ..ops.preprocess import IMAGENET_MEAN as MEAN, IMAGENET_STD as STD, normalize_u8
+        from ..ops.preprocess import normalize_u8
 
-        x = normalize_u8(x_u8, MEAN, STD, dtype)
+        x = normalize_u8(x_u8, IMAGENET_MEAN, IMAGENET_STD, dtype)
         return sam_encode_image(Params(weights), x, flash=flash, tp=tp)
 
     return enc_fn

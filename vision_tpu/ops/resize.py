@@ -23,8 +23,17 @@ import numpy as np
 __all__ = ["resize_nhwc", "interpolate", "resize_matrix"]
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=32)
 def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
+    """Cached (n_out, n_in) axis matrix, frozen read-only: entries are
+    shared with every future caller of the same shape, and a big axis
+    (4096->1024 is 16 MB) makes an unbounded cache a serving-path leak."""
+    w = _axis_weights_impl(n_in, n_out, method, align_corners)
+    w.setflags(write=False)
+    return w
+
+
+def _axis_weights_impl(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
     """(n_out, n_in) interpolation matrix for one axis (torch semantics)."""
     if method == "nearest":
         # torch 'nearest': src = floor(dst * n_in / n_out)
@@ -34,8 +43,10 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
         w[np.arange(n_out), src] = 1.0
         return w
 
-    if align_corners and n_out > 1:
-        x = np.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    if align_corners:
+        # torch area_pixel_compute_scale: scale is 0 when n_out == 1, so
+        # the single output sample reads source index 0 (not the center)
+        x = np.arange(n_out) * ((n_in - 1) / (n_out - 1)) if n_out > 1 else np.zeros(1)
     else:
         x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
 
@@ -106,9 +117,7 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
             idx = np.clip(tap, 0, n_in - 1)
             np.add.at(w, (np.arange(n_out), idx), tw)
         return w
-    else:
-        raise ValueError(f"unknown resize method: {method}")
-    return w
+    raise ValueError(f"unknown resize method: {method}")
 
 
 def resize_matrix(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
