@@ -513,3 +513,39 @@ def test_checkpoint_loader_preserves_integer_buffers(tmp_path):
     assert out["w"].dtype == np.float32  # halves widen to f32
     assert out["n"].dtype == np.int64 and int(out["n"]) == 7
     assert out["idx"].dtype == np.int32
+
+
+def test_shape_bucket_rejects_impossible_cap():
+    """max_extent below the multiple cannot hold any valid bucket; it must
+    raise instead of silently exceeding the HBM-derived cap (review r4c)."""
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.graph import shape_bucket
+
+    with pytest.raises(VispError, match="max_extent"):
+        shape_bucket((50, 50), 128, max_extent=100)
+
+
+def test_graph_cache_rejects_zero_entries():
+    from vision_tpu.core.errors import VispError
+    from vision_tpu.core.graph import GraphCache
+
+    with pytest.raises(VispError, match="max_entries"):
+        GraphCache(lambda: None, max_entries=0)
+
+
+def test_load_model_accepts_open_gguf(tmp_path):
+    """load_model parses the header ONCE: an already-open GGUFFile flows
+    through model_load and the family loader untouched (review r4c)."""
+    from test_esrgan import RRDBNet
+
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.core.gguf import model_load
+
+    t = randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4))
+    ckpt = tmp_path / "e.pth"
+    torch.save(t.state_dict(), ckpt)
+    out = convert_model("esrgan", ckpt, tmp_path / "once.gguf")
+    f = model_load(str(out))
+    assert model_load(f) is f
+    model = load_model(f, device=backend_init(BackendType.cpu))
+    assert type(model).__name__ == "EsrganModel"

@@ -176,3 +176,26 @@ def test_compile_cache_env_persists_programs(tmp_path, monkeypatch):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min_time)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_min_size)
         _cc.reset_cache()
+
+
+def test_flag_env_disable_spellings(monkeypatch):
+    """'OFF'/'False'/'no' must DISABLE a flag, not force-enable it (the
+    reference honors VISP_FLASH_ATTENTION=0; review r4c made the env parse
+    case-insensitive with the common falsy spellings)."""
+    from vision_tpu.core.device import backend_default_flags
+
+    for v in ("OFF", "False", "no", "0", ""):
+        monkeypatch.setenv("VISP_FLASH_ATTENTION", v)
+        assert not backend_default_flags(BackendType.tpu) & BuildFlag.flash_attention, v
+    for v in ("ON", "1", "true"):
+        monkeypatch.setenv("VISP_FLASH_ATTENTION", v)
+        assert backend_default_flags(BackendType.cpu) & BuildFlag.flash_attention, v
+
+
+def test_backend_is_available_cpu_is_constant():
+    """CPU availability answers True without enumerating devices — device
+    enumeration initializes every PJRT plugin (the tunnel stall
+    backend_init(cpu) exists to avoid) and would forfeit the CPU pin."""
+    from vision_tpu.core.device import backend_is_available
+
+    assert backend_is_available(BackendType.cpu) is True

@@ -91,3 +91,76 @@ def test_yolo_nms_uses_native(rng):
     dets = y.non_max_suppression(boxes, scores, 0.25, 0.45)
     assert len(dets) == 2
     assert {d.class_id for d in dets} == {0, 1}
+
+
+def test_u8_to_f32_matches_image_layer(rng):
+    """Native pixel conversion == image_u8_to_f32 bit-for-bit, including
+    tiled replicate-padded reads, channel maps, and the 1/255 missing-lane
+    semantics of the reference u8 load (image-impl.h:22-26)."""
+    from vision_tpu.image import channel_map, image_u8_to_f32
+
+    src = Image(rng.integers(0, 256, (9, 7, 3), np.uint8), ImageFormat.rgb_u8)
+    offset = (-0.485, -0.456, -0.406)
+    scale = (1 / 0.229, 1 / 0.224, 1 / 0.225)
+    ref = image_u8_to_f32(
+        src, ImageFormat.rgb_f32, offset=offset, scale=scale,
+        tile_offset=(3, 4), dst_extent=(8, 8),
+    )
+    got = native.u8_to_f32_native(
+        src.data, 3, offset=offset + (0.0,), scale=scale + (1.0,),
+        tile_offset=(3, 4), dst_extent=(8, 8),
+    )
+    if got is None:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_array_equal(got, ref.data)
+
+    # bgra source with channel map + missing-lane alpha (rgb u8 -> rgba f32)
+    bgra = Image(rng.integers(0, 256, (5, 6, 4), np.uint8), ImageFormat.bgra_u8)
+    ref2 = image_u8_to_f32(bgra, ImageFormat.rgba_f32)
+    got2 = native.u8_to_f32_native(bgra.data, 4, chmap=channel_map(ImageFormat.bgra_u8))
+    np.testing.assert_array_equal(got2, ref2.data)
+
+    rgb3 = Image(rng.integers(0, 256, (4, 4, 3), np.uint8), ImageFormat.rgb_u8)
+    ref3 = image_u8_to_f32(rgb3, ImageFormat.rgba_f32)  # lane 3 = 1/255
+    got3 = native.u8_to_f32_native(rgb3.data, 4)
+    np.testing.assert_array_equal(got3, ref3.data)
+
+
+def test_f32_to_u8_matches_image_layer(rng):
+    """Native store == image_f32_to_u8 (clamp, *255, truncate) on the
+    4-lane intermediate."""
+    from vision_tpu.image import image_f32_to_u8
+
+    src = Image((rng.random((6, 5, 4)) * 1.4 - 0.2).astype(np.float32), ImageFormat.rgba_f32)
+    ref = image_f32_to_u8(src, ImageFormat.rgba_u8, scale=0.5, offset=0.5)
+    got = native.f32_to_u8_native(src.load_f32x4(), 4, scale=0.5, offset=0.5)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_array_equal(got, ref.data)
+
+
+def test_tile_merge_matches_tiling_engine(rng):
+    """Native overlap-blend accumulate == the tiling engine's merge for a
+    full multi-tile reconstruction (reference image.cpp:655-693)."""
+    from vision_tpu.image.tiling import TileLayout, tile_merge, tile_weights
+
+    img = rng.random((40, 56, 3)).astype(np.float32)
+    layout = TileLayout((56, 40), 32, overlap=8, align=8)
+    ref = Image(np.zeros_like(img), ImageFormat.rgb_f32)
+    nat = np.zeros_like(img)
+    used_native = True
+    for t in range(layout.total()):
+        coord = layout.coord(t)
+        beg, end = layout.start(coord), layout.end(coord)
+        h, w = end[1] - beg[1], end[0] - beg[0]
+        # a full aligned tile whose in-bounds region is the source crop
+        tile = np.zeros((layout.tile_size[1], layout.tile_size[0], 3), np.float32)
+        tile[:h, :w] = img[beg[1] : end[1], beg[0] : end[0]]
+        tile_merge(Image(tile, ImageFormat.rgb_f32), ref, coord, layout)
+        blend = tile_weights(layout, coord)
+        ok = native.tile_merge_native(tile[:h, :w], blend, nat, beg)
+        used_native = used_native and ok
+    if not used_native:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_allclose(nat, ref.data, atol=1e-6)
+    np.testing.assert_allclose(ref.data, img, atol=1e-5)  # weights sum to 1

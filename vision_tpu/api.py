@@ -42,7 +42,7 @@ _ARCH_TO_FAMILY = {
 
 def model_detect_family(file: GGUFFile | str) -> ModelFamily:
     """(reference model_detect_family, vision.cpp:7-21)."""
-    if isinstance(file, str):
+    if not isinstance(file, GGUFFile):
         file = model_load(file)
     fam = _ARCH_TO_FAMILY.get(file.arch)
     if fam is None:
@@ -50,9 +50,12 @@ def model_detect_family(file: GGUFFile | str) -> ModelFamily:
     return fam
 
 
-def load_model(filepath: str, device: Device | None = None):
-    """Generic loader: detect the family and dispatch to the arch loader."""
+def load_model(filepath: str | GGUFFile, device: Device | None = None):
+    """Generic loader: detect the family and dispatch to the arch loader.
+    The GGUF header is parsed ONCE — the open file flows through to the
+    family loader (model_load passes a GGUFFile straight through)."""
     device = device or backend_init()
+    filepath = model_load(filepath)
     family = model_detect_family(filepath)
     if family == ModelFamily.sam:
         from .models.mobile_sam import sam_load_model

@@ -63,13 +63,21 @@ _FLAG_ENVS = (
 )
 
 
+_FALSY_ENV = ("", "0", "off", "false", "no")
+
+
+def _env_truthy(v: str) -> bool:
+    # case-insensitive: 'OFF'/'False'/'no' must disable, not force-enable
+    return v.strip().lower() not in _FALSY_ENV
+
+
 def _flag_env(flags: BuildFlag) -> BuildFlag:
     """Apply env overrides, mirroring VISP_FLASH_ATTENTION (ml.cpp:167-175)."""
     for env, flag in _FLAG_ENVS:
         v = os.environ.get(env)
         if v is None:
             continue
-        if v not in ("", "0", "off", "false"):
+        if _env_truthy(v):
             flags |= flag
         else:
             flags &= ~flag
@@ -119,6 +127,12 @@ class Device:
 
 
 def backend_is_available(btype: BackendType) -> bool:
+    if btype == BackendType.cpu:
+        # the CPU backend always exists; answering without jax.devices()
+        # matters because device enumeration initializes EVERY registered
+        # plugin (the TPU tunnel stall backend_init(cpu) exists to avoid)
+        # and would forfeit a later CPU pin in this process
+        return True
     try:
         if any(_classify(d) & btype for d in jax.devices()):
             return True
@@ -175,7 +189,8 @@ def backend_init(btype: BackendType | str | None = None) -> Device:
                 btype,
                 "/".join(t.name for t in BackendType),
             )
-    if os.environ.get("VISP_DEBUG_NANS") not in (None, "", "0", "off", "false"):
+    _nans = os.environ.get("VISP_DEBUG_NANS")
+    if _nans is not None and _env_truthy(_nans):
         jax.config.update("jax_debug_nans", True)
     cache_dir = os.environ.get("VISP_COMPILE_CACHE")
     if cache_dir:
@@ -199,7 +214,18 @@ def backend_init(btype: BackendType | str | None = None) -> Device:
 
             uninitialized = not _xb._backends
         except Exception:
-            uninitialized = False
+            # fail CLOSED: if a jax upgrade moves the private probe, assume
+            # uninitialized and pin anyway — the cost of a wrong pin is a
+            # clear error on a later accelerator request, while silently
+            # skipping the pin re-introduces the multi-minute tunnel stall
+            import warnings
+
+            warnings.warn(
+                "backend_init(cpu): could not probe jax backend state; "
+                "pinning jax_platforms=cpu defensively", RuntimeWarning,
+                stacklevel=2,
+            )
+            uninitialized = True
         if uninitialized:
             jax.config.update("jax_platforms", "cpu")
             _cpu_pinned = True

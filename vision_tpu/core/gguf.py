@@ -790,8 +790,12 @@ class GGUFFile:
         return {name: self.tensor(name, dtype) for name in self.tensors}
 
 
-def model_load(path: str | Path) -> GGUFFile:
-    """Open a .gguf file (reference model_load, ml.cpp:206-217)."""
+def model_load(path: str | Path | GGUFFile) -> GGUFFile:
+    """Open a .gguf file (reference model_load, ml.cpp:206-217). An
+    already-open GGUFFile passes through, so api.load_model can parse the
+    header once and hand it to the family loader."""
+    if isinstance(path, GGUFFile):
+        return path
     return GGUFFile(path)
 
 

@@ -31,9 +31,18 @@ def shape_bucket(extent: tuple[int, int], multiple: int, max_extent: int | None 
     w = snap_to_multiple(extent[0], multiple)
     h = snap_to_multiple(extent[1], multiple)
     if max_extent is not None:
+        if max_extent < multiple:
+            # no multiple fits under the cap; rounding UP would silently
+            # exceed an HBM-derived budget — the one thing the clamp is for
+            from .errors import raise_error
+
+            raise_error(
+                "shape_bucket: max_extent {} cannot hold a multiple of {}",
+                max_extent, multiple,
+            )
         # clamp must STAY a multiple — min() alone breaks the contract when
         # max_extent is not itself a multiple
-        cap = max(max_extent // multiple, 1) * multiple
+        cap = (max_extent // multiple) * multiple
         w, h = min(w, cap), min(h, cap)
     return (w, h)
 
@@ -43,6 +52,10 @@ class GraphCache:
     the per-model 'rebuild if extent changed' logic in vision.cpp)."""
 
     def __init__(self, build: Callable[..., Callable], max_entries: int = 8):
+        if max_entries < 1:
+            from .errors import raise_error
+
+            raise_error("GraphCache needs max_entries >= 1, got {}", max_entries)
         self._build = build
         self._cache: dict[Hashable, Callable] = {}
         self._max = max_entries

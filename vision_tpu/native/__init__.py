@@ -16,7 +16,10 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "lib", "build", "nms_native", "box_blur_native", "erosion_native"]
+__all__ = [
+    "available", "lib", "build", "nms_native", "box_blur_native",
+    "erosion_native", "u8_to_f32_native", "f32_to_u8_native", "tile_merge_native",
+]
 
 _LIB_PATH = Path(__file__).parent / "libvisphost.so"
 _lib = None
@@ -123,3 +126,74 @@ def nms_native(
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return keep[:n].tolist()
+
+
+def u8_to_f32_native(
+    src: np.ndarray,
+    dc: int,
+    offset=(0.0, 0.0, 0.0, 0.0),
+    scale=(1.0, 1.0, 1.0, 1.0),
+    tile_offset=(0, 0),
+    dst_extent=None,
+    chmap=None,
+) -> np.ndarray | None:
+    """(sh, sw, sc) u8 -> (dh, dw, dc) f32 ``(src/255 + offset) * scale``
+    with replicate-padded tiled reads — the native twin of
+    image.image_u8_to_f32 (reference image.cpp:215-255). A missing source
+    lane reads as 1/255 like the reference u8 load. None if unavailable."""
+    l = _load()
+    if l is None:
+        return None
+    src = np.ascontiguousarray(src)
+    sh, sw, sc = src.shape
+    dw, dh = dst_extent if dst_extent is not None else (sw, sh)
+    off = np.ascontiguousarray(np.broadcast_to(np.asarray(offset, np.float32), (4,)))
+    scl = np.ascontiguousarray(np.broadcast_to(np.asarray(scale, np.float32), (4,)))
+    cm = None
+    if chmap is not None:
+        cm = np.ascontiguousarray(np.asarray(chmap, np.int32))
+        cm = cm.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    dst = np.empty((dh, dw, dc), np.float32)
+    l.visp_u8_to_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sh, sw, sc,
+        _fp(dst), dh, dw, dc, _fp(off), _fp(scl),
+        int(tile_offset[0]), int(tile_offset[1]), cm,
+    )
+    return dst
+
+
+def f32_to_u8_native(f32x4: np.ndarray, dc: int, scale: float = 1.0, offset: float = 0.0) -> np.ndarray | None:
+    """4-lane f32 pixels -> first ``dc`` channels as u8
+    ``clamp(v*scale + offset, 0, 1) * 255`` truncating — the native twin of
+    image._store_u8 on a load_f32x4 intermediate. None if unavailable."""
+    l = _load()
+    if l is None:
+        return None
+    a = np.ascontiguousarray(f32x4, np.float32)
+    out = np.empty(a.shape, np.uint8)
+    l.visp_f32_to_u8(
+        _fp(a), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        a.size, float(scale), float(offset),
+    )
+    return np.ascontiguousarray(out[:, :, :dc])
+
+
+def tile_merge_native(
+    tile: np.ndarray, blend: np.ndarray, dst: np.ndarray, coord: tuple[int, int]
+) -> bool:
+    """Accumulate ``tile * blend`` into dst at (x, y) — the native twin of
+    the tiling engine's merge (reference image.cpp:655-693; dst must be
+    zero-initialized, blend weights normalized). False if unavailable."""
+    l = _load()
+    if l is None:
+        return False
+    tile = np.ascontiguousarray(tile, np.float32)
+    blend = np.ascontiguousarray(blend, np.float32)
+    assert dst.dtype == np.float32 and dst.flags.c_contiguous
+    th, tw, c = tile.shape
+    dh, dw = dst.shape[:2]
+    l.visp_tile_merge(
+        _fp(tile), th, tw, _fp(blend), _fp(dst), dh, dw,
+        int(coord[0]), int(coord[1]), c,
+    )
+    return True

@@ -35,7 +35,12 @@ void visp_u8_to_f32(
             const uint8_t* p = srow + (size_t)sx * sc;
             for (int c = 0; c < dc; ++c) {
                 int sc_idx = chmap ? chmap[c] : c;
-                float v = sc_idx < sc ? float(p[sc_idx]) / 255.0f : 1.0f;
+                // missing source lane reads as 1/255, matching the
+                // reference u8 load {r,g,b,1}/255 (image-impl.h:22-26) and
+                // the numpy load_f32x4 path; negative map entries are
+                // treated as missing, never an out-of-bounds read
+                float v = (sc_idx >= 0 && sc_idx < sc)
+                    ? float(p[sc_idx]) / 255.0f : 1.0f / 255.0f;
                 drow[(size_t)x * dc + c] = (v + offset[c]) * scale[c];
             }
         }
