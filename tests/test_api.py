@@ -52,6 +52,26 @@ def test_convert_esrgan_and_load(tmp_path):
     assert result.extent == (128, 96)
 
 
+def test_to_numpy_widens_unsupported_dtypes():
+    """bool / unsigned-int checkpoint buffers widen to the smallest signed
+    GGUF-writable type (value-preserving) instead of aborting conversion;
+    supported integers and floats keep their path."""
+    from vision_tpu.convert.convert import _to_numpy
+    from vision_tpu.core.gguf import ggml_type_of
+
+    cases = [
+        (torch.tensor([True, False]), np.int8, [1, 0]),
+        (torch.tensor([0, 255], dtype=torch.uint8), np.int16, [0, 255]),
+        (torch.tensor([7], dtype=torch.int64), np.int64, [7]),
+        (torch.tensor([1.5], dtype=torch.float16), np.float32, [1.5]),
+    ]
+    for t, want_dtype, want_vals in cases:
+        a = _to_numpy(t)
+        assert a.dtype == np.dtype(want_dtype)
+        ggml_type_of(a)  # must be writable
+        assert a.tolist() == want_vals
+
+
 def test_convert_f16(tmp_path):
     from test_esrgan import RRDBNet
 

@@ -125,6 +125,18 @@ def test_u8_to_f32_matches_image_layer(rng):
     got3 = native.u8_to_f32_native(rgb3.data, 4)
     np.testing.assert_array_equal(got3, ref3.data)
 
+    # 1-channel source splats to every lane (image-impl.h alpha/gray load)
+    gray = Image(rng.integers(0, 256, (5, 4, 1), np.uint8), ImageFormat.alpha_u8)
+    ref4 = image_u8_to_f32(gray, ImageFormat.rgba_f32)
+    got4 = native.u8_to_f32_native(gray.data, 4)
+    np.testing.assert_array_equal(got4, ref4.data)
+
+    # rgb 3-tuple offset/scale pad a neutral 4th lane, like the numpy twin
+    got5 = native.u8_to_f32_native(
+        src.data, 3, offset=offset, scale=scale, tile_offset=(3, 4), dst_extent=(8, 8)
+    )
+    np.testing.assert_array_equal(got5, ref.data)
+
 
 def test_f32_to_u8_matches_image_layer(rng):
     """Native store == image_f32_to_u8 (clamp, *255, truncate) on the

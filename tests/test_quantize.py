@@ -123,6 +123,9 @@ def test_requantize_gguf_new_types(tmp_path, ftype, kv, big, ragged):
     requantize_gguf(src, dst, ftype)
     f = GGUFFile(dst)
     assert f.metadata["general.file_type"] == kv
+    # the public float_type mirror (reference ml.h float_type()) must
+    # report the written quant code, not fall back to F32
+    assert f.float_type == big
     assert f.tensors["big.weight"].ggml_type == big
     assert f.tensors["ragged.weight"].ggml_type == ragged
     assert f.tensors["bias"].ggml_type == GGMLType.F32  # 1D keeps full precision

@@ -35,10 +35,21 @@ BN_EPS = 1e-5
 def _to_numpy(v) -> np.ndarray:
     """Floats widen to f32 (f16/bf16 have no straight numpy path); integer
     buffers (e.g. bn num_batches_tracked, index tables) keep their dtype —
-    the reference converter writes them as integer GGUF tensors."""
+    the reference converter writes them as integer GGUF tensors. Dtypes GGUF
+    has no tensor type for (bool / unsigned ints) widen to the smallest
+    signed type that holds their values so conversion never aborts."""
     if v.is_floating_point():
         return v.float().numpy()
-    return v.numpy()
+    a = v.numpy()
+    widen = {
+        np.dtype(np.bool_): np.int8,
+        np.dtype(np.uint8): np.int16,
+        np.dtype(np.uint16): np.int32,
+        np.dtype(np.uint32): np.int64,
+        np.dtype(np.uint64): np.int64,
+    }
+    t = widen.get(a.dtype)
+    return a.astype(t) if t is not None else a
 
 
 def _load_checkpoint(path: Path) -> dict[str, np.ndarray]:

@@ -692,12 +692,14 @@ class GGUFFile:
 
     @property
     def float_type(self) -> GGMLType:
-        # general.file_type: 0 = f32, 1 = f16 (gguf convention)
-        ft = self.metadata.get("general.file_type", 0)
-        # 7 = LLM_FTYPE_MOSTLY_Q8_0 (gguf convention)
-        return {0: GGMLType.F32, 1: GGMLType.F16, 7: GGMLType.Q8_0, 32: GGMLType.BF16}.get(
-            int(ft), GGMLType.F32
-        )
+        # general.file_type (gguf LLAMA_FTYPE_* convention): 0 = f32,
+        # 1 = f16, 32 = bf16, plus every MOSTLY_* quant code our own
+        # requantize_gguf / converter can write (REQUANTIZE_TYPES keeps the
+        # code <-> tensor-type pairing in one place)
+        ft = int(self.metadata.get("general.file_type", 0))
+        codes = {code: t for code, t in REQUANTIZE_TYPES.values() if t is not None}
+        codes.update({0: GGMLType.F32, 1: GGMLType.F16, 32: GGMLType.BF16})
+        return codes.get(ft, GGMLType.F32)
 
     @property
     def tensor_layout(self) -> str:

@@ -147,8 +147,17 @@ def u8_to_f32_native(
     src = np.ascontiguousarray(src)
     sh, sw, sc = src.shape
     dw, dh = dst_extent if dst_extent is not None else (sw, sh)
-    off = np.ascontiguousarray(np.broadcast_to(np.asarray(offset, np.float32), (4,)))
-    scl = np.ascontiguousarray(np.broadcast_to(np.asarray(scale, np.float32), (4,)))
+
+    def _lane4(v, neutral):
+        # rgb-only 3-tuples (e.g. the shared IMAGENET_MEAN/STD) get a
+        # neutral 4th lane, exactly like image.image_u8_to_f32._lane4
+        v = np.asarray(v, np.float32)
+        if v.ndim == 1 and v.shape[0] == 3:
+            v = np.concatenate([v, np.float32([neutral])])
+        return np.ascontiguousarray(np.broadcast_to(v, (4,)))
+
+    off = _lane4(offset, 0.0)
+    scl = _lane4(scale, 1.0)
     cm = None
     if chmap is not None:
         cm = np.ascontiguousarray(np.asarray(chmap, np.int32))

@@ -34,7 +34,10 @@ void visp_u8_to_f32(
             int sx = std::min(x + ox, sw - 1);
             const uint8_t* p = srow + (size_t)sx * sc;
             for (int c = 0; c < dc; ++c) {
-                int sc_idx = chmap ? chmap[c] : c;
+                // default map: 1-channel sources splat to every lane
+                // (image-impl.h alpha/gray load; numpy load_f32x4 c==1);
+                // otherwise identity
+                int sc_idx = chmap ? chmap[c] : (sc == 1 ? 0 : c);
                 // missing source lane reads as 1/255, matching the
                 // reference u8 load {r,g,b,1}/255 (image-impl.h:22-26) and
                 // the numpy load_f32x4 path; negative map entries are
