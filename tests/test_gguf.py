@@ -92,6 +92,43 @@ def test_unpermute_cwhn():
     assert unpermute_cwhn("m.weight", nb).shape == (2, 5, 6, 9)
 
 
+def test_conv2d_weights_list_overrides_kernel_heuristic(tmp_path, rng):
+    """A tensor named by {arch}.conv2d_weights WAS permuted by the
+    converter — the kernel-size heuristic must not veto the un-permute
+    (a 5x5 conv would otherwise load mis-laid-out with no error), and an
+    out-of-range list index must raise, not be silently dropped
+    (reference ml.cpp:435-445 authority contract; review r4c)."""
+    from vision_tpu.core.errors import VispError
+
+    # exotic 5x5 kernel, outside _CONV_KERNEL_SIZES
+    k5 = np.arange(2 * 5 * 5 * 3, dtype=np.float32).reshape(2, 5, 5, 3)
+    assert unpermute_cwhn("m.weight", k5).shape == (2, 5, 5, 3)  # heuristic declines
+    assert unpermute_cwhn("m.weight", k5, trusted=True).shape == (2, 3, 5, 5)
+    d5 = np.zeros((5, 5, 1, 7), np.float32)
+    assert unpermute_cwhn("m.weight", d5, trusted=True).shape == (7, 1, 5, 5)
+    with pytest.raises(VispError, match="non-4D"):
+        unpermute_cwhn("m.weight", np.zeros((3, 3), np.float32), trusted=True)
+
+    # end-to-end: a cwhn file listing the 5x5 conv loads torch-canonical
+    path = tmp_path / "c.gguf"
+    w = GGUFWriter(path, "testarch")
+    w.add("testarch.tensor_data_layout", "cwhn")
+    w.add("testarch.conv2d_weights", [0])
+    w.add_tensor("c.weight", k5)
+    w.write()
+    params = load_weights(GGUFFile(path), device=None, as_numpy=True)
+    assert params["c.weight"].shape == (2, 3, 5, 5)
+
+    bad = tmp_path / "bad.gguf"
+    w = GGUFWriter(bad, "testarch")
+    w.add("testarch.tensor_data_layout", "cwhn")
+    w.add("testarch.conv2d_weights", [5])  # only 1 tensor in the file
+    w.add_tensor("c.weight", k5)
+    w.write()
+    with pytest.raises(VispError, match="out of range"):
+        load_weights(GGUFFile(bad), device=None, as_numpy=True)
+
+
 def test_load_weights_layout_conversion(tmp_path, rng):
     """Type + layout conversion on transfer (reference test-ml.cpp:18-103)."""
     torch_kernel = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)
@@ -663,3 +700,37 @@ def test_add_raw_tensor_rejects_long_names(tmp_path):
     w = GGUFWriter(tmp_path / "n.gguf", "esrgan")
     with pytest.raises(VispError, match="too long"):
         w.add_raw_tensor("x" * 64, (32,), GGMLType.Q8_0, b"\0" * 34)
+
+
+def test_kv_type_fidelity_roundtrip(tmp_path):
+    """Every GGUF-legal KV storage type survives read -> requantize ->
+    read: f64 / u64 / i64 scalars keep their width (the writer's derived
+    default would narrow them), nested arrays and f64 arrays round-trip,
+    and the reader records storage types in kv_types (review r4c)."""
+    from vision_tpu.core.gguf import GGUFValueType as VT
+    from vision_tpu.core.gguf import requantize_gguf
+
+    w = GGUFWriter(tmp_path / "src.gguf", "sam")
+    w.add("sam.f64", 1.0 + 2**-40, vtype=(VT.FLOAT64, None))
+    w.add("sam.u64", 2**63 + 7)                      # derived: UINT64
+    w.add("sam.i64", -(2**40), vtype=(VT.INT64, None))
+    w.add("sam.f64arr", [0.5, 1.0 + 2**-40], vtype=(VT.ARRAY, VT.FLOAT64))
+    w.add("sam.nested", [[1, 2], [3]])               # derived: ARRAY of ARRAY
+    w.add("sam.image_size", 64)
+    w.add_tensor("t.weight", np.arange(64, dtype=np.float32).reshape(2, 32))
+    w.write()
+
+    f = GGUFFile(tmp_path / "src.gguf")
+    assert f.metadata["sam.f64"] == 1.0 + 2**-40     # not narrowed to f32
+    assert f.metadata["sam.u64"] == 2**63 + 7
+    assert f.metadata["sam.nested"] == [[1, 2], [3]]
+    assert f.kv_types["sam.f64"] == (VT.FLOAT64, None)
+    assert f.kv_types["sam.u64"] == (VT.UINT64, None)
+    assert f.kv_types["sam.f64arr"] == (VT.ARRAY, VT.FLOAT64)
+    assert f.kv_types["sam.nested"] == (VT.ARRAY, VT.ARRAY)
+
+    requantize_gguf(tmp_path / "src.gguf", tmp_path / "dst.gguf", "q8_0")
+    g = GGUFFile(tmp_path / "dst.gguf")
+    for k in ("sam.f64", "sam.u64", "sam.i64", "sam.f64arr", "sam.nested"):
+        assert g.metadata[k] == f.metadata[k], k
+        assert g.kv_types[k] == f.kv_types[k], k

@@ -35,6 +35,14 @@ def test_shard_params_rules():
         "blocks.0.norm.weight": np.zeros(32, np.float32),
         "odd.qkv.weight": np.zeros((7, 5), np.float32),  # not divisible -> replicated
     }
+    # HF split-projection naming (DINOv2 / depth-anything backbones) —
+    # review r4c: these previously matched no rule, making tp a silent
+    # no-op for dino attention
+    params.update({
+        "layer.0.attention.attention.query.weight": np.zeros((64, 64), np.float32),
+        "layer.0.attention.attention.value.bias": np.zeros((64,), np.float32),
+        "layer.0.attention.output.dense.weight": np.zeros((64, 64), np.float32),
+    })
     sharded = shard_params(params, mesh)
     specs = {k: v.sharding.spec for k, v in sharded.items()}
     assert specs["blocks.0.attn.qkv.weight"] == P("tp", None)
@@ -42,6 +50,36 @@ def test_shard_params_rules():
     assert specs["blocks.0.mlp.fc2.weight"] == P(None, "tp")
     assert specs["blocks.0.norm.weight"] == P()
     assert specs["odd.qkv.weight"] == P()
+    assert specs["layer.0.attention.attention.query.weight"] == P("tp", None)
+    assert specs["layer.0.attention.attention.value.bias"] == P("tp")
+    assert specs["layer.0.attention.output.dense.weight"] == P(None, "tp")
+
+
+def test_dino_attention_tp_sharded_matches_single_device():
+    """Split-projection (HF dino) attention under tensor parallelism:
+    column-parallel q/k/v + row-parallel output.dense over tp=2 must match
+    the unsharded forward (XLA inserts the psum)."""
+    from vision_tpu.models.dino import self_attention
+
+    mesh = make_mesh(8, tp=2)
+    rng = np.random.default_rng(3)
+    d, heads = 64, 4
+    names = ["attention.query", "attention.key", "attention.value", "output.dense"]
+    params = {}
+    for n in names:
+        params[f"{n}.weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.1
+        params[f"{n}.bias"] = rng.standard_normal((d,)).astype(np.float32) * 0.1
+
+    def fn(weights, x):
+        return self_attention(Params(weights), x, heads, flash=False)
+
+    x = rng.standard_normal((4, 10, d)).astype(np.float32)  # dp=4 shards the batch
+    expected = np.asarray(fn(params, x))
+    sharded = shard_params(params, mesh)
+    specs = {k: v.sharding.spec for k, v in sharded.items()}
+    assert specs["attention.query.weight"] == P("tp", None)  # actually sharded
+    out = sharded_forward(fn, mesh)(sharded, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
 
 
 def test_sharded_forward_matches_single_device():

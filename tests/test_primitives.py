@@ -241,3 +241,44 @@ def test_attention_flash_masked_small_t_matches_naive():
     a = np.asarray(attention_core(q, k, v, mask, None, flash=False))
     b = np.asarray(attention_core(q, k, v, mask, None, flash=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_gelu_variants_match_torch():
+    """ops.gelu is the exact erf form (torch nn.GELU default) and
+    gelu_tanh the tanh approximation (torch approximate='tanh') — jax's
+    default is the approximation, so the two must NOT coincide
+    (review r4c: gelu silently aliased gelu_tanh)."""
+    from vision_tpu.ops import gelu, gelu_tanh
+
+    x = torch.linspace(-4, 4, 257)
+    got = np.asarray(gelu(x.numpy()))
+    np.testing.assert_allclose(got, torch.nn.GELU()(x).numpy(), atol=2e-6)
+    got_t = np.asarray(gelu_tanh(x.numpy()))
+    np.testing.assert_allclose(
+        got_t, torch.nn.GELU(approximate="tanh")(x).numpy(), atol=2e-6
+    )
+    assert float(np.abs(got - got_t).max()) > 1e-4  # genuinely different forms
+
+
+def test_nearest_resize_paths_agree():
+    """The gather entry point and the matrix entry point share one index
+    rule (review r4c: the formula was duplicated)."""
+    from vision_tpu.ops.resize import _axis_weights, _nearest_indices
+
+    for n_in, n_out in [(7, 3), (3, 7), (8, 8), (5, 1), (1, 5)]:
+        w = _axis_weights(n_in, n_out, "nearest", False)
+        np.testing.assert_array_equal(np.argmax(w, axis=1), _nearest_indices(n_in, n_out))
+
+
+def test_batch_norm_unfused_raises():
+    """Unfused BN (running stats present) raises the module's error type
+    even under python -O (review r4c: was a bare assert)."""
+    from vision_tpu.core.errors import VispError
+
+    p = {
+        "bn.weight": np.ones((4,), np.float32),
+        "bn.bias": np.zeros((4,), np.float32),
+        "bn.running_mean": np.zeros((4,), np.float32),
+    }
+    with pytest.raises(VispError, match="fused"):
+        batch_norm_2d(Params(p)["bn"], np.zeros((1, 2, 2, 4), np.float32))

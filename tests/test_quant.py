@@ -186,6 +186,24 @@ def test_quantize_store_policy():
     assert store_nbytes(q) < store_nbytes(store)
 
 
+def test_quantize_store_bf16_device_arrays():
+    """bf16 device arrays — the common case after a TPU load — must pass
+    the floating-eligibility gate (np.issubdtype(bfloat16, floating) is
+    False, so the gate needs the explicit name check; review r4c) and
+    dequantize back within q8_0 error."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    store = {"big.weight": jnp.asarray(w, jnp.bfloat16)}
+    q = quantize_store(store, dtype="float32")
+    assert is_quant(q["big.weight"])
+    back = np.asarray(q["big.weight"].dequant())
+    # error vs the bf16-rounded source stays at the q8_0 floor
+    src = np.asarray(store["big.weight"].astype(jnp.float32))
+    assert float(np.abs(back - src).max()) < 0.05
+
+
 def test_converter_q8_0_file(tmp_path):
     """convert.Writer with float_type=q8_0: eligible tensors quantize, the
     ragged/1D ones fall back to f32, file_type KV says MOSTLY_Q8_0."""

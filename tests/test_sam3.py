@@ -381,3 +381,35 @@ def test_fpn_layer(index):
         expected = to_nhwc(t(x))
     actual = fpn_layer(make_params(t), to_nhwc(x), index)
     tensors_match(torch.from_numpy(expected), actual, label=f"fpn{index}", atol=1e-4)
+
+
+def test_vision_stack_drops_flat_window_weights():
+    """After the first pack, the flat window-layer weights leave
+    model.params (the scan trunk reads only the stack — keeping both would
+    double the ViT-H trunk's HBM; review r4c). Global layers stay, the
+    caller's dict is untouched, and the vision program still traces
+    against the reduced dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.random_weights import random_sam3_vision_params
+    from vision_tpu.models.sam3 import Sam3Model
+
+    dev = backend_init(BackendType.cpu)
+    params = {f"det.ve.{k}": v for k, v in random_sam3_vision_params(dim=64, layers=4).items()}
+
+    class _Tok:
+        pass
+
+    vp = Sam3VitParams(n_layers=4, n_heads=2, global_attn_indexes=(1, 3))
+    model = Sam3Model(dict(params), _Tok(), 32, dev, vp=vp)
+    stack = model._vision_stack()
+    assert not any(".layers.0." in k or ".layers.2." in k for k in model.params)  # windows
+    assert any(".layers.1." in k for k in model.params)  # globals stay
+    assert any(".layers.0." in k for k in params)  # caller's dict untouched
+    assert model._vision_stack() is stack  # cached
+    jax.eval_shape(
+        model._vision_fn, model.params, stack, jnp.zeros((1, 1008, 1008, 3), jnp.float32)
+    )
+    model._vision_fn.clear_cache()

@@ -569,20 +569,26 @@ def _read_string(f: BinaryIO, limit: int) -> str:
     return f.read(n).decode("utf-8")
 
 
+def _read_array(f: BinaryIO, limit: int) -> tuple[GGUFValueType, list]:
+    """ARRAY payload: element type + count + values; etype returned so the
+    reader can record it for faithful rewrites."""
+    etype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
+    (count,) = struct.unpack("<Q", f.read(8))
+    if count > limit:  # every element occupies >= 1 byte in the file
+        raise ValueError(f"array count {count} exceeds file size {limit}")
+    if etype in _SCALAR_FMT and etype != GGUFValueType.BOOL:
+        fmt = _SCALAR_FMT[etype]
+        size = struct.calcsize(fmt)
+        data = f.read(size * count)
+        return etype, (list(struct.unpack(f"<{count}{fmt[-1]}", data)) if count else [])
+    return etype, [_read_value(f, etype, limit) for _ in range(count)]
+
+
 def _read_value(f: BinaryIO, vtype: GGUFValueType, limit: int) -> Any:
     if vtype == GGUFValueType.STRING:
         return _read_string(f, limit)
     if vtype == GGUFValueType.ARRAY:
-        etype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
-        (count,) = struct.unpack("<Q", f.read(8))
-        if count > limit:  # every element occupies >= 1 byte in the file
-            raise ValueError(f"array count {count} exceeds file size {limit}")
-        if etype in _SCALAR_FMT and etype != GGUFValueType.BOOL:
-            fmt = _SCALAR_FMT[etype]
-            size = struct.calcsize(fmt)
-            data = f.read(size * count)
-            return list(struct.unpack(f"<{count}{fmt[-1]}", data)) if count else []
-        return [_read_value(f, etype, limit) for _ in range(count)]
+        return _read_array(f, limit)[1]
     fmt = _SCALAR_FMT[vtype]
     (v,) = struct.unpack(fmt, f.read(struct.calcsize(fmt)))
     return v
@@ -598,6 +604,7 @@ class GGUFFile:
     def __init__(self, path: str | Path):
         self.path = str(path)
         self.metadata: dict[str, Any] = {}
+        self.kv_types: dict[str, tuple[GGUFValueType, GGUFValueType | None]] = {}
         self.tensors: dict[str, TensorInfo] = {}
         with open(path, "rb") as f:
             f.seek(0, 2)
@@ -616,7 +623,17 @@ class GGUFFile:
                 for _ in range(n_kv):
                     key = _read_string(f, file_size)
                     vtype = GGUFValueType(struct.unpack("<I", f.read(4))[0])
-                    self.metadata[key] = _read_value(f, vtype, file_size)
+                    # record the stored type (for arrays, the element type
+                    # too) so a read -> rewrite (requantize_gguf) preserves
+                    # f64 / u64 / i64 KVs instead of re-deriving a narrower
+                    # type from the Python value
+                    if vtype == GGUFValueType.ARRAY:
+                        etype, val = _read_array(f, file_size)
+                        self.kv_types[key] = (vtype, etype)
+                        self.metadata[key] = val
+                    else:
+                        self.kv_types[key] = (vtype, None)
+                        self.metadata[key] = _read_value(f, vtype, file_size)
                 infos = []
                 for _ in range(n_tensors):
                     name = _read_string(f, file_size)
@@ -811,11 +828,17 @@ def _value_type_of(v: Any) -> GGUFValueType:
         return GGUFValueType.BOOL
     if isinstance(v, (int, np.integer)):
         v = int(v)
+        if v >= 2**63:  # INT64 can't pack it; the format has UINT64
+            return GGUFValueType.UINT64
         return GGUFValueType.INT64 if (v < 0 or v >= 2**32) else GGUFValueType.UINT32
     if isinstance(v, (float, np.floating)):
+        # FLOAT32 by default (gguf-py convention); a FLOAT64 source KV is
+        # preserved via the explicit vtype recorded by the reader
         return GGUFValueType.FLOAT32
     if isinstance(v, str):
         return GGUFValueType.STRING
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return GGUFValueType.ARRAY
     raise_error("unsupported gguf metadata value: {!r}", v)
 
 
@@ -825,39 +848,66 @@ def _write_string(f: BinaryIO, s: str) -> None:
     f.write(b)
 
 
-def _write_value(f: BinaryIO, v: Any, vtype: GGUFValueType | None = None) -> None:
+def _write_value(
+    f: BinaryIO,
+    v: Any,
+    vtype: GGUFValueType | None = None,
+    etype: GGUFValueType | None = None,
+) -> None:
+    """Type tag + payload. ``vtype``/``etype`` (array element type) override
+    the value-derived types — the reader records them so read -> rewrite
+    preserves f64/u64/i64 KVs exactly."""
     if vtype is None:
-        vtype = _value_type_of(v) if not isinstance(v, (list, tuple, np.ndarray)) else GGUFValueType.ARRAY
+        vtype = _value_type_of(v)
     f.write(struct.pack("<I", int(vtype)))
+    _write_value_body(f, v, vtype, etype)
+
+
+def _write_value_body(
+    f: BinaryIO, v: Any, vtype: GGUFValueType, etype: GGUFValueType | None = None
+) -> None:
     if vtype == GGUFValueType.STRING:
         _write_string(f, v)
     elif vtype == GGUFValueType.ARRAY:
         seq = list(v)
-        etype = _value_type_of(seq[0]) if seq else GGUFValueType.INT32
-        # widen integer arrays to one element type (bools stay BOOL: Python
-        # bool subclasses int and numpy ints are not int, so test the
-        # resolved etype rather than isinstance)
-        if seq and etype in (GGUFValueType.UINT32, GGUFValueType.INT32, GGUFValueType.INT64):
-            ints = [int(x) for x in seq]
-            etype = (
-                GGUFValueType.INT32
-                if all(-(2**31) <= x < 2**31 for x in ints)
-                else GGUFValueType.INT64
-            )
-            seq = ints
+        if etype is None:
+            if seq and isinstance(seq[0], (list, tuple, np.ndarray)):
+                etype = GGUFValueType.ARRAY  # GGUF-legal nested array
+            else:
+                etype = _value_type_of(seq[0]) if seq else GGUFValueType.INT32
+            # widen integer arrays to one element type (bools stay BOOL:
+            # Python bool subclasses int and numpy ints are not int, so
+            # test the resolved etype rather than isinstance)
+            if seq and etype in (GGUFValueType.UINT32, GGUFValueType.INT32, GGUFValueType.INT64, GGUFValueType.UINT64):
+                ints = [int(x) for x in seq]
+                if any(x >= 2**63 for x in ints):
+                    etype = GGUFValueType.UINT64
+                elif all(-(2**31) <= x < 2**31 for x in ints):
+                    etype = GGUFValueType.INT32
+                else:
+                    etype = GGUFValueType.INT64
+                seq = ints
         f.write(struct.pack("<I", int(etype)))
         f.write(struct.pack("<Q", len(seq)))
         for x in seq:
-            if etype == GGUFValueType.STRING:
+            if etype == GGUFValueType.ARRAY:
+                # nested element = its own etype + count + values (no outer
+                # type tag); sub-element types re-derived from the values
+                _write_value_body(f, x, GGUFValueType.ARRAY)
+            elif etype == GGUFValueType.STRING:
                 _write_string(f, x)
             elif etype == GGUFValueType.BOOL:
                 f.write(struct.pack(_SCALAR_FMT[etype], bool(x)))
-            elif etype == GGUFValueType.FLOAT32:
+            elif etype in (GGUFValueType.FLOAT32, GGUFValueType.FLOAT64):
                 f.write(struct.pack(_SCALAR_FMT[etype], float(x)))
             else:
-                f.write(struct.pack(_SCALAR_FMT[etype], x))
+                f.write(struct.pack(_SCALAR_FMT[etype], int(x)))
+    elif vtype == GGUFValueType.BOOL:
+        f.write(struct.pack(_SCALAR_FMT[vtype], bool(v)))
+    elif vtype in (GGUFValueType.FLOAT32, GGUFValueType.FLOAT64):
+        f.write(struct.pack(_SCALAR_FMT[vtype], float(v)))
     else:
-        f.write(struct.pack(_SCALAR_FMT[vtype], v))
+        f.write(struct.pack(_SCALAR_FMT[vtype], int(v)))
 
 
 class GGUFWriter:
@@ -866,11 +916,24 @@ class GGUFWriter:
     def __init__(self, path: str | Path, arch: str):
         self.path = str(path)
         self.kv: dict[str, Any] = {"general.architecture": arch}
+        self.kv_types: dict[str, tuple[GGUFValueType, GGUFValueType | None]] = {}
         self._tensors: list[tuple[str, np.ndarray, GGMLType]] = []
         self.alignment = GGUF_DEFAULT_ALIGNMENT
 
-    def add(self, key: str, value: Any) -> None:
+    def add(
+        self,
+        key: str,
+        value: Any,
+        vtype: tuple[GGUFValueType, GGUFValueType | None] | None = None,
+    ) -> None:
+        """``vtype``: optional (value type, array element type) pair — pass
+        ``GGUFFile.kv_types[key]`` when echoing a read KV so f64/u64/i64
+        storage types survive the round-trip."""
         self.kv[key] = value
+        if vtype is not None:
+            self.kv_types[key] = vtype
+        else:
+            self.kv_types.pop(key, None)
 
     def add_tensor(self, name: str, array: np.ndarray, ggml_type: GGMLType | None = None) -> None:
         if len(name.encode()) >= 64:
@@ -901,10 +964,8 @@ class GGUFWriter:
             f.write(struct.pack("<QQ", len(self._tensors), len(self.kv)))
             for k, v in self.kv.items():
                 _write_string(f, k)
-                if isinstance(v, (list, tuple, np.ndarray)):
-                    _write_value(f, v, GGUFValueType.ARRAY)
-                else:
-                    _write_value(f, v)
+                vt, et = self.kv_types.get(k, (None, None))
+                _write_value(f, v, vt, et)
             blobs: list[bytes] = []
             offset = 0
             for name, a, gt in self._tensors:
@@ -1000,7 +1061,9 @@ def requantize_gguf(
     w = GGUFWriter(dst, f.arch or "unknown")
     for k, v in f.metadata.items():
         if k != "general.file_type":
-            w.add(k, v)
+            # echo with the SOURCE storage type so f64/u64/i64 KVs (and
+            # array element types) survive the rewrite byte-exactly
+            w.add(k, v, vtype=f.kv_types.get(k))
     w.add("general.file_type", file_type_kv)
     def note(name, stored: GGMLType, a=None, raw=None, n=0):
         if stats_out is None:

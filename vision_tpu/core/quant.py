@@ -115,10 +115,22 @@ class QuantResident:
             minv=minv,
         )
 
-    def unpermute_cwhn(self, name: str) -> "QuantResident":
-        """Resident analog of weights.unpermute_cwhn (same shape heuristics)."""
+    def unpermute_cwhn(self, name: str, trusted: bool = False) -> "QuantResident":
+        """Resident analog of weights.unpermute_cwhn (same shape heuristics;
+        ``trusted`` = named by the file's conv2d_weights list, which
+        overrides the kernel-size gate)."""
         s = self.file_shape
-        if len(s) != 4 or not name.endswith("weight") or self.permute is not None:
+        if self.permute is not None:
+            return self
+        if trusted:
+            if len(s) != 4:
+                from .errors import raise_error
+
+                raise_error("conv2d_weights names non-4D tensor '{}' ({}D)", name, len(s))
+            if s[2] == 1 and s[0] == s[1]:
+                return replace(self, permute=(3, 2, 0, 1))  # (H,W,1,C) -> (C,1,H,W)
+            return replace(self, permute=(0, 3, 1, 2))  # (O,H,W,I) -> (O,I,H,W)
+        if len(s) != 4 or not name.endswith("weight"):
             return self
         if s[2] == 1 and s[0] == s[1] and s[0] in _CONV_KERNEL_SIZES:
             return replace(self, permute=(3, 2, 0, 1))  # (H,W,1,C) -> (C,1,H,W)
@@ -154,9 +166,13 @@ def quantize_store(
         # numpy and jax arrays) — np.asarray on a device-resident bf16
         # array is a pathological D2H transfer (CLAUDE.md), and doing it
         # per check turned this into minutes per model over the tunnel
+        dt = np.dtype(getattr(v, "dtype", np.dtype("O")))
+        # np.issubdtype(bfloat16, floating) is False (ml_dtypes registers
+        # kind 'V'), so bf16 device arrays — the common case after a TPU
+        # load — need the explicit name check
         eligible = (
             not is_quant(v)
-            and np.issubdtype(np.dtype(getattr(v, "dtype", np.dtype("O"))), np.floating)
+            and (np.issubdtype(dt, np.floating) or dt.name == "bfloat16")
             and getattr(v, "size", 0) >= min_elements
             and v.size % _BLOCK == 0
             and not any(s in k for s in skip)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .device import Device
+from .errors import raise_error
 from .gguf import GGUFFile
 from .quant import _CONV_KERNEL_SIZES, QuantResident, is_quant
 
@@ -43,13 +44,26 @@ def is_conv_2d_name(name: str, shape: tuple[int, ...]) -> bool:
     )
 
 
-def unpermute_cwhn(name: str, a: np.ndarray) -> np.ndarray:
+def unpermute_cwhn(name: str, a: np.ndarray, trusted: bool = False) -> np.ndarray:
     """Invert the converter's conv_2d_to_nhwc permute for 'cwhn' files.
 
     Stored normal conv: (O,H,W,I) -> torch (O,I,H,W).
     Stored depthwise:   (H,W,1,C) -> torch (C,1,H,W).
     Non-conv 4D tensors pass through unchanged.
+
+    ``trusted``: the file's {arch}.conv2d_weights list names this tensor,
+    so it WAS permuted by the converter — the kernel-size heuristic must
+    not veto the un-permute (an exotic kernel like 5x5 would otherwise
+    load mis-laid-out with no error); only the depthwise-vs-normal shape
+    disambiguation still applies.
     """
+    if trusted:
+        if a.ndim != 4:
+            raise_error("conv2d_weights names non-4D tensor '{}' ({}D)", name, a.ndim)
+        s = a.shape
+        if s[2] == 1 and s[0] == s[1]:  # depthwise (H,W,1,C)
+            return np.ascontiguousarray(a.transpose(3, 2, 0, 1))
+        return np.ascontiguousarray(a.transpose(0, 3, 1, 2))
     if a.ndim != 4 or not name.endswith("weight"):
         return a
     s = a.shape
@@ -89,7 +103,13 @@ def load_weights(
     idx_list = file.conv2d_weight_indices()
     if idx_list:
         names_in_order = list(file.tensor_names())
-        conv_names = {names_in_order[i] for i in idx_list if 0 <= i < len(names_in_order)}
+        bad = [i for i in idx_list if not 0 <= i < len(names_in_order)]
+        if bad:
+            raise_error(
+                "conv2d_weights index {} out of range (file has {} tensors)",
+                bad[0], len(names_in_order),
+            )
+        conv_names = {names_in_order[i] for i in idx_list}
     out: dict[str, Any] = {}
     for name in file.tensor_names():
         if keep_quantized and file.is_quantized(name):
@@ -105,14 +125,17 @@ def load_weights(
                 # same authority rule as the dense path below: a present
                 # conv2d_weights list overrides the shape heuristic
                 if layout == "cwhn" and (conv_names is None or name in conv_names):
-                    r = r.unpermute_cwhn(name)
+                    r = r.unpermute_cwhn(name, trusted=conv_names is not None)
                 out[name] = r
                 continue
         a = file.tensor(name)
         if layout == "cwhn" and (conv_names is None or name in conv_names):
-            a = unpermute_cwhn(name, a)
+            a = unpermute_cwhn(name, a, trusted=conv_names is not None)
         if np.issubdtype(a.dtype, np.floating):
-            a = a.astype(np.dtype(float_dtype)) if np.dtype(float_dtype) != np.dtype("bfloat16") else a.astype(np.float32)
+            # copy=False keeps already-matching tensors as zero-copy mmap
+            # views instead of a full extra host pass over the weights
+            target = np.float32 if np.dtype(float_dtype) == np.dtype("bfloat16") else np.dtype(float_dtype)
+            a = a.astype(target, copy=False)
         out[name] = a
     if as_numpy:
         # (bf16 floats were already delivered as f32 above: numpy has no bf16)

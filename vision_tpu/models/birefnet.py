@@ -128,12 +128,12 @@ def encode(p: Params, x, sp: SwinParams, flash: bool = False):
     xs_low = swin_encode(p["bb"], x_low, sp, flash)
     for i in range(4):
         xs[i] = jnp.concatenate([xs[i], _upscale_to(xs_low[i], xs[i].shape[1:3])], axis=-1)
-    h3, w3 = xs[3].shape[1:3]
+    h3, w3 = xs[3].shape[1:3]  # every pyramid level downsamples to level-3 dims
     xs[3] = jnp.concatenate(
         [
-            resize_nhwc(xs[0], (xs[0].shape[1] // 8, xs[0].shape[2] // 8), "bilinear", True),
-            resize_nhwc(xs[1], (xs[1].shape[1] // 4, xs[1].shape[2] // 4), "bilinear", True),
-            resize_nhwc(xs[2], (xs[2].shape[1] // 2, xs[2].shape[2] // 2), "bilinear", True),
+            resize_nhwc(xs[0], (h3, w3), "bilinear", True),
+            resize_nhwc(xs[1], (h3, w3), "bilinear", True),
+            resize_nhwc(xs[2], (h3, w3), "bilinear", True),
             xs[3],
         ],
         axis=-1,

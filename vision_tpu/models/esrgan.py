@@ -303,14 +303,7 @@ def _block_to_space(x, cout: int):
 
 
 def _conv_b(x, w, b, act: bool = False):
-    y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + b
-    if act:
-        y = jnp.where(y >= 0, y, 0.2 * y)
-    return y.astype(x.dtype)
+    return _conv_p(x, (w, b), act)
 
 
 def _tail_packed(packed: dict, x):

@@ -197,7 +197,12 @@ def migan_process_output(raw: np.ndarray, image: Image, mask: Image) -> Image:
         out_img = image_scale(out_img, image.extent, preprocess_scale_method())
     result = image_f32_to_u8(out_img, ImageFormat.rgba_u8, scale=0.5, offset=0.5)
     mask_r = mask if mask.extent == image.extent else image_scale(mask, image.extent, preprocess_scale_method())
-    image_set_alpha(result, image_load_array(mask_r.data[:, :, :1], ImageFormat.alpha_u8))
+    md = mask_r.data[:, :, :1]
+    if np.issubdtype(md.dtype, np.floating):
+        # float masks are [0,1]; a bare u8 cast would truncate to 0/1 and
+        # return an almost fully transparent composite
+        md = (np.clip(md, 0.0, 1.0) * 255.0).astype(np.uint8)
+    image_set_alpha(result, image_load_array(md, ImageFormat.alpha_u8))
     return result
 
 
@@ -259,15 +264,7 @@ class MiganModel:
             m = (np.clip(m, 0.0, 1.0) * 255.0).astype(np.uint8)
         y = self._run(self.params, jnp.asarray(a[None]), jnp.asarray(m[None]))
         out = np.asarray(y.astype(jnp.float32))[0]
-        out_img = Image(np.ascontiguousarray(out), ImageFormat.rgb_f32)
-        if out_img.extent != image.extent:
-            out_img = image_scale(out_img, image.extent, preprocess_scale_method())
-        from ..image import image_f32_to_u8
-
-        result = image_f32_to_u8(out_img, ImageFormat.rgba_u8, scale=0.5, offset=0.5)
-        mask_r = mask if mask.extent == image.extent else image_scale(mask, image.extent, preprocess_scale_method())
-        image_set_alpha(result, image_load_array(mask_r.data[:, :, :1], ImageFormat.alpha_u8))
-        return result
+        return migan_process_output(out, image, mask)
 
 
 def migan_load_model(filepath: str, device: Device | None = None, mesh=None) -> MiganModel:

@@ -262,17 +262,8 @@ def apply_rope_2d(x, n_rows: int, scale: float = 1.0, layout: str = "bhtd"):
     """2D RoPE. layout 'bhtd': x is (B, heads, T, head_dim);
     layout 'bthd': x is (B, T, heads, head_dim) — the transpose-free
     attention layout (tables broadcast over the heads axis)."""
-    if layout == "bhtd":
-        t, hd = x.shape[-2], x.shape[-1]
-        cx, sx, cy, sy = _rope_tables(t, n_rows, hd, scale)
-        cx, sx, cy, sy = (jnp.asarray(a).astype(x.dtype) for a in (cx, sx, cy, sy))
-    else:
-        t, hd = x.shape[1], x.shape[-1]
-        cx, sx, cy, sy = _rope_tables(t, n_rows, hd, scale)
-        cx, sx, cy, sy = (jnp.asarray(a)[:, None].astype(x.dtype) for a in (cx, sx, cy, sy))
-    first = _rotate_pairs(x[..., : hd // 2], cx, sx)
-    second = _rotate_pairs(x[..., hd // 2 :], cy, sy)
-    return jnp.concatenate([first, second], axis=-1)
+    t = x.shape[-2] if layout == "bhtd" else x.shape[1]
+    return _apply_rope_tables(x, _rope_tables(t, n_rows, x.shape[-1], scale), layout)
 
 
 def _rope_tables_pos(px: np.ndarray, py: np.ndarray, head_dim: int):
@@ -689,6 +680,25 @@ class Sam3Model:
     def _vision_stack(self):
         if self._win_stack is None:
             stack = sam3_pack_vision_weights(self.params, self._vp, prefix="det.ve.backbone.")
+            # the scan trunk reads window-layer weights ONLY from the stack;
+            # keeping the flat per-layer copies resident would double ~1 GB
+            # of ViT-H trunk HBM. Rebind self.params to a view WITHOUT them
+            # (a copy, never a mutation — the constructor's dict belongs to
+            # the caller) when the model's fixed geometry guarantees the
+            # scan path (encode_vision falls back to the flat trunk only
+            # for non-window-divisible grids, which sam3_process_input's
+            # square resize rules out here). sam3_load_model drops its own
+            # reference, so the flat window weights' HBM is then freed —
+            # and the mesh placement below never uploads them.
+            vp = self._vp
+            if (vp.image_size // vp.patch_size) % vp.window_size == 0:
+                dropped = {
+                    f"det.ve.backbone.layers.{i}.{leaf}"
+                    for i in range(vp.n_layers)
+                    if i not in vp.global_attn_indexes
+                    for leaf in _SAM3_LAYER_LEAVES
+                }
+                self.params = {k: v for k, v in self.params.items() if k not in dropped}
             if self.mesh is not None:
                 self.params, stack = sam3_shard_vision(self.params, stack, self.mesh)
             self._win_stack = stack

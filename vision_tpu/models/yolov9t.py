@@ -60,7 +60,9 @@ def yolov9t_detect_params(file: GGUFFile) -> Yolov9tParams:
 
     p = Yolov9tParams()
     cls_w = "detect.cv3.0.2.weight"
-    if cls_w in file and file.tensor_layout != "cwhn":
+    if cls_w in file:
+        # shape[0] is the out-channel (= class) count in BOTH layouts:
+        # torch-canonical (nc,I,kH,kW) and cwhn-permuted (nc,kH,kW,I)
         p = replace(p, num_classes=int(file.tensors[cls_w].shape[0]))
     n = 0
     while f"model.4.cv2.0.m.{n}.cv1.conv1.conv.weight" in file:

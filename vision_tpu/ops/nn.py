@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.errors import raise_error
 from ..core.params import Params
 
 __all__ = [
@@ -51,7 +52,10 @@ __all__ = [
 # activations (reference: ggml_gelu/silu/sigmoid/leaky_relu used across archs)
 # ---------------------------------------------------------------------------
 
-gelu = jax.nn.gelu  # exact erf form (torch nn.GELU default)
+def gelu(x):
+    # exact erf form (torch nn.GELU default); jax.nn.gelu defaults to the
+    # tanh approximation, so the flag must be explicit
+    return jax.nn.gelu(x, approximate=False)
 
 
 def gelu_tanh(x):
@@ -101,8 +105,8 @@ def layer_norm(p: Params, x, eps: float = 1e-5):
 
 def batch_norm_2d(p: Params, x):
     """BN must be fused to mul+add at conversion (reference nn.cpp:150-164)."""
-    assert p.find("running_mean") is None, "Batch norm was not fused"
-    assert p.find("running_var") is None, "Batch norm was not fused"
+    if p.find("running_mean") is not None or p.find("running_var") is not None:
+        raise_error("batch norm was not fused at conversion (running stats present)")
     return x * p.weight("weight") + p.weight("bias")
 
 
@@ -199,10 +203,9 @@ def split_qkv(p: Params, x, n_heads: int, split_dim: int):
       1 -> per-head [q|k|v] interleaving (TinyViT style)
       2 -> global [q..|k..|v..] ordering (torch nn.Linear(3*dim) style)
     """
-    b, t, c3 = x.shape[0], x.shape[1], None
+    b, t = x.shape[0], x.shape[1]
     qkv = linear(p, x)  # (B, T, 3C)
-    c3 = qkv.shape[-1]
-    c = c3 // 3
+    c = qkv.shape[-1] // 3
     hd = c // n_heads
     if split_dim == 1:
         qkv = qkv.reshape(b, t, n_heads, 3, hd)

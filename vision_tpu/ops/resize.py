@@ -23,6 +23,13 @@ import numpy as np
 __all__ = ["resize_nhwc", "interpolate", "resize_matrix"]
 
 
+def _nearest_indices(n_in: int, n_out: int) -> np.ndarray:
+    """torch 'nearest' source index per output: floor(dst * n_in / n_out) —
+    the single rule shared by the gather path and the matrix path."""
+    src = np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int64)
+    return np.clip(src, 0, n_in - 1)
+
+
 @lru_cache(maxsize=32)
 def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
     """Cached (n_out, n_in) axis matrix, frozen read-only: entries are
@@ -36,9 +43,7 @@ def _axis_weights(n_in: int, n_out: int, method: str, align_corners: bool) -> np
 def _axis_weights_impl(n_in: int, n_out: int, method: str, align_corners: bool) -> np.ndarray:
     """(n_out, n_in) interpolation matrix for one axis (torch semantics)."""
     if method == "nearest":
-        # torch 'nearest': src = floor(dst * n_in / n_out)
-        src = np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int64)
-        src = np.clip(src, 0, n_in - 1)
+        src = _nearest_indices(n_in, n_out)
         w = np.zeros((n_out, n_in), np.float32)
         w[np.arange(n_out), src] = 1.0
         return w
@@ -140,8 +145,9 @@ def resize_nhwc(
         return x[0] if squeeze else x
     dt = x.dtype
     if method == "nearest":
-        ys = np.clip(np.floor(np.arange(h_out) * (h / h_out)).astype(np.int64), 0, h - 1)
-        xs = np.clip(np.floor(np.arange(w_out) * (w / w_out)).astype(np.int64), 0, w - 1)
+        # same index rule as the matrix path; gather beats a 0/1 matmul here
+        ys = _nearest_indices(h, h_out)
+        xs = _nearest_indices(w, w_out)
         out = x[:, ys][:, :, xs]
         return out[0] if squeeze else out
     wy = jnp.asarray(_axis_weights(h, h_out, method, align_corners))

@@ -50,6 +50,11 @@ DEFAULT_TP_RULES: tuple[tuple[str, P], ...] = (
     (r".*\b(fc1|lin1)\.bias$", P("tp")),
     (r".*\b(fc2|lin2)\.weight$", P(None, "tp")),
     (r".*\bproj\.weight$", P(None, "tp")),
+    # HF split-projection naming (DINOv2 / depth-anything backbones):
+    # column-parallel q/k/v, row-parallel output.dense
+    (r".*\battention\.(query|key|value)\.weight$", P("tp", None)),
+    (r".*\battention\.(query|key|value)\.bias$", P("tp")),
+    (r".*\battention\.output\.dense\.weight$", P(None, "tp")),
 )
 
 # SAM3 uses split q/k/v projections (sam3.h attention naming) instead of a
