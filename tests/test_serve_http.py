@@ -133,7 +133,26 @@ def test_http_image_family_endpoints():
         status, body, ctype = _post(f"http://127.0.0.1:{port}/v1/migan", _png(rgba))
         assert status == 200 and ctype == "image/png"
         out = PILImage.open(io.BytesIO(body))
-        assert out.size == (98, 98)
+        # flattened to RGB: the model's mask-as-alpha output would render
+        # the keep-region transparent in a viewer (review r4c)
+        assert out.size == (98, 98) and out.mode == "RGB"
+
+        # an oversized client-declared Content-Length is rejected BEFORE
+        # the handler buffers anything (review r4c)
+        import urllib.error as _ue
+        import urllib.request as _ur
+
+        req = _ur.Request(
+            f"http://127.0.0.1:{port}/v1/migan", data=b"x", method="POST",
+            headers={"Content-Length": str(1 << 33)},
+        )
+        try:
+            _ur.urlopen(req, timeout=60)
+            raise AssertionError("expected 413")
+        except _ue.HTTPError as e:
+            assert e.code == 413
+        except (ConnectionError, _ue.URLError):
+            pass  # server may cut the socket after the early 413
 
         # RGB body to migan is a 400; birefnet is not loaded -> 404
         import urllib.error

@@ -46,6 +46,25 @@ def test_dump_and_compare(tmp_path):
     assert report["layer_1.npy"]["max_abs"] == pytest.approx(0.5)
 
 
+def test_dump_name_collisions_disambiguated(tmp_path):
+    """Distinct capture names that sanitize to the same filename must not
+    silently overwrite each other (review r4c), and bf16 device arrays
+    dump via an on-device f32 cast."""
+    import jax.numpy as jnp
+
+    caps = {
+        "a.b": np.full((2,), 1.0, np.float32),
+        "a_b": np.full((2,), 2.0, np.float32),
+        "a/b": np.full((2,), 3.0, np.float32),
+        "bf": jnp.asarray([1.5, 2.5], jnp.bfloat16),
+    }
+    written = dump_captures(caps, tmp_path / "d")
+    assert len(written) == len(set(written)) == 4
+    vals = sorted(float(np.load(p)[0]) for p in written)
+    assert vals == [1.0, 1.5, 2.0, 3.0]
+    assert np.load([p for p in written if "bf" in p][0]).dtype == np.float32
+
+
 def test_timer():
     with Timer("x", verbose=False) as t:
         sum(range(1000))

@@ -36,27 +36,15 @@ FORMATS = (
     ImageFormat.rgb_f32,
     ImageFormat.alpha_f32,
 )
-_N_CHANNELS = {f: (4 if "rgba" in f.value or "bgra" in f.value or "argb" in f.value else 3 if "rgb" in f.value else 1) for f in FORMATS}
-
-
 def device_init(type_int: int):
     """0 = best available, 1 = cpu, 2 = accelerator (tpu/gpu)."""
     if type_int == 0:
         return backend_init()
     if type_int == 1:
-        from .core.errors import VispError
-
-        try:
-            return backend_init(BackendType.cpu)
-        except VispError:
-            # accelerator plugins hide the CPU platform from the default
-            # jax.devices() list; ask for the cpu backend explicitly
-            import jax
-
-            from .core.device import Device, backend_default_flags
-
-            cpu = jax.devices("cpu")[0]
-            return Device(cpu, BackendType.cpu, backend_default_flags(BackendType.cpu))
+        # backend_init(cpu) itself falls back to an explicit
+        # jax.devices("cpu") lookup when an accelerator plugin hides the
+        # CPU platform (core/device.py), so no extra handling here
+        return backend_init(BackendType.cpu)
     return backend_init(BackendType.tpu | BackendType.gpu)
 
 
@@ -68,10 +56,12 @@ def device_name(device) -> str:
     return str(device.jax_device.device_kind)
 
 
-def model_detect_family(filepath: str) -> int:
+def model_detect_family(file) -> int:
+    """``file``: path or an already-open GGUFFile (the shim's load path
+    opens the header once and detects on the same object)."""
     from . import api
 
-    fam = api.model_detect_family(filepath)
+    fam = api.model_detect_family(file)
     if fam.value not in FAMILIES:
         raise ValueError(
             f"model family '{fam.value}' is not exposed through the C API "
@@ -82,16 +72,18 @@ def model_detect_family(filepath: str) -> int:
 
 def model_load(filepath: str, device, family_int: int):
     from . import api
+    from .core.gguf import model_load as gguf_open
 
     if family_int != -1 and not 0 <= family_int < len(FAMILIES):
         raise ValueError(f"unknown model family code {family_int} (-1 = detect)")
-    detected = model_detect_family(filepath)
+    f = gguf_open(filepath)  # ONE header parse: detect + load share it
+    detected = model_detect_family(f)
     if family_int != -1 and family_int != detected:
         raise ValueError(
             f"model file is '{FAMILIES[detected]}' but family "
             f"{FAMILIES[family_int]!r} was requested"
         )
-    model = api.load_model(filepath, device)
+    model = api.load_model(f, device)
     # the lock serializes stateful per-handle paths (sam encode -> compute)
     # so the shim's any-thread contract holds per model handle
     return (model, detected, threading.Lock())
@@ -101,8 +93,10 @@ def _image_from_raw(width: int, height: int, stride: int, fmt_int: int, data: by
     if not 0 <= fmt_int < len(FORMATS):
         raise ValueError(f"invalid image format code {fmt_int}")
     fmt = FORMATS[fmt_int]
-    ch = _N_CHANNELS[fmt]
-    itemsize = 4 if "f32" in fmt.value else 1
+    from .image import is_float, n_channels
+
+    ch = n_channels(fmt)  # the image module's tables are authoritative
+    itemsize = 4 if is_float(fmt) else 1
     dtype = np.float32 if itemsize == 4 else np.uint8
     raw = np.frombuffer(data, dtype=np.uint8)
     row_bytes = width * ch * itemsize

@@ -53,6 +53,9 @@ def _client_error_types():
 
 _CLIENT_ERRORS = _client_error_types()
 
+# largest accepted request body; a 64 MP rgba PNG is well under this
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 
 def _load_image_bytes(data: bytes):
     from PIL import Image as PILImage
@@ -98,8 +101,6 @@ class VisionHTTPServer:
                  batch_size: int = 4,
                  max_delay_ms: float = 5.0, host: str = "127.0.0.1", port: int = 8000,
                  warmup: bool = False):
-        from .serve import EsrganServer, ImageServer, SamServer, YoloServer
-
         self.services = {}
         try:
             self._build(sam_model, esrgan_model, birefnet_model, depthany_model,
@@ -237,6 +238,11 @@ def _make_handler(server: VisionHTTPServer):
                         return self._json(411, {"error": "chunked bodies unsupported; "
                                                 "send Content-Length"})
                     return self._json(400, {"error": "empty body"})
+                if n > MAX_BODY_BYTES:
+                    # reject BEFORE buffering: a client-declared multi-GB
+                    # Content-Length must not drive a host allocation (the
+                    # image/pixel caps only run after the body is read)
+                    return self._json(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
 
                 try:
                     img = _load_image_bytes(self.rfile.read(n))
@@ -267,7 +273,17 @@ def _make_handler(server: VisionHTTPServer):
                                                     "(alpha channel = inpaint mask)"})
                         mask = Image(np.ascontiguousarray(a[:, :, 3:4]), ImageFormat.alpha_u8)
                         fut = svc.submit((img, mask))
-                        return self._send(200, _png_bytes(fut.result()), "image/png")
+                        out = fut.result()
+                        # the model injects the inpaint mask as the output's
+                        # alpha (reference composite contract); encoded
+                        # verbatim that renders the keep-region transparent
+                        # in a viewer — this endpoint promises the inpainted
+                        # IMAGE, so flatten to rgb
+                        rgb = Image(
+                            np.ascontiguousarray(np.asarray(out.data)[:, :, :3]),
+                            ImageFormat.rgb_u8,
+                        )
+                        return self._send(200, _png_bytes(rgb), "image/png")
 
                     # /v1/yolo
                     from .models.yolov9t import COCO_CLASS_NAMES

@@ -21,10 +21,27 @@ def dump_captures(captures: dict, out_dir: str | Path) -> list[str]:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     written = []
+    seen: dict[str, str] = {}
     for name, value in captures.items():
         safe = name.replace("/", "_").replace(".", "_")
+        if safe in seen:
+            # distinct capture names ('a.b' vs 'a_b') must not collapse
+            # onto one file — a silent overwrite makes compare_dumps diff
+            # the wrong tensor
+            i = 2
+            while f"{safe}__{i}" in seen:
+                i += 1
+            safe = f"{safe}__{i}"
+        seen[safe] = name
         path = out / f"{safe}.npy"
-        np.save(path, np.asarray(value, dtype=np.float32))
+        a = value
+        if not isinstance(a, np.ndarray) and hasattr(a, "astype") and str(getattr(a, "dtype", "")) == "bfloat16":
+            # cast ON DEVICE first: np.asarray on a bf16 device array is the
+            # pathologically slow element-conversion D2H path (CLAUDE.md)
+            import jax.numpy as jnp
+
+            a = a.astype(jnp.float32)
+        np.save(path, np.asarray(a, dtype=np.float32))
         written.append(str(path))
     return written
 
