@@ -82,6 +82,18 @@ def test_u8_to_f32_bgra_channel_map():
     np.testing.assert_allclose(out.data[0, 0] * 255, [30, 20, 10, 40], atol=1e-4)
 
 
+def test_u8_to_f32_argb_channel_map():
+    """argb lane order (reference image_argb_u8_to_rgb_f32,
+    test-image.cpp:132-146): stored A R G B reads back as rgb."""
+    a = np.zeros((1, 1, 4), np.uint8)
+    a[0, 0] = [40, 30, 20, 10]  # A R G B in argb format
+    img = image_load_array(a, ImageFormat.argb_u8)
+    out = image_u8_to_f32(img, ImageFormat.rgba_f32)
+    np.testing.assert_allclose(out.data[0, 0] * 255, [30, 20, 10, 40], atol=1e-4)
+    out3 = image_u8_to_f32(img, ImageFormat.rgb_f32)
+    np.testing.assert_allclose(out3.data[0, 0] * 255, [30, 20, 10], atol=1e-4)
+
+
 def test_f32_to_u8_clamp_truncate():
     a = np.array([[[-0.5, 0.5, 1.5]]], np.float32)
     out = image_f32_to_u8(image_load_array(a, ImageFormat.rgb_f32), ImageFormat.rgb_u8)
