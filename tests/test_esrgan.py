@@ -163,7 +163,7 @@ def test_esrgan_end_to_end_gguf(tmp_path):
             acc[beg[1]:end[1], beg[0]:end[0]] += blend * y[: end[1] - beg[1], : end[0] - beg[0]]
     expected_u8 = np.clip(acc, 0, 1) * 255.0
     ours = out.data[:, :, :3].astype(np.float32)
-    rms = np.sqrt(((expected_u8 - ours) / 255.0) ** 2).mean()
+    rms = np.sqrt((((expected_u8 - ours) / 255.0) ** 2).mean())
     assert rms < 0.01, f"tiled pipeline rms {rms}"
 
 

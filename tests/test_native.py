@@ -40,10 +40,32 @@ def test_blur_through_image_layer(rng):
 
 
 def test_erosion_matches_numpy(rng):
+    """Native kernel AND the image-layer numpy fallback both against an
+    INDEPENDENT brute-force oracle (image_erosion routes through the native
+    kernel when available, so comparing against it alone would be the C
+    code checking itself; review r4c)."""
     a = rng.random((12, 15)).astype(np.float32)
-    expected = image_erosion(image_load_array(a[:, :, None], ImageFormat.alpha_f32), 2).data[:, :, 0]
-    actual = native.erosion_native(a, 2)
+    r = 2
+    # brute force: min over the replicate-padded (2r+1)^2 neighborhood
+    p = np.pad(a, r, mode="edge")
+    expected = np.empty_like(a)
+    for y in range(a.shape[0]):
+        for x in range(a.shape[1]):
+            expected[y, x] = p[y : y + 2 * r + 1, x : x + 2 * r + 1].min()
+
+    actual = native.erosion_native(a, r)
     np.testing.assert_allclose(actual, expected, atol=1e-7)
+
+    # the u8 input path takes image.py's separable-numpy fallback — same
+    # oracle (min of u8 == min of scaled f32)
+    u8 = (a * 255).astype(np.uint8)
+    out_u8 = image_erosion(image_load_array(u8[:, :, None], ImageFormat.alpha_u8), r)
+    p8 = np.pad(u8, r, mode="edge")
+    exp8 = np.empty_like(u8)
+    for y in range(u8.shape[0]):
+        for x in range(u8.shape[1]):
+            exp8[y, x] = p8[y : y + 2 * r + 1, x : x + 2 * r + 1].min()
+    np.testing.assert_array_equal(out_u8.data[:, :, 0], exp8)
 
 
 def test_nms_matches_python(rng):
@@ -80,17 +102,25 @@ def test_nms_matches_python(rng):
     assert kept == expected[:300]
 
 
-def test_yolo_nms_uses_native(rng):
-    """End-to-end: non_max_suppression picks the native path and agrees with
-    the python fallback."""
+def test_yolo_nms_uses_native(rng, monkeypatch):
+    """End-to-end: non_max_suppression through the native path agrees
+    box-for-box with the python fallback (forced by stubbing nms_native to
+    None; review r4c — the old test asserted neither routing nor parity)."""
+    import vision_tpu.native as nat
     from vision_tpu.models import yolov9t as y
 
-    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32)
-    scores = np.zeros((3, 2), np.float32)
-    scores[0, 0], scores[1, 0], scores[2, 1] = 0.9, 0.8, 0.7
-    dets = y.non_max_suppression(boxes, scores, 0.25, 0.45)
-    assert len(dets) == 2
-    assert {d.class_id for d in dets} == {0, 1}
+    assert nat.available(), "native lib must be present for the routing test"
+    n = 120
+    boxes = rng.random((n, 4)).astype(np.float32) * 80
+    boxes[:, 2:] = boxes[:, :2] + rng.random((n, 2)).astype(np.float32) * 40 + 1
+    scores = (rng.random((n, 3)) * 0.9).astype(np.float32)
+
+    via_native = y.non_max_suppression(boxes, scores, 0.25, 0.45)
+    monkeypatch.setattr(nat, "nms_native", lambda *a, **k: None)
+    via_python = y.non_max_suppression(boxes, scores, 0.25, 0.45)
+    assert len(via_native) == len(via_python) > 0
+    for a, b in zip(via_native, via_python):
+        assert (a.x1, a.y1, a.x2, a.y2, a.class_id) == (b.x1, b.y1, b.x2, b.y2, b.class_id)
 
 
 def test_u8_to_f32_matches_image_layer(rng):

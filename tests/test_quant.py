@@ -6,7 +6,6 @@ src/visp/ml.cpp:283-360): int8 levels + per-block scales stay resident on
 device and the dequant is traced into the graph at each Params access.
 """
 
-import os
 import sys
 from pathlib import Path
 
@@ -34,7 +33,6 @@ from vision_tpu.core.gguf import (
 )
 from vision_tpu.core.params import Params
 from vision_tpu.core.quant import (
-    QuantResident,
     is_quant,
     quantize_resident,
     quantize_store,

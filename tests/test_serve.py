@@ -174,10 +174,6 @@ def test_batch_server_survives_bad_bucket_key():
 def test_batch_server_partial_bucket_keeps_its_window():
     """One bucket filling must not flush a partial sibling bucket that is
     still inside its own max_delay window (per-bucket deadlines)."""
-    import threading as _t
-
-    release = _t.Event()
-
     def fn(items):
         return items
 
