@@ -120,6 +120,31 @@ def test_convert_sam_special_tensors(tmp_path):
     np.testing.assert_allclose(w, expected.numpy(), atol=1e-6)
 
 
+def test_convert_sam_prefused_local_conv(tmp_path):
+    """A checkpoint whose local_conv BN was already folded (no bn keys)
+    must still write the weight in cwhn layout — the loader un-permutes
+    local_conv unconditionally (review r4c: the fallthrough wrote torch
+    layout, silently mis-laying-out the depthwise kernel)."""
+    g = torch.Generator().manual_seed(1)
+    lw = torch.randn(8, 1, 3, 3, generator=g)  # depthwise (C,1,kH,kW)
+    sd = {
+        "image_encoder.layers.1.blocks.0.local_conv.c.weight": lw,
+        "image_encoder.layers.1.blocks.0.local_conv.c.bias": torch.randn(8, generator=g),
+    }
+    ckpt = tmp_path / "sam_fused.pth"
+    torch.save(sd, ckpt)
+    out = convert_model("sam", ckpt, tmp_path / "sam_fused.gguf")
+    f = GGUFFile(out)
+    stored = f.tensor("enc.layers.1.blocks.0.local_conv.c.weight")
+    # cwhn storage: (C,1,kH,kW) -> (kH,kW,1,C)
+    assert stored.shape == (3, 3, 1, 8)
+    np.testing.assert_allclose(stored, lw.numpy().transpose(2, 3, 1, 0), atol=0)
+    np.testing.assert_allclose(
+        f.tensor("enc.layers.1.blocks.0.local_conv.c.bias"),
+        sd["image_encoder.layers.1.blocks.0.local_conv.c.bias"].numpy(), atol=0,
+    )
+
+
 def test_cli_esrgan(tmp_path, monkeypatch):
     """CLI end-to-end smoke test (reference A5)."""
     from test_esrgan import RRDBNet, _write_gguf

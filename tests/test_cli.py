@@ -122,13 +122,24 @@ def test_cli_serve_dp_mesh(tmp_path, monkeypatch):
     import vision_tpu.serve_http as sh
 
     monkeypatch.setattr(sh, "serve_forever", fake_serve_forever)
-    rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2", "--batch", "2"])
+    from vision_tpu.models.random_weights import random_yolov9t_params
+
+    yolo = _gguf_from_dict(tmp_path / "y.gguf", "yolov9t", random_yolov9t_params())
+    rc = main(["serve", "-m", str(esr), "--extra-model", str(yolo), "-b", "cpu",
+               "--dp", "2", "--batch", "2"])
     assert rc == 0
     model = captured["esrgan_model"]
     assert model.mesh is not None and model.mesh.shape["dp"] == 2
+    # EVERY served family gets the mesh (review r4c: only sam/esrgan did)
+    assert captured["yolo_model"].mesh is not None
+    assert captured["yolo_model"].mesh.shape["dp"] == 2
 
     rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2", "--batch", "3"])
     assert rc != 0  # batch not divisible by dp
+
+    # --extra-model typos fail in the cheap pre-device validation
+    rc = main(["serve", "-m", str(esr), "--extra-model", "nope.gguf", "-b", "cpu"])
+    assert rc != 0
 
 
 def test_cli_fails_fast_and_validates_prompt(tmp_path, capsys):

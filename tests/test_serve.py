@@ -345,6 +345,14 @@ def test_image_server_three_families():
     direct = da.compute(img_a)
     np.testing.assert_allclose(np.asarray(da_a.data), np.asarray(direct.data), atol=1e-5)
 
+    # oversized uploads are rejected at submit (depthany snaps its extent
+    # UP from the input — unguarded, one huge request would jit a one-off
+    # giant program; review r4c)
+    with ImageServer(da, batch_size=2, max_delay_ms=5, max_pixels=256 * 256) as srv:
+        fut = srv.submit(u8_img(300, 300))
+        with pytest.raises(ValueError, match="max_pixels"):
+            fut.result(timeout=600)
+
     # --- birefnet (fixed 256 extent) ---
     bn = BirefnetModel(
         random_birefnet_params("tiny"),

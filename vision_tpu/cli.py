@@ -215,6 +215,14 @@ def main(argv=None) -> int:
         if not args.model and args.command not in default_models:
             raise VispError("No model specified (-m)")
         model_path = find_model(args.model or default_models[args.command])
+        extra_paths = [model_path]
+        if args.command == "serve":
+            # resolve EVERY served model path here too — --extra-model
+            # typos must fail before the (potentially minutes-long) device
+            # init, same as -m
+            if args.esrgan_model:  # back-compat alias for --extra-model
+                extra_paths.append(find_model(args.esrgan_model))
+            extra_paths += [find_model(m) for m in args.extra_model]
         for inp in args.input or []:
             if not Path(inp).exists():
                 raise VispError(f"Input file not found: {inp}")
@@ -266,24 +274,18 @@ def main(argv=None) -> int:
                 from .parallel import make_mesh
 
                 mesh = make_mesh(args.dp)
-            # families whose servers shard request batches over the mesh
-            mesh_capable = {"sam_model", "esrgan_model"}
-
-            paths = [model_path]
-            if args.esrgan_model:  # back-compat alias for --extra-model
-                paths.append(find_model(args.esrgan_model))
-            paths += [find_model(m) for m in args.extra_model]
             models = {}
             with _Timer("Loading model weights"):
-                for path in paths:
+                for path in extra_paths:
                     key, load = family_loader(model_detect_family(path))
                     if key in models:
                         raise VispError(f"two models of one family given ({key})")
-                    if mesh is not None and key in mesh_capable:
+                    # every family loader accepts mesh= and every server
+                    # dp-shards its request batch (dryrun_multichip proves
+                    # all 7 parities)
+                    if mesh is not None:
                         models[key] = load(path, dev, mesh=mesh)
                     else:
-                        if mesh is not None:
-                            print(f"note: {key} does not shard; loading single-chip")
                         models[key] = load(path, dev)
             serve_forever(batch_size=args.batch, host=args.host, port=args.port,
                           warmup=args.warmup, **models)
@@ -347,12 +349,14 @@ def main(argv=None) -> int:
             print(f"-> inpainted image saved to {args.output}")
 
         elif args.command == "esrgan":
-            from .models.esrgan import ESRGAN_DEFAULT_TILE_SIZE, esrgan_load_model
+            from .models.esrgan import esrgan_load_model
 
             with _Timer("Loading model weights"):
                 model = esrgan_load_model(model_path, dev)
             image = image_load(args.input[0])
-            tile = args.tile if args.tile > 0 else ESRGAN_DEFAULT_TILE_SIZE
+            # no --tile: let compute pick the backend-aware default (1024
+            # whole-image path on TPU, reference 224 tiles on CPU)
+            tile = args.tile if args.tile > 0 else None
             with _Timer("Running inference"):
                 out = model.compute(image, tile_size=tile)
             image_save(out, args.output)

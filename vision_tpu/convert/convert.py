@@ -247,6 +247,17 @@ def convert_sam(model: dict, w: Writer):
             old = w.layout
             w.layout = "cwhn"
             handled = fuse_conv_2d_batch_norm(model, key, name, "", "c", "bn", w)
+            if not handled:
+                # already-fused checkpoint (no adjacent BN): still store
+                # cwhn — the loader un-permutes local_conv weights
+                # unconditionally (mobile_sam.fixup_weights), so falling
+                # through to the torch-layout write would silently produce
+                # mis-laid-out depthwise kernels
+                if key.endswith("c.weight"):
+                    w.add_tensor(name, w.convert_tensor_2d(t))
+                else:  # c.bias
+                    w.add_tensor(name, t)
+                handled = True
             w.layout = old
             if handled:
                 continue
@@ -344,7 +355,17 @@ def convert_birefnet(model: dict, w: Writer, filename: str):
 def convert_depth_anything(model: dict, w: Writer):
     """(reference convert_depth_anything)."""
     w.set_layout_default("whcn")
-    shape = model["backbone.embeddings.patch_embeddings.projection.weight"].shape
+    if "pretrained.cls_token" in model:
+        # original (non-HF) Depth-Anything checkpoints use 'pretrained.*'
+        # naming (reference convert.py:437-440 rejects them the same way)
+        raise_error(
+            "Weights not supported: original Depth-Anything checkpoint "
+            "('pretrained.*' names) — convert the Hugging Face release instead"
+        )
+    proj = "backbone.embeddings.patch_embeddings.projection.weight"
+    if proj not in model:
+        raise_error("not a Depth-Anything (HF) checkpoint: missing '{}'", proj)
+    shape = model[proj].shape
     w.add("dino.patch_size", int(shape[2]))
     w.add("dino.embed_dim", int(shape[0]))
     w.add("depthanything.image_size", 518)
@@ -474,8 +495,17 @@ def normalize_esrgan_names(model: dict) -> tuple[dict, int]:
     (convert.py:504-527). Returns (renamed dict, scale)."""
     if not any(k.startswith("conv_first") for k in model):
         # already old-arch; infer scale from the upsample layer indices
-        last = max(int(k.split(".")[1]) for k in model if k.startswith("model.") and k.split(".")[1].isdigit())
-        return dict(model), {10: 4, 7: 2, 4: 1}.get(last, 4)
+        idxs = [
+            int(k.split(".")[1])
+            for k in model
+            if k.startswith("model.") and k.split(".")[1].isdigit()
+        ]
+        if not idxs:
+            raise_error(
+                "not an ESRGAN/RRDBNet state dict: no 'conv_first.*' or "
+                "'model.N.*' keys found"
+            )
+        return dict(model), {10: 4, 7: 2, 4: 1}.get(max(idxs), 4)
     in_ch = model["conv_first.weight"].shape[1]
     if in_ch != 3:
         # x2/x1 Real-ESRGAN variants pixel-unshuffle the input (in_ch 12/48)
@@ -534,6 +564,7 @@ ARCH_NAMES = {
     "sam3": "sam3",
     "birefnet": "birefnet",
     "depth-anything": "depthanything",
+    "depthany": "depthanything",  # CLI-verb alias; same arch KV prefix
     "migan": "migan",
     "esrgan": "esrgan",
     "yolov9t": "yolov9t",

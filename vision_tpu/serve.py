@@ -560,13 +560,26 @@ class ImageServer:
     of the mesh's dp extent — groups always pad to the full batch).
     """
 
-    def __init__(self, model, batch_size: int = 4, max_delay_ms: float = 2.0, prep_workers: int = 2):
+    def __init__(
+        self,
+        model,
+        batch_size: int = 4,
+        max_delay_ms: float = 2.0,
+        prep_workers: int = 2,
+        max_pixels: int = 4 * 1024 * 1024,
+    ):
         kind = type(model).__name__
         if kind not in ("BirefnetModel", "DepthAnythingModel", "MiganModel"):
             raise TypeError(f"ImageServer does not support {kind}")
         self.model = model
         self.kind = kind
         self.batch_size = batch_size
+        # depth-anything snaps its processed extent UP from the input, so
+        # an unguarded huge upload would jit a one-off giant program (the
+        # same remote resource-exhaustion hole EsrganServer.max_pixels
+        # closes); birefnet/migan resize to fixed extents but still pay
+        # host-side prep proportional to the upload
+        self.max_pixels = max_pixels
         if model.mesh is not None:
             dp = model.mesh.shape["dp"]
             if batch_size % dp:
@@ -584,6 +597,12 @@ class ImageServer:
     def _prepare(self, request):
         from .image import image_scale, preprocess_scale_method
 
+        req_img = request[0] if isinstance(request, tuple) else request
+        if req_img.width * req_img.height > self.max_pixels:
+            raise ValueError(
+                f"input {req_img.width}x{req_img.height} exceeds the server's "
+                f"max_pixels ({self.max_pixels}); resize client-side or raise the cap"
+            )
         if self.kind == "MiganModel":
             image, mask = request
             res = (self.model.p.resolution, self.model.p.resolution)
