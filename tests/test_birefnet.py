@@ -185,7 +185,7 @@ class TSwinBlock(nn.Module):
             x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
         x = x[:, :h, :w].reshape(b, t, c)
         x = shortcut + x
-        x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x)), approximate="tanh"))
         return x
 
 

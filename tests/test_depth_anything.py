@@ -95,7 +95,7 @@ class TDinoLayer(nn.Module):
         o = self.attention.output.dense(o)
         x = x + o * self.layer_scale1.lambda1
         h = self.norm2(x)
-        h = self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+        h = self.mlp.fc2(F.gelu(self.mlp.fc1(h), approximate="tanh"))
         return x + h * self.layer_scale2.lambda1
 
 

@@ -115,10 +115,10 @@ class TMBConv(nn.Module):
 
     def forward(self, x):
         s = x
-        x = F.gelu(self.conv1(x))
-        x = F.gelu(self.conv2(x))
+        x = F.gelu(self.conv1(x), approximate="tanh")
+        x = F.gelu(self.conv2(x), approximate="tanh")
         x = self.conv3(x)
-        return F.gelu(x + s)
+        return F.gelu(x + s, approximate="tanh")
 
 
 class TPatchMerging(nn.Module):
@@ -130,8 +130,8 @@ class TPatchMerging(nn.Module):
         self.conv3 = Conv2dBN(co, co, 1)
 
     def forward(self, x):
-        x = F.gelu(self.conv1(x))
-        x = F.gelu(self.conv2(x))
+        x = F.gelu(self.conv1(x), approximate="tanh")
+        x = F.gelu(self.conv2(x), approximate="tanh")
         x = self.conv3(x)
         return x.flatten(2).transpose(1, 2)  # (B, T, C)
 
@@ -178,7 +178,7 @@ class TMlp(nn.Module):
         self.fc2 = nn.Linear(dim * ratio, dim)
 
     def forward(self, x):
-        return self.fc2(F.gelu(self.fc1(self.norm(x))))
+        return self.fc2(F.gelu(self.fc1(self.norm(x)), approximate="tanh"))
 
 
 def t_window_partition(x, window):
@@ -256,7 +256,7 @@ class TTinyVit(nn.Module):
         self.cfg = cfg
 
     def forward(self, x):
-        x = F.gelu(self.patch_embed.seq[0](x))
+        x = F.gelu(self.patch_embed.seq[0](x), approximate="tanh")
         x = self.patch_embed.seq[2](x)
         for blk in self.layers[0].blocks:
             x = blk(x)
@@ -483,8 +483,8 @@ class TMaskDecoder(nn.Module):
         u = self.output_upscaling
         x = u[0](src2)
         x = u[1](x.permute(0, 2, 3, 1))
-        x = F.gelu(x.permute(0, 3, 1, 2))
-        x = F.gelu(u[3](x))
+        x = F.gelu(x.permute(0, 3, 1, 2), approximate="tanh")
+        x = F.gelu(u[3](x), approximate="tanh")
         b, c2, h2, w2 = x.shape
         up = x.flatten(2)  # (B, c2, h2*w2)
         hyper = torch.stack(

@@ -244,20 +244,22 @@ def test_attention_flash_masked_small_t_matches_naive():
 
 
 def test_gelu_variants_match_torch():
-    """ops.gelu is the exact erf form (torch nn.GELU default) and
-    gelu_tanh the tanh approximation (torch approximate='tanh') — jax's
-    default is the approximation, so the two must NOT coincide
-    (review r4c: gelu silently aliased gelu_tanh)."""
-    from vision_tpu.ops import gelu, gelu_tanh
+    """ops.gelu is the tanh form — the reference's ggml_gelu IS the tanh
+    approximation, and exact erf measured 34% slower on TPU SAM-encode
+    (NOTES round-4d) for a difference below bf16 rounding noise. gelu_erf
+    keeps torch's exact-erf default available; both are pinned to their
+    torch counterparts at 2e-6 so neither can silently alias the other."""
+    from vision_tpu.ops import gelu, gelu_erf, gelu_tanh
 
     x = torch.linspace(-4, 4, 257)
     got = np.asarray(gelu(x.numpy()))
-    np.testing.assert_allclose(got, torch.nn.GELU()(x).numpy(), atol=2e-6)
-    got_t = np.asarray(gelu_tanh(x.numpy()))
     np.testing.assert_allclose(
-        got_t, torch.nn.GELU(approximate="tanh")(x).numpy(), atol=2e-6
+        got, torch.nn.GELU(approximate="tanh")(x).numpy(), atol=2e-6
     )
-    assert float(np.abs(got - got_t).max()) > 1e-4  # genuinely different forms
+    assert gelu_tanh is gelu  # explicit-name alias
+    got_e = np.asarray(gelu_erf(x.numpy()))
+    np.testing.assert_allclose(got_e, torch.nn.GELU()(x).numpy(), atol=2e-6)
+    assert float(np.abs(got - got_e).max()) > 1e-4  # genuinely different forms
 
 
 def test_nearest_resize_paths_agree():

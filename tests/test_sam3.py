@@ -118,7 +118,7 @@ class TClipLayer(nn.Module):
         o = (attn.softmax(-1) @ v).permute(0, 2, 1, 3).reshape(b, t, c)
         x = x + sa.out_proj(o)
         h = self.layer_norm2(x)
-        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(h), approximate="tanh"))
 
 
 class TClipText(nn.Module):
@@ -249,7 +249,7 @@ class TVisionLayer(nn.Module):
         else:
             y = self.attention(y.reshape(b, h * w, c)).reshape(b, h, w, c)
         x = res + y
-        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.layer_norm2(x))))
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.layer_norm2(x)), approximate="tanh"))
 
 
 def test_vision_layer_window_and_global():
@@ -365,7 +365,7 @@ class TFpnLayer(nn.Module):
 
     def forward(self, x):
         if self.index == 0:
-            x = self.scale_layers[2](F.gelu(self.scale_layers[0](x)))
+            x = self.scale_layers[2](F.gelu(self.scale_layers[0](x), approximate="tanh"))
         elif self.index == 1:
             x = self.scale_layers[0](x)
         elif self.index == 3:

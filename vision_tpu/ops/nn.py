@@ -39,6 +39,7 @@ __all__ = [
     "attention",
     "gelu",
     "gelu_tanh",
+    "gelu_erf",
     "silu",
     "leaky_relu",
     "sigmoid",
@@ -53,13 +54,24 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 def gelu(x):
-    # exact erf form (torch nn.GELU default); jax.nn.gelu defaults to the
-    # tanh approximation, so the flag must be explicit
-    return jax.nn.gelu(x, approximate=False)
-
-
-def gelu_tanh(x):
+    # tanh form — the reference's ggml_gelu IS the tanh approximation
+    # (ggml computes gelu via the tanh formula, fp16-tabled), so this is the
+    # parity-faithful production default. It is also the TPU-fast one: the
+    # exact-erf lowering costs 34% of SAM-encode throughput on v5e
+    # (273 -> 180 img/s measured, NOTES.md round-4d) while the erf-vs-tanh
+    # difference (~4e-4 peak) sits below bf16 rounding noise (~3e-3), so
+    # exactness buys nothing on the bf16 compute path. Use gelu_erf for
+    # torch-default-exact semantics.
     return jax.nn.gelu(x, approximate=True)
+
+
+gelu_tanh = gelu  # explicit-name alias
+
+
+def gelu_erf(x):
+    # exact erf form (torch nn.GELU default) — slow on TPU (VPU polynomial);
+    # kept for f32 exactness use cases, not the production model path.
+    return jax.nn.gelu(x, approximate=False)
 
 
 silu = jax.nn.silu
