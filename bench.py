@@ -15,7 +15,8 @@ The three metrics named by BASELINE.md:41 (from BASELINE.json):
     its decode adds <2 ms) over our p50.
   * mobilesam_encode_1024_img_per_sec — the headline (printed LAST so the
     driver's single-line parse keeps the historical metric): MobileSAM
-    encoder throughput, batch 4. vs_baseline = speedup over the reference's
+    encoder throughput, batch 6 (the measured space-to-batch optimum,
+    NOTES.md round-4d). vs_baseline = speedup over the reference's
     669 ms/img CPU figure.
 
 Methodology (see NOTES.md): the axon tunnel adds a ~27 ms fixed RPC latency
@@ -62,7 +63,12 @@ def _loop_method(encode_k, params, x, K, repeats=3):
     return max((t_k - t_1) / (K - 1), 1e-6)
 
 
-def bench_sam_encode(batch=4, K=11):
+def bench_sam_encode(batch=6, K=11):
+    # batch=6 is the measured optimum (289.8 img/s vs 273.1 at b4, round-4d
+    # knee probe): XLA's space-to-batch converter rewrites the high-res stem
+    # convs into deep-batch small-spatial form only below batch 8; b6 keeps
+    # that regime with better weight amortization, b8 falls off the cliff
+    # (537 MB f32 conv temps, 255 img/s). See NOTES.md round-4d.
     import jax
     import jax.numpy as jnp
 

@@ -354,13 +354,21 @@ class SamServer:
     def __init__(
         self,
         model,
-        batch_size: int = 4,
+        # None -> 6 per chip: the measured space-to-batch optimum for the
+        # TinyViT encoder (289.8 img/s vs 273.1 at b4; batch >= 8 leaves
+        # XLA's deep-batch conv regime and drops to 255 — NOTES.md round-4d
+        # knee analysis). On a dp mesh the default scales to dp*6 so every
+        # chip still runs its optimal shard.
+        batch_size: int | None = None,
         max_delay_ms: float = 2.0,
         prep_workers: int = 4,
     ):
         from .core.device import BuildFlag
 
         self.model = model
+        dp = model.mesh.shape["dp"] if model.mesh is not None else 1
+        if batch_size is None:
+            batch_size = 6 * dp
         self.batch_size = batch_size
         dtype = model.device.preferred_float_type
         flash = bool(model.device.flags & BuildFlag.flash_attention)
@@ -368,7 +376,6 @@ class SamServer:
         # SamServers of one config reuse the same traced/compiled pipelines
         self._pipelines = _sam_serve_pipelines(str(np.dtype(dtype)), flash, model.mesh)
         if model.mesh is not None:
-            dp = model.mesh.shape["dp"]
             if batch_size % dp:
                 raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         self._server = BatchServer(
