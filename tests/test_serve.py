@@ -471,3 +471,25 @@ def test_image_server_migan_prep_does_not_premultiply_mask():
         assert float(x[:8, :8].mean()) > 150.0, float(x[:8, :8].mean())
     finally:
         srv.close()
+
+
+def test_sam_server_default_batch_is_s2b_optimum():
+    """SamServer's default batch resolves to 6 per chip — the measured
+    space-to-batch optimum (NOTES round-4d: 289.8 img/s at b6; batch >= 8
+    leaves XLA's deep-batch conv regime). On a dp mesh the default scales
+    to 6*dp so each chip keeps its optimal shard."""
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.models.mobile_sam import SamModel, SamParams
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+    from vision_tpu.parallel import make_mesh
+    from vision_tpu.serve import SamServer
+
+    dev = backend_init(BackendType.cpu)
+    params = {k: np.asarray(v) for k, v in random_mobile_sam_params(0).items()}
+    with SamServer(SamModel(params, SamParams(), dev)) as srv:
+        assert srv.batch_size == 6
+    mesh = make_mesh(2)
+    with SamServer(SamModel(params, SamParams(), dev, mesh=mesh)) as srv:
+        assert srv.batch_size == 12
+    with pytest.raises(ValueError):
+        SamServer(SamModel(params, SamParams(), dev, mesh=mesh), batch_size=3)
