@@ -137,6 +137,14 @@ def test_cli_serve_dp_mesh(tmp_path, monkeypatch):
     rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2", "--batch", "3"])
     assert rc != 0  # batch not divisible by dp
 
+    # no --batch: defaults pass through as None so each service resolves its
+    # own per-chip optimum * dp (a fixed default of 4 used to FAIL the
+    # divisibility check for --dp 8 and override SamServer's measured b6)
+    captured.clear()
+    rc = main(["serve", "-m", str(esr), "-b", "cpu", "--dp", "2"])
+    assert rc == 0
+    assert captured["batch_size"] is None
+
     # --extra-model typos fail in the cheap pre-device validation
     rc = main(["serve", "-m", str(esr), "--extra-model", "nope.gguf", "-b", "cpu"])
     assert rc != 0

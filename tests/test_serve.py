@@ -493,3 +493,23 @@ def test_sam_server_default_batch_is_s2b_optimum():
         assert srv.batch_size == 12
     with pytest.raises(ValueError):
         SamServer(SamModel(params, SamParams(), dev, mesh=mesh), batch_size=3)
+
+
+def test_resolve_batch_defaults_scale_with_dp():
+    """Every server resolves batch_size=None to its family's per-chip
+    default scaled by the mesh's dp extent (so `vision-cli serve --dp N`
+    needs no --batch and each chip keeps its optimal shard); explicit
+    values validate against the dp axis."""
+    from vision_tpu.parallel import make_mesh
+    from vision_tpu.serve import _resolve_batch
+
+    assert _resolve_batch(None, 6, None) == 6
+    assert _resolve_batch(4, 6, None) == 4
+    mesh = make_mesh(4)
+    assert _resolve_batch(None, 6, mesh) == 24
+    assert _resolve_batch(None, 8, mesh) == 32
+    assert _resolve_batch(8, 6, mesh) == 8
+    with pytest.raises(ValueError):
+        _resolve_batch(6, 6, mesh)  # not divisible by dp=4
+    with pytest.raises(ValueError):
+        _resolve_batch(0, 6, None)

@@ -122,7 +122,12 @@ def main(argv=None) -> int:
         "--esrgan-model", default=None,
         help="serve: additionally load this ESRGAN gguf next to the SAM model",
     )
-    parser.add_argument("--batch", type=int, default=4, help="serve: max batch size")
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="serve: max batch size (default: each service's measured "
+        "per-chip optimum — sam 6, esrgan/birefnet/depthany/migan 4, "
+        "yolo 8 — times --dp)",
+    )
     parser.add_argument(
         "--dp", type=int, default=0, metavar="N",
         help="serve: shard each request batch over N chips (data parallel "
@@ -267,7 +272,7 @@ def main(argv=None) -> int:
             if args.dp:
                 if args.dp < 1:
                     raise VispError(f"--dp must be >= 1, got {args.dp}")
-                if args.batch % args.dp:
+                if args.batch is not None and args.batch % args.dp:
                     raise VispError(
                         f"--batch {args.batch} must be divisible by --dp {args.dp}"
                     )

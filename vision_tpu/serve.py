@@ -53,6 +53,20 @@ def _deliver_exception(fut: Future, exc: BaseException) -> None:
         pass
 
 
+def _resolve_batch(batch_size: int | None, per_chip_default: int, mesh) -> int:
+    """Resolve a server's batch size: ``None`` means the family's measured
+    per-chip default, scaled by the mesh's dp extent so every chip keeps its
+    optimal shard; an explicit value must divide evenly over the dp axis."""
+    dp = mesh.shape["dp"] if mesh is not None else 1
+    if batch_size is None:
+        return per_chip_default * dp
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if batch_size % dp:
+        raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
+    return batch_size
+
+
 @dataclass
 class ServerStats:
     requests: int = 0
@@ -366,18 +380,13 @@ class SamServer:
         from .core.device import BuildFlag
 
         self.model = model
-        dp = model.mesh.shape["dp"] if model.mesh is not None else 1
-        if batch_size is None:
-            batch_size = 6 * dp
+        batch_size = _resolve_batch(batch_size, 6, model.mesh)
         self.batch_size = batch_size
         dtype = model.device.preferred_float_type
         flash = bool(model.device.flags & BuildFlag.flash_attention)
         # shared across instances (same convention as _sam_programs): two
         # SamServers of one config reuse the same traced/compiled pipelines
         self._pipelines = _sam_serve_pipelines(str(np.dtype(dtype)), flash, model.mesh)
-        if model.mesh is not None:
-            if batch_size % dp:
-                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         self._server = BatchServer(
             self._run_group,
             batch_size=batch_size,
@@ -471,21 +480,20 @@ class EsrganServer:
     def __init__(
         self,
         model,
-        batch_size: int = 4,
+        # None -> 4 per chip (4*dp on a mesh): whole-image RRDBNet batches
+        # scale memory linearly, and 4 keeps the 1024^2 bucket inside HBM
+        batch_size: int | None = None,
         max_delay_ms: float = 2.0,
         prep_workers: int = 2,
         max_pixels: int = 1024 * 1024,
     ):
         self.model = model
+        batch_size = _resolve_batch(batch_size, 4, model.mesh)
         self.batch_size = batch_size
         # whole-image serving limit: an oversized request would trigger a
         # one-off multi-minute compile + huge activations; the tiled
         # EsrganModel.compute path exists for those
         self.max_pixels = max_pixels
-        if model.mesh is not None:
-            dp = model.mesh.shape["dp"]
-            if batch_size % dp:
-                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         self._server = BatchServer(
             self._run_group,
             batch_size=batch_size,
@@ -570,7 +578,8 @@ class ImageServer:
     def __init__(
         self,
         model,
-        batch_size: int = 4,
+        # None -> 4 per chip (4*dp on a mesh)
+        batch_size: int | None = None,
         max_delay_ms: float = 2.0,
         prep_workers: int = 2,
         max_pixels: int = 4 * 1024 * 1024,
@@ -580,6 +589,7 @@ class ImageServer:
             raise TypeError(f"ImageServer does not support {kind}")
         self.model = model
         self.kind = kind
+        batch_size = _resolve_batch(batch_size, 4, model.mesh)
         self.batch_size = batch_size
         # depth-anything snaps its processed extent UP from the input, so
         # an unguarded huge upload would jit a one-off giant program (the
@@ -587,10 +597,6 @@ class ImageServer:
         # closes); birefnet/migan resize to fixed extents but still pay
         # host-side prep proportional to the upload
         self.max_pixels = max_pixels
-        if model.mesh is not None:
-            dp = model.mesh.shape["dp"]
-            if batch_size % dp:
-                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         self._server = BatchServer(
             self._run_group,
             batch_size=batch_size,
@@ -746,17 +752,16 @@ class YoloServer:
     Results are lists of :class:`~vision_tpu.models.yolov9t.Detection`.
     """
 
-    def __init__(self, model, batch_size: int = 8, max_delay_ms: float = 2.0,
+    def __init__(self, model, batch_size: int | None = None, max_delay_ms: float = 2.0,
                  prep_workers: int = 2, conf_thres: float = 0.25, iou_thres: float = 0.45,
                  max_candidates: int = 1024):
         self.model = model
+        # None -> 8 per chip (8*dp on a mesh): YOLOv9t-640 is small enough
+        # that deeper batches amortize dispatch without memory pressure
+        batch_size = _resolve_batch(batch_size, 8, model.mesh)
         self.batch_size = batch_size
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
-        if model.mesh is not None:
-            dp = model.mesh.shape["dp"]
-            if batch_size % dp:
-                raise ValueError(f"batch_size {batch_size} not divisible by mesh dp={dp}")
         # device-side candidate extraction: only the top-K anchors by max
         # class score cross D2H (K * 84 floats vs all 8400 * 84 — ~8x less
         # transfer; SamServer does the analogous on-device reduction). K

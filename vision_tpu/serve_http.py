@@ -98,7 +98,9 @@ class VisionHTTPServer:
 
     def __init__(self, sam_model=None, esrgan_model=None, birefnet_model=None,
                  depthany_model=None, migan_model=None, yolo_model=None,
-                 batch_size: int = 4,
+                 # None -> every service picks its family's measured per-chip
+                 # default, scaled by the model's mesh dp (serve._resolve_batch)
+                 batch_size: int | None = None,
                  max_delay_ms: float = 5.0, host: str = "127.0.0.1", port: int = 8000,
                  warmup: bool = False):
         self.services = {}
