@@ -176,6 +176,37 @@ def test_cli_fails_fast_and_validates_prompt(tmp_path, capsys):
     assert "Expected 2 (point) or 4 (box)" in capsys.readouterr().err
 
 
+def test_cli_info(tmp_path, capsys):
+    """info prints metadata, family, and a per-type tensor breakdown without
+    touching a device; --tensors adds the full table; unknown arch reports
+    family 'unknown' instead of erroring."""
+    from test_esrgan import RRDBNet, _write_gguf
+
+    esr = _write_gguf(tmp_path / "esr.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+    rc = main(["info", "-m", str(esr)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "architecture: esrgan  family: esrgan" in out
+    assert "esrgan.tensor_data_layout" in out
+    assert "F32" in out and "tensors" in out
+
+    rc = main(["info", "-m", str(esr), "--tensors"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "model.0.weight" in out  # per-tensor table present
+
+    # unknown architecture: still inspectable, family reported unknown
+    alien = _gguf_from_dict(tmp_path / "alien.gguf", "alien",
+                            {"w": np.zeros((4, 4), np.float32)})
+    rc = main(["info", "-m", str(alien)])
+    assert rc == 0
+    assert "family: unknown" in capsys.readouterr().out
+
+    rc = main(["info", "-m", "nope.gguf"])
+    assert rc != 0
+    assert "not found" in capsys.readouterr().err
+
+
 def test_cli_quantize_explicit_output_honored(tmp_path, capsys):
     """-o given to quantize is used verbatim (a default-sentinel collision
     used to silently redirect 'output.png' to a derived name)."""

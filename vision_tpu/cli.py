@@ -31,6 +31,7 @@ USAGE_COMMANDS = {
     "yolov9t": "YOLOv9t object detection",
     "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
     "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, iq4_nl/xs, f16, f32)",
+    "info": "inspect a .gguf: metadata, detected family, tensor/type breakdown",
     "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 
@@ -154,14 +155,18 @@ def main(argv=None) -> int:
              "after writing, like llama-quantize's per-tensor stats",
     )
     parser.add_argument(
+        "--tensors", action="store_true",
+        help="info: also print the full per-tensor table",
+    )
+    parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
         help="bench: arguments forwarded to vision_tpu.benchmark "
              "(e.g. --bench-args sam-encode-1024 --k 8)",
     )
     args = parser.parse_args(argv)
-    if args.input is None and args.command not in ("serve", "quantize", "bench"):
+    if args.input is None and args.command not in ("serve", "quantize", "bench", "info"):
         parser.error("-i/--input is required")
-    if args.output is None and args.command not in ("serve", "quantize", "bench"):
+    if args.output is None and args.command not in ("serve", "quantize", "bench", "info"):
         args.output = "output.png"
 
     if args.command == "bench":
@@ -199,6 +204,59 @@ def main(argv=None) -> int:
                 print(f"  worst rel-rms {max(lossy):.4f} over {len(lossy)} quantized tensors")
         print(f"-> {out} ({Path(out).stat().st_size / 1e6:.1f} MB, "
               f"from {Path(src).stat().st_size / 1e6:.1f} MB)")
+        return 0
+
+    if args.command == "info":
+        # metadata-only inspection — no device, no tensor reads (the mmap'd
+        # data section is never touched). Analog of gguf-py's gguf_dump for
+        # the files our converter/quantizer write.
+        from .api import model_detect_family
+        from .core.gguf import model_load
+
+        if not args.model:
+            parser.error("info requires -m <model.gguf>")
+        try:
+            path = find_model(args.model)
+            file = model_load(path)
+        except VispError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        try:
+            family = model_detect_family(file).value
+        except VispError:
+            family = "unknown"
+        ftype = file.float_type
+        print(f"{path} ({Path(path).stat().st_size / 1e6:.1f} MB, GGUF v{file.version})")
+        print(f"  architecture: {file.arch or '(none)'}  family: {family}")
+        print(f"  file type: {getattr(ftype, 'name', ftype)}  alignment: {file.alignment}")
+        print(f"  {len(file.metadata)} metadata keys:")
+        for key, val in file.metadata.items():
+            text = f"[{len(val)} x {type(val[0]).__name__}]" if (
+                isinstance(val, list) and len(val) > 8
+            ) else repr(val)
+            print(f"    {key} = {text}")
+        by_type: dict = {}
+        total_elems = total_bytes = 0
+        for info in file.tensors.values():
+            tname = getattr(info.ggml_type, "name", str(info.ggml_type))
+            try:
+                nbytes = info.n_bytes
+            except VispError:
+                nbytes = 0  # unknown type: still listed, size unavailable
+            cnt, els, byt = by_type.get(tname, (0, 0, 0))
+            by_type[tname] = (cnt + 1, els + info.n_elements, byt + nbytes)
+            total_elems += info.n_elements
+            total_bytes += nbytes
+        print(f"  {len(file.tensors)} tensors, {total_elems / 1e6:.1f} M parameters, "
+              f"{total_bytes / 1e6:.1f} MB tensor data:")
+        for tname, (cnt, els, byt) in sorted(by_type.items(), key=lambda kv: -kv[1][2]):
+            print(f"    {tname:<7} {cnt:>4} tensors  {els / 1e6:>8.1f} M  {byt / 1e6:>8.1f} MB")
+        if args.tensors:
+            width = max(len(n) for n in file.tensors) if file.tensors else 0
+            for info in file.tensors.values():
+                tname = getattr(info.ggml_type, "name", str(info.ggml_type))
+                shape = "x".join(str(d) for d in info.shape)
+                print(f"    {info.name:<{width}}  {tname:<7} {shape}")
         return 0
 
     from .image import image_load, image_save
