@@ -63,6 +63,30 @@ def _loop_method(encode_k, params, x, K, repeats=3):
     return max((t_k - t_1) / (K - 1), 1e-6)
 
 
+def _loop_method_median(encode_k, params, x, K, estimates=5, repeats=2):
+    """Median of several independent loop-differenced estimates.
+
+    A single (t_K - t_1) difference is fragile when the axon tunnel is in a
+    degraded phase: one multi-second readback stall landing inside either
+    sample skews the whole metric (a 03:04 round-4e driver-log run read
+    encode at 180 img/s against a 273-296 healthy range this way). The
+    median of independent estimates rejects such outliers the same way the
+    p50 mask metric already does; on a healthy tunnel all estimates agree
+    to ~1% and the cost is a few extra seconds.
+    """
+    samples = sorted(
+        _loop_method(encode_k, params, x, K, repeats=repeats) for _ in range(estimates)
+    )
+    spread = samples[-1] / max(samples[0], 1e-9)
+    if spread > 1.3:
+        print(
+            f"# bench: high estimate spread ({spread:.2f}x across {estimates} "
+            "loop-differenced samples) — tunnel jitter suspected; median reported",
+            file=sys.stderr, flush=True,
+        )
+    return samples[len(samples) // 2]
+
+
 def bench_sam_encode(batch=6, K=11):
     # batch=6 is the measured optimum (289.8 img/s vs 273.1 at b4, round-4d
     # knee probe): XLA's space-to-batch converter rewrites the high-res stem
@@ -101,7 +125,7 @@ def bench_sam_encode(batch=6, K=11):
     )
     float(encode_k(params, x, K))  # compile + warm
     float(encode_k(params, x, 1))
-    per_iter = _loop_method(encode_k, params, x, K)
+    per_iter = _loop_method_median(encode_k, params, x, K)
     imgs_per_sec = batch / per_iter
     return {
         "metric": "mobilesam_encode_1024_img_per_sec",
