@@ -175,6 +175,15 @@ def test_cli_fails_fast_and_validates_prompt(tmp_path, capsys):
     assert rc != 0
     assert "Expected 2 (point) or 4 (box)" in capsys.readouterr().err
 
+    # exact input arity (reference require_inputs, cli.cpp:104-108): extra
+    # inputs error rather than being silently ignored; migan needs exactly 2
+    rc = main(["esrgan", "-m", str(esr), "-i", str(img), str(img), "-b", "cpu"])
+    assert rc != 0
+    assert "Expected -i to be followed by 1" in capsys.readouterr().err
+    rc = main(["migan", "-m", str(esr), "-i", str(img), "-b", "cpu"])
+    assert rc != 0
+    assert "Expected -i to be followed by 2" in capsys.readouterr().err
+
 
 def test_cli_info(tmp_path, capsys):
     """info prints metadata, family, and a per-type tensor breakdown without

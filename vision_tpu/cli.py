@@ -286,6 +286,20 @@ def main(argv=None) -> int:
             if args.esrgan_model:  # back-compat alias for --extra-model
                 extra_paths.append(find_model(args.esrgan_model))
             extra_paths += [find_model(m) for m in args.extra_model]
+        # exact input arity per command (reference require_inputs,
+        # cli.cpp:104-108): extra -i files are an error, not silently ignored
+        required_inputs = {
+            "sam": (1, "<image>"), "birefnet": (1, "<image>"),
+            "depthany": (1, "<image>"), "esrgan": (1, "<image>"),
+            "yolov9t": (1, "<image>"), "migan": (2, "<image> <mask>"),
+        }
+        if args.command in required_inputs:
+            n_req, names = required_inputs[args.command]
+            if len(args.input) != n_req:
+                raise VispError(
+                    f"Expected -i to be followed by {n_req} input(s): {names} "
+                    f"- but found {len(args.input)}"
+                )
         for inp in args.input or []:
             if not Path(inp).exists():
                 raise VispError(f"Input file not found: {inp}")
@@ -400,8 +414,6 @@ def main(argv=None) -> int:
         elif args.command == "migan":
             from .models.migan import migan_load_model
 
-            if len(args.input) != 2:
-                raise VispError("migan expects -i <image> <mask>")
             with _Timer("Loading model weights"):
                 model = migan_load_model(model_path, dev)
             image = image_load(args.input[0])
