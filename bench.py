@@ -231,7 +231,7 @@ def bench_esrgan(batch=1, K=3, res=1024):
     return out
 
 
-def _wait_for_tpu(attempts=4, probe_timeout=240, backoff=300):
+def _wait_for_tpu(attempts=4, probe_timeout=360, backoff=300):
     """Bounded retry around device enumeration (VERDICT r3 missing #1).
 
     During an axon tunnel outage (NOTES.md), jax.devices() in a fresh
@@ -246,18 +246,25 @@ def _wait_for_tpu(attempts=4, probe_timeout=240, backoff=300):
 
     for i in range(attempts):
         try:
-            # Require an actual TPU device: during some outage modes the
-            # plugin soft-fails and jax silently falls back to CPU, which
-            # would "pass" a bare jax.devices() probe and let the bench run
-            # on this box's one CPU core, emitting wrong numbers as TPU.
+            # Require an actual TPU device AND a completed compute+readback:
+            # (a) during some outage modes the plugin soft-fails and jax
+            # silently falls back to CPU, which would "pass" a bare
+            # jax.devices() probe and let the bench run on this box's one
+            # CPU core, emitting wrong numbers as TPU; (b) round-4e observed
+            # a degraded phase where enumeration succeeds (260 s) but any
+            # dispatch+readback hangs indefinitely — an enumeration-only
+            # probe would green-light a bench that then stalls forever.
             rc = subprocess.run(
                 [
                     sys.executable,
                     "-c",
-                    "import jax, sys; "
+                    "import jax, sys; import jax.numpy as jnp; "
                     "tpu = lambda d: d.platform.lower() == 'tpu' or "
                     "'tpu' in str(getattr(d, 'device_kind', '')).lower(); "
-                    "sys.exit(0 if any(tpu(d) for d in jax.devices()) else 3)",
+                    "ok = any(tpu(d) for d in jax.devices()); "
+                    "x = jnp.ones((512, 512), jnp.bfloat16); "
+                    "ok = ok and float(jnp.sum(x @ x)) > 0; "
+                    "sys.exit(0 if ok else 3)",
                 ],
                 timeout=probe_timeout,
                 capture_output=True,
