@@ -185,6 +185,20 @@ def test_cli_fails_fast_and_validates_prompt(tmp_path, capsys):
     assert "Expected -i to be followed by 2" in capsys.readouterr().err
 
 
+def test_cli_profile_writes_trace(tmp_path):
+    """--profile DIR captures a jax.profiler trace of the inference phase
+    (SURVEY §5 tracing; viewable in TensorBoard/Perfetto)."""
+    from test_esrgan import RRDBNet, _write_gguf
+
+    esr = _write_gguf(tmp_path / "esr.gguf", randomize(RRDBNet(nf=8, nb=1, gc=4, scale=4)), 4, 1)
+    img = _save_img(tmp_path, "in.png", (16, 16, 3))
+    prof = tmp_path / "prof"
+    rc = main(["esrgan", "-m", str(esr), "-i", img, "-o", str(tmp_path / "o.png"),
+               "-b", "cpu", "--profile", str(prof)])
+    assert rc == 0
+    assert list(prof.rglob("*.trace.json.gz")), "no trace file written"
+
+
 def test_cli_info(tmp_path, capsys):
     """info prints metadata, family, and a per-type tensor breakdown without
     touching a device; --tensors adds the full table; unknown arch reports

@@ -86,6 +86,18 @@ def _composite(image, mask, output_path):
     print(f"-> image composited and saved to {output_path}")
 
 
+def _profile(args):
+    """jax.profiler trace context for the inference phase (--profile DIR);
+    a no-op context when the flag is absent."""
+    import contextlib
+
+    if not args.profile:
+        return contextlib.nullcontext()
+    from .utils.profiling import trace
+
+    return trace(args.profile)
+
+
 def _device(args):
     btype = None
     if args.backend == "cpu":
@@ -116,6 +128,11 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--dump", default=None, metavar="DIR",
         help="dump per-layer feature maps as .npy (yolo; reference --dump-keys)",
+    )
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the inference phase into DIR "
+             "(view in TensorBoard / Perfetto; SURVEY §5 tracing)",
     )
     parser.add_argument("--port", type=int, default=8000, help="serve: listen port")
     parser.add_argument("--host", default="127.0.0.1", help="serve: bind address")
@@ -373,14 +390,15 @@ def main(argv=None) -> int:
             with _Timer("Loading model weights"):
                 model = sam_load_model(model_path, dev)
             image = image_load(args.input[0])
-            with _Timer("Encoding image"):
-                model.encode(image)
-            prompt = args.prompt or [image.width // 2, image.height // 2]
-            with _Timer("Predicting mask"):
-                if len(prompt) >= 4:
-                    mask = model.compute(box=((prompt[0], prompt[1]), (prompt[2], prompt[3])))
-                else:
-                    mask = model.compute(point=(prompt[0], prompt[1]))
+            with _profile(args):
+                with _Timer("Encoding image"):
+                    model.encode(image)
+                prompt = args.prompt or [image.width // 2, image.height // 2]
+                with _Timer("Predicting mask"):
+                    if len(prompt) >= 4:
+                        mask = model.compute(box=((prompt[0], prompt[1]), (prompt[2], prompt[3])))
+                    else:
+                        mask = model.compute(point=(prompt[0], prompt[1]))
             image_save(mask, args.output)
             print(f"-> mask saved to {args.output}")
             if args.composite:
@@ -392,7 +410,7 @@ def main(argv=None) -> int:
             with _Timer("Loading model weights"):
                 model = birefnet_load_model(model_path, dev)
             image = image_load(args.input[0])
-            with _Timer("Running inference"):
+            with _profile(args), _Timer("Running inference"):
                 mask = model.compute(image)
             image_save(mask, args.output)
             print(f"-> mask saved to {args.output}")
@@ -406,7 +424,7 @@ def main(argv=None) -> int:
             with _Timer("Loading model weights"):
                 model = depthany_load_model(model_path, dev)
             image = image_load(args.input[0])
-            with _Timer("Running inference"):
+            with _profile(args), _Timer("Running inference"):
                 depth = model.compute(image)
             image_save(image_f32_to_u8(depth, ImageFormat.alpha_u8), args.output)
             print(f"-> depth map saved to {args.output}")
@@ -418,7 +436,7 @@ def main(argv=None) -> int:
                 model = migan_load_model(model_path, dev)
             image = image_load(args.input[0])
             mask = image_load(args.input[1])
-            with _Timer("Running inference"):
+            with _profile(args), _Timer("Running inference"):
                 out = model.compute(image, mask)
             image_save(out, args.output)
             print(f"-> inpainted image saved to {args.output}")
@@ -432,7 +450,7 @@ def main(argv=None) -> int:
             # no --tile: let compute pick the backend-aware default (1024
             # whole-image path on TPU, reference 224 tiles on CPU)
             tile = args.tile if args.tile > 0 else None
-            with _Timer("Running inference"):
+            with _profile(args), _Timer("Running inference"):
                 out = model.compute(image, tile_size=tile)
             image_save(out, args.output)
             print(f"-> upscaled image saved to {args.output}")
@@ -459,7 +477,7 @@ def main(argv=None) -> int:
                     )
                 written = dump_captures(caps, args.dump)
                 print(f"-> dumped {len(written)} feature maps to {args.dump}")
-            with _Timer("Running inference"):
+            with _profile(args), _Timer("Running inference"):
                 dets = model.compute(image, args.conf, args.iou)
             print(f"Found {len(dets)} objects:")
             for d in dets:
