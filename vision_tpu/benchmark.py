@@ -308,8 +308,21 @@ def main(argv=None):
     p.add_argument("models", nargs="*", choices=list(BENCHMARKS.keys()) + [[]], default=[])
     p.add_argument("--k", type=int, default=8, help="iterations inside the timing loop")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument(
+        "--json", action="store_true",
+        help="one JSON line per row (machine-readable; bench.py's format)",
+    )
     args = p.parse_args(argv)
     rows = run_benchmark(args.models or None, k=args.k, repeats=args.repeats)
+    if args.json:
+        import json
+
+        for name, mean, stdev, n in rows:
+            print(json.dumps({
+                "metric": name, "value": round(mean, 3), "unit": "ms/iter",
+                "stdev": round(stdev, 3), "k": n,
+            }))
+        return
     print("device ms/iter, loop-differenced (RPC floor excluded; see NOTES.md)")
     print(f"| {'benchmark':<20} | {'mean':>10} | {'stdev':>8} | {'K':>3} |")
     print(f"|{'-' * 22}|{'-' * 12}|{'-' * 10}|{'-' * 5}|")
