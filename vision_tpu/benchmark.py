@@ -293,13 +293,23 @@ def run_benchmark(names=None, k=8, repeats=3):
     dtype = dev.preferred_float_type
     names = names or list(BENCHMARKS.keys())
     rows = []
+    import sys
+
     for name in names:
+        t0 = time.perf_counter()
         step, params, x = BENCHMARKS[name](dev, dtype)
         mean, stdev, n = _loop_time(step, params, x, k=k, repeats=repeats)
         if mean < 1.0 and k < 256:
             # sub-ms workloads drown in timing noise at small K
             mean, stdev, n = _loop_time(step, params, x, k=256, repeats=repeats)
         rows.append((name, mean, stdev, n))
+        # progress on stderr: a full table is many minutes of remote compiles
+        # and the table itself prints only at the end
+        print(
+            f"# {name}: {mean:.1f} ms/iter (k={n}) "
+            f"[{time.perf_counter() - t0:.0f}s incl. compile]",
+            file=sys.stderr, flush=True,
+        )
     return rows
 
 
