@@ -149,7 +149,7 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--dp", type=int, default=0, metavar="N",
         help="serve: shard each request batch over N chips (data parallel "
-        "over ICI; supported for sam/esrgan models, 0 = single chip)",
+        "over ICI; every served family meshes, 0 = single chip)",
     )
     parser.add_argument(
         "--warmup", action="store_true",
