@@ -21,9 +21,15 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual 
 
 def test_make_mesh_shapes():
     mesh = make_mesh(8, tp=2)
-    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    assert dict(mesh.shape) == {"dp": 4, "pp": 1, "sp": 1, "tp": 2}
     mesh1 = make_mesh(8, tp=1)
-    assert dict(mesh1.shape) == {"dp": 8, "tp": 1}
+    assert dict(mesh1.shape) == {"dp": 8, "pp": 1, "sp": 1, "tp": 1}
+    mesh2 = make_mesh(8, tp=2, sp=4)
+    assert dict(mesh2.shape) == {"dp": 1, "pp": 1, "sp": 4, "tp": 2}
+    mesh3 = make_mesh(8, pp=2, sp=2, tp=2)
+    assert dict(mesh3.shape) == {"dp": 1, "pp": 2, "sp": 2, "tp": 2}
+    with pytest.raises(Exception):
+        make_mesh(8, tp=2, sp=3)  # 8 % (3*2) != 0
 
 
 def test_shard_params_rules():
@@ -263,6 +269,120 @@ def test_sam3_vision_tp_sharded_matches_single_device():
     assert sstack["attention.q_proj.weight"].sharding.spec == P(None, "tp", None)
     assert sstack["mlp.fc2.weight"].sharding.spec == P(None, None, "tp")
     got = [np.asarray(f) for f in fn(sp, sstack, x)]
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, atol=2e-5)
+
+
+@pytest.mark.heavy
+def test_sam3_vision_sp_sharded_matches_single_device():
+    """SAM3 vision encoder SEQUENCE-PARALLEL over an sp x tp mesh: the
+    window-major trunk shards the window axis over sp (window scans run
+    with zero communication; the global layers keep queries sharded and
+    XLA all-gathers K/V), composed with Megatron tp on the weights —
+    parity against the single-device scan path. This is the single-image
+    LATENCY lever: dp adds images, tp widens layers, sp splits one
+    image's tokens."""
+    from vision_tpu.models.random_weights import random_sam3_vision_params
+    from vision_tpu.models.sam3 import (
+        Sam3VitParams,
+        encode_vision,
+        sam3_pack_vision_weights,
+        sam3_shard_vision,
+    )
+
+    vp = Sam3VitParams(
+        image_size=32, patch_size=4, window_size=4, n_layers=4, n_heads=4,
+        global_attn_indexes=(1, 3),
+    )
+    params = dict(random_sam3_vision_params(dim=64, layers=4))
+    prng = np.random.default_rng(17)
+    params["backbone.embeddings.patch_embeddings.projection.weight"] = (
+        prng.standard_normal((64, 3, 4, 4)).astype(np.float32) * 0.05
+    )
+    stack = sam3_pack_vision_weights(params, vp, prefix="backbone.")
+    x = jnp.asarray(np.random.default_rng(3).random((1, 32, 32, 3)), jnp.float32)
+
+    fn = jax.jit(
+        lambda p, s, xx: encode_vision(Params(p), xx, vp, win_stack=s).fpn_hidden_states
+    )
+    expected = [np.asarray(f) for f in fn(params, stack, x)]
+
+    # 8x8 patch grid -> 2x2 = 4 windows: sp=4 puts one window per sp shard
+    mesh = make_mesh(8, tp=2, sp=4)
+    sharded, sstack = sam3_shard_vision(params, stack, mesh)
+    fn_sp = jax.jit(
+        lambda p, s, xx: encode_vision(
+            Params(p), xx, vp, win_stack=s, mesh=mesh
+        ).fpn_hidden_states
+    )
+    got = [np.asarray(f) for f in fn_sp(sharded, sstack, x)]
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, atol=2e-5)
+
+    # sp without the scan trunk is an error, not a silent fallback
+    with pytest.raises(ValueError, match="sequence parallelism"):
+        encode_vision(Params(params), x, vp, win_stack=None, mesh=mesh)
+
+
+def test_pipeline_apply_toy_stages():
+    """parallel.pipeline GPipe parity on a toy stacked-linear trunk: the
+    pipelined result must equal sequential stage application, including
+    with pp < n_stages handled by the caller grouping stages, and with
+    idle dp/tp axes present in the mesh."""
+    from vision_tpu.parallel import pipeline_apply
+
+    mesh = make_mesh(8, pp=4, tp=2)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((4, 16, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    xs = jnp.asarray(rng.standard_normal((3, 5, 16)).astype(np.float32))
+
+    out = pipeline_apply(lambda ws, x: jnp.tanh(x @ ws["w"] + ws["b"]), {"w": w, "b": b}, xs, mesh)
+    ref = xs
+    for i in range(4):
+        ref = jnp.tanh(ref @ w[i] + b[i])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.heavy
+def test_sam3_vision_pp_pipelined_matches_single_device():
+    """SAM3 vision encoder PIPELINE-PARALLEL: the trunk's uniform
+    (window-scan + global) stages shard over the mesh pp axis and a batch
+    of images flows through as GPipe microbatches — parity against the
+    per-image single-device scan path. pp is the axis that scales trunks
+    larger than one chip's HBM (dp replicates weights; tp/sp split math)."""
+    from vision_tpu.models.random_weights import random_sam3_vision_params
+    from vision_tpu.models.sam3 import (
+        Sam3VitParams,
+        encode_vision,
+        encode_vision_pipelined,
+        sam3_pack_vision_weights,
+    )
+
+    vp = Sam3VitParams(
+        image_size=32, patch_size=4, window_size=4, n_layers=4, n_heads=4,
+        global_attn_indexes=(1, 3),
+    )
+    params = dict(random_sam3_vision_params(dim=64, layers=4))
+    prng = np.random.default_rng(17)
+    params["backbone.embeddings.patch_embeddings.projection.weight"] = (
+        prng.standard_normal((64, 3, 4, 4)).astype(np.float32) * 0.05
+    )
+    stack = sam3_pack_vision_weights(params, vp, prefix="backbone.")
+    imgs = jnp.asarray(np.random.default_rng(3).random((3, 32, 32, 3)), jnp.float32)
+
+    fn = jax.jit(
+        lambda p, s, xx: encode_vision(Params(p), xx, vp, win_stack=s).fpn_hidden_states
+    )
+    expected = [np.asarray(f) for f in fn(params, stack, imgs)]
+
+    mesh = make_mesh(8, pp=2, tp=2)  # 2 stages of (1 window layer + 1 global)
+    fn_pp = jax.jit(
+        lambda p, s, xx: encode_vision_pipelined(
+            Params(p), xx, vp, win_stack=s, mesh=mesh
+        ).fpn_hidden_states
+    )
+    got = [np.asarray(f) for f in fn_pp(params, stack, imgs)]
     for e, g in zip(expected, got):
         np.testing.assert_allclose(g, e, atol=2e-5)
 

@@ -58,10 +58,12 @@ __all__ = [
     "Sam3VitParams",
     "vision_transformer",
     "vision_transformer_scan",
+    "vision_transformer_pp",
     "sam3_pack_vision_weights",
     "sam3_shard_vision",
     "sam3_window_runs",
     "encode_vision",
+    "encode_vision_pipelined",
     "sam3_process_input",
     "sine_position_embedding",
 ]
@@ -497,10 +499,33 @@ def sam3_shard_vision(params: dict, win_stack: dict, mesh):
     return params, out
 
 
-def vision_transformer_scan(p: Params, win_stack: dict, image, vp: Sam3VitParams, flash: bool = False):
+def vision_transformer_scan(
+    p: Params, win_stack: dict, image, vp: Sam3VitParams, flash: bool = False, mesh=None
+):
     """Fused trunk (see block comment above). Exact same math as
     vision_transformer; requires the patch grid to divide into whole
-    windows (true at the canonical 1008px / 14 / 24 geometry)."""
+    windows (true at the canonical 1008px / 14 / 24 geometry).
+
+    ``mesh`` with an ``sp`` axis > 1 enables SEQUENCE PARALLELISM — the
+    single-image latency lever dp (more images) and tp (wider layers)
+    cannot provide: the window axis (B*nw) is sharded over ``sp``, so the
+    window scans run with ZERO communication (windows are independent),
+    and the 4 global layers run q-sharded attention (each chip keeps its
+    token shard as queries; XLA all-gathers K/V over ICI — the only
+    collective in the trunk). Constraint: sp must divide B*nw, so at the
+    canonical 1008 px geometry (3x3 = 9 windows) batch-1 wants sp in
+    {3, 9}. Composes with tp (weights Megatron-sharded, activations
+    sp-sharded). The trunk output is gathered before the neck — at ViT-H
+    scale a single ~13 MB all-gather against ~50 ms of trunk compute.
+    """
+    sp_shard = tok_shard = gather = None
+    if mesh is not None and dict(mesh.shape).get("sp", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sp_shard = NamedSharding(mesh, P("sp", None, None))
+        tok_shard = NamedSharding(mesh, P(None, "sp", None))
+        gather = NamedSharding(mesh, P())
+
     x = vision_embed(p["embeddings"], image, vp.patch_size)
     x = layer_norm(p["layer_norm"], x)
     b, hp, wp, c = x.shape
@@ -512,6 +537,9 @@ def vision_transformer_scan(p: Params, win_stack: dict, image, vp: Sam3VitParams
     # one transpose in: (B, hp, wp, C) -> window-major (B*nw, win*win, C)
     x = x.reshape(b, nwh, win, nww, win, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b * nw, win * win, c)
+    if sp_shard is not None:
+        assert (b * nw) % dict(mesh.shape)["sp"] == 0, (b, nw, dict(mesh.shape))
+        x = jax.lax.with_sharding_constraint(x, sp_shard)
 
     # rope tables: window layers use in-window positions (standard tables);
     # global layers use full-grid positions permuted to window-major order
@@ -534,14 +562,134 @@ def vision_transformer_scan(p: Params, win_stack: dict, image, vp: Sam3VitParams
             x, _ = jax.lax.scan(win_body, x, run)
         else:
             t = x.reshape(b, nw * win * win, c)
+            if tok_shard is not None:
+                # q-sharded global attention: tokens stay sp-sharded; XLA
+                # gathers K/V (attention is permutation-invariant, and the
+                # window-major shard boundaries align with window groups)
+                t = jax.lax.with_sharding_constraint(t, tok_shard)
+            # flash routes to the pallas kernel, which has no SPMD
+            # partitioning rule — under sp it would force XLA to gather and
+            # replicate the whole sequence on every chip. The XLA einsum
+            # attention partitions cleanly (q stays sharded), so it is the
+            # right kernel for the sp path.
             t = _vision_layer_tokens(
-                p["layers"][a], t, vp.n_heads, 0, 0.0, flash=flash, tables=glb_tables
+                p["layers"][a], t, vp.n_heads, 0, 0.0,
+                flash=flash and tok_shard is None, tables=glb_tables,
             )
             x = t.reshape(b * nw, win * win, c)
+            if sp_shard is not None:
+                x = jax.lax.with_sharding_constraint(x, sp_shard)
 
     # one transpose out: window-major -> (B, hp, wp, C)
     x = x.reshape(b, nwh, nww, win, win, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+    if gather is not None:
+        # gather the trunk output once so the (tiny) FPN neck runs
+        # replicated — one all-gather instead of halo-exchange plumbing
+        x = jax.lax.with_sharding_constraint(x, gather)
+    return x
+
+
+def vision_transformer_pp(
+    p: Params, win_stack: dict, images, vp: Sam3VitParams, mesh, flash: bool = False
+):
+    """PIPELINE-PARALLEL trunk: GPipe over the scan trunk's uniform stages.
+
+    The trunk decomposes into n_stages identical stages of (``per`` window
+    layers + 1 global layer) — 4 x (7 + 1) at ViT-H scale
+    (sam3_window_runs). With a mesh ``pp`` axis, each chip holds
+    n_stages/pp stages' weights (parallel.pipeline.pipeline_apply) and the
+    image batch flows through as microbatches, one ~13 MB activation
+    ppermute per stage step. This is the axis that scales trunks LARGER
+    than one chip's HBM; prefer dp when the weights fit (no pipeline
+    bubble — b images fill b + pp - 1 steps here). Exact same math as
+    vision_transformer_scan; embed and the (tiny) neck run replicated.
+    Reference graph: src/visp/arch/sam3.h:291-613 (single device).
+    """
+    pp_size = dict(mesh.shape)["pp"]
+    runs = sam3_window_runs(vp)
+    assert runs and runs[0][0] == "win" and len(runs) % 2 == 0, runs
+    wins = [r for r in runs if r[0] == "win"]
+    glbs = [r[1] for r in runs if r[0] == "glb"]
+    per = wins[0][2]
+    if not (
+        len(wins) == len(glbs)
+        and all(r[2] == per for r in wins)
+        and [k for k, _, _ in runs] == ["win", "glb"] * len(glbs)
+    ):
+        raise ValueError(f"trunk is not uniform (win^k glb)* stages: {runs}")
+    n_stages = len(glbs)
+    if n_stages % pp_size:
+        raise ValueError(f"{n_stages} stages not divisible by mesh pp={pp_size}")
+    s_per = n_stages // pp_size
+
+    from ..parallel.pipeline import pipeline_apply
+
+    x = vision_embed(p["embeddings"], images, vp.patch_size)
+    x = layer_norm(p["layer_norm"], x)
+    b, hp, wp, c = x.shape
+    win = vp.window_size
+    assert hp % win == 0 and wp % win == 0, (hp, wp, win)
+    nwh, nww = hp // win, wp // win
+    nw = nwh * nww
+    tok = win * win
+
+    x = x.reshape(b, nwh, win, nww, win, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, nw, tok, c)
+
+    scale_global = float(win) / float(vp.image_size // vp.patch_size)
+    ii, jj, rr, ss = np.meshgrid(
+        np.arange(nwh), np.arange(nww), np.arange(win), np.arange(win), indexing="ij"
+    )
+    px = ((jj * win + ss).reshape(-1)).astype(np.float64) * scale_global
+    py = ((ii * win + rr).reshape(-1)).astype(np.float64) * scale_global
+    glb_tables = _rope_tables_pos(px, py, c // vp.n_heads)
+
+    # stage-stacked weights: win (pp, s_per, per, ...), glb (pp, s_per, ...)
+    win_w = {
+        k: v.reshape((pp_size, s_per, per) + v.shape[1:]) for k, v in win_stack.items()
+    }
+    glb_w = {}
+    for leaf in _SAM3_LAYER_LEAVES:
+        arr = jnp.stack([p["layers"][gi].weight(leaf) for gi in glbs])
+        glb_w[leaf] = arr.reshape((pp_size, s_per) + arr.shape[1:])
+
+    def win_body(carry, wslice):
+        return _vision_layer_tokens(Params(wslice), carry, vp.n_heads, win, 1.0), None
+
+    def one_stage(xx, ws):
+        xx, _ = jax.lax.scan(win_body, xx, ws["win"])
+        t = xx.reshape(1, nw * tok, c)
+        t = _vision_layer_tokens(
+            Params(ws["glb"]), t, vp.n_heads, 0, 0.0, flash=flash, tables=glb_tables
+        )
+        return t.reshape(nw, tok, c), None
+
+    def stage_fn(w, xx):
+        xx, _ = jax.lax.scan(one_stage, xx, w)
+        return xx
+
+    x = pipeline_apply(stage_fn, {"win": win_w, "glb": glb_w}, x, mesh)
+
+    x = x.reshape(b, nwh, nww, win, win, c)
     return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+
+
+def encode_vision_pipelined(
+    p: Params,
+    images,
+    vp: Sam3VitParams = Sam3VitParams(),
+    flash: bool = False,
+    win_stack: dict | None = None,
+    mesh=None,
+) -> VisionOutput:
+    """Batched encode_vision with the trunk pipeline-parallel over the
+    mesh's ``pp`` axis (see vision_transformer_pp). ``images``: (B, H, W, 3);
+    B is the microbatch count — B >= pp keeps the bubble small."""
+    if win_stack is None or mesh is None:
+        raise ValueError("encode_vision_pipelined needs win_stack and a mesh with a pp axis")
+    x = vision_transformer_pp(p["backbone"], win_stack, images, vp, mesh, flash=flash)
+    return vision_neck(p["neck"], x)
 
 
 # ---------------------------------------------------------------------------
@@ -607,15 +755,23 @@ def encode_vision(
     vp: Sam3VitParams = Sam3VitParams(),
     flash: bool = False,
     win_stack: dict | None = None,
+    mesh=None,
 ) -> VisionOutput:
     """(reference encode_vision, sam3.h:604-613). With ``win_stack`` (from
     sam3_pack_vision_weights) and a window-divisible patch grid, the trunk
-    runs the fused window-major scan path."""
+    runs the fused window-major scan path. ``mesh`` with an ``sp`` axis > 1
+    runs the trunk sequence-parallel (see vision_transformer_scan);
+    requires the scan path."""
     hp = image.shape[1] // vp.patch_size
     wp = image.shape[2] // vp.patch_size
     if win_stack is not None and hp % vp.window_size == 0 and wp % vp.window_size == 0:
-        x = vision_transformer_scan(p["backbone"], win_stack, image, vp, flash=flash)
+        x = vision_transformer_scan(p["backbone"], win_stack, image, vp, flash=flash, mesh=mesh)
     else:
+        if mesh is not None and dict(mesh.shape).get("sp", 1) > 1:
+            raise ValueError(
+                "sequence parallelism (mesh sp axis) requires the scan trunk: "
+                "pass win_stack and a window-divisible patch grid"
+            )
         x = vision_transformer(p["backbone"], image, vp, flash=flash)
     return vision_neck(p["neck"], x)
 
@@ -628,8 +784,11 @@ def sam3_process_input(img: Image, image_size: int = 1008) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _sam3_programs(vp: Sam3VitParams, flash: bool, n_text: int):
-    """Jitted text/vision executables shared across model instances."""
+def _sam3_programs(vp: Sam3VitParams, flash: bool, n_text: int, mesh=None):
+    """Jitted text/vision executables shared across model instances.
+    ``mesh`` is only passed (and only keys the cache) when it carries an
+    sp axis > 1 — the sequence-parallel trunk needs it for its sharding
+    constraints; dp/tp placement needs no program-side cooperation."""
 
     @jax.jit
     def text_fn(weights, ids, mask):
@@ -637,7 +796,9 @@ def _sam3_programs(vp: Sam3VitParams, flash: bool, n_text: int):
 
     @jax.jit
     def vision_fn(weights, win_stack, image):
-        out = encode_vision(Params(weights)["det.ve"], image, vp, flash=flash, win_stack=win_stack)
+        out = encode_vision(
+            Params(weights)["det.ve"], image, vp, flash=flash, win_stack=win_stack, mesh=mesh
+        )
         return tuple(out.fpn_hidden_states)
 
     return text_fn, vision_fn
@@ -673,7 +834,10 @@ class Sam3Model:
         while any(k.startswith(f"det.te.text_model.encoder.layers.{n_text}.") for k in params):
             n_text += 1
 
-        self._text_fn, self._vision_fn = _sam3_programs(vp, flash, n_text)
+        act_mesh = (
+            mesh if mesh is not None and dict(mesh.shape).get("sp", 1) > 1 else None
+        )
+        self._text_fn, self._vision_fn = _sam3_programs(vp, flash, n_text, act_mesh)
         self._vp = vp
         self._win_stack = None
 
@@ -722,8 +886,11 @@ class Sam3Model:
 
 
 def sam3_load_model(filepath: str, device=None, mesh=None) -> Sam3Model:
-    """``mesh``: a (dp, tp) jax.sharding.Mesh — weights are tp-sharded at
-    first vision use (sam3_shard_vision). Quantized files always expand
+    """``mesh``: a (dp[, sp], tp) jax.sharding.Mesh — weights are tp-sharded
+    at first vision use (sam3_shard_vision); an ``sp`` axis > 1 additionally
+    runs the trunk sequence-parallel (single-image latency scaling; sp must
+    divide the window count — 9 at the canonical 1008 px geometry, so
+    sp in {3, 9}). Quantized files always expand
     here (no keep_quantized path): the
     scan trunk consumes the stacked window weights as lax.scan xs, and a
     whole-stack in-graph dequant measured 117 vs 70 ms on v5e

@@ -1,3 +1,4 @@
+from .pipeline import pipeline_apply, stage_sharding
 from .sharding import (
     DEFAULT_TP_RULES,
     SAM3_TP_RULES,
@@ -14,8 +15,10 @@ __all__ = [
     "SAM3_TP_RULES",
     "batch_sharding",
     "make_mesh",
+    "pipeline_apply",
     "replicate",
     "shard_params",
     "sharded_forward",
+    "stage_sharding",
     "training_step",
 ]

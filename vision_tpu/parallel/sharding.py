@@ -8,7 +8,9 @@ insert the collectives (psum for dp gradient/activation reductions,
 all-gather for tp outputs) over ICI.
 
 Design:
-  * ``make_mesh(n, tp)`` — (dp, tp) mesh over the available devices.
+  * ``make_mesh(n, tp, sp)`` — (dp, sp, tp) mesh over the available
+    devices (sp = sequence/spatial parallelism of a single image's
+    tokens; dp/tp as usual; all default to trivial axes).
   * ``shard_params`` — apply name-pattern rules mapping dotted GGUF names
     to PartitionSpecs; everything else is replicated. The default rules
     shard the big attention/MLP projection matrices over ``tp``.
@@ -68,22 +70,42 @@ SAM3_TP_RULES: tuple[tuple[str, P], ...] = DEFAULT_TP_RULES + (
 )
 
 
-def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
-    """Create a (dp, tp) mesh. dp = n_devices // tp."""
+def make_mesh(
+    n_devices: int | None = None, tp: int = 1, sp: int = 1, pp: int = 1, devices=None
+) -> Mesh:
+    """Create a (dp, pp, sp, tp) mesh. dp = n_devices // (pp * sp * tp).
+
+    ``sp`` is the sequence/spatial-parallel axis: models that support it
+    (SAM3's window-major trunk) shard the token/window axis of a SINGLE
+    image over it — the latency lever dp (more images) and tp (wider
+    layers) cannot provide. ``pp`` is the pipeline axis (parallel.pipeline):
+    trunk stages shard over it, the axis that scales models LARGER than a
+    chip's HBM. Axis order puts tp innermost so tensor-parallel collectives
+    ride nearest-neighbour ICI links, then sp, then pp (stage handoffs are
+    small and infrequent), dp outermost. All extra axes default to size 1,
+    so existing (dp, tp) call sites are unchanged (PartitionSpecs name
+    axes; an extra size-1 axis is invisible to them).
+    """
     from ..core.errors import raise_error
 
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    if n_devices < 1 or tp < 1:
-        raise_error("make_mesh: need n_devices >= 1 and tp >= 1, got {} / {}", n_devices, tp)
+    if n_devices < 1 or tp < 1 or sp < 1 or pp < 1:
+        raise_error(
+            "make_mesh: need n_devices >= 1 and tp/sp/pp >= 1, got {} / {} / {} / {}",
+            n_devices, tp, sp, pp,
+        )
     if n_devices > len(devices):
         raise_error("make_mesh: need {} devices, have {}", n_devices, len(devices))
-    if n_devices % tp:
-        raise_error("make_mesh: n_devices {} not divisible by tp {}", n_devices, tp)
-    devices = np.asarray(devices[:n_devices]).reshape(n_devices // tp, tp)
-    return Mesh(devices, ("dp", "tp"))
+    if n_devices % (pp * sp * tp):
+        raise_error(
+            "make_mesh: n_devices {} not divisible by pp {} * sp {} * tp {}",
+            n_devices, pp, sp, tp,
+        )
+    devices = np.asarray(devices[:n_devices]).reshape(n_devices // (pp * sp * tp), pp, sp, tp)
+    return Mesh(devices, ("dp", "pp", "sp", "tp"))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
