@@ -324,6 +324,32 @@ def test_sam3_vision_sp_sharded_matches_single_device():
         encode_vision(Params(params), x, vp, win_stack=None, mesh=mesh)
 
 
+def test_init_distributed_single_process():
+    """parallel.init_distributed boots the jax.distributed runtime (here a
+    1-process 'cluster' with a local coordinator) and meshes still build
+    over the global device list; a second call is a no-op. Runs in a
+    subprocess — distributed init mutates process-global jax state."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "jax.config.update('jax_num_cpu_devices', 8)\n"
+        "from vision_tpu.parallel import init_distributed, make_mesh\n"
+        "init_distributed('localhost:17631', num_processes=1, process_id=0)\n"
+        "init_distributed('localhost:17631', num_processes=1, process_id=0)  # idempotent\n"
+        "assert jax.process_count() == 1, jax.process_count()\n"
+        "mesh = make_mesh(8, tp=2)\n"
+        "assert dict(mesh.shape) == {'dp': 4, 'pp': 1, 'sp': 1, 'tp': 2}\n"
+        "print('DIST-OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=180
+    )
+    assert out.returncode == 0, out.stderr
+    assert "DIST-OK" in out.stdout
+
+
 def test_pipeline_apply_toy_stages():
     """parallel.pipeline GPipe parity on a toy stacked-linear trunk: the
     pipelined result must equal sequential stage application, including

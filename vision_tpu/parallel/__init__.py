@@ -3,6 +3,7 @@ from .sharding import (
     DEFAULT_TP_RULES,
     SAM3_TP_RULES,
     batch_sharding,
+    init_distributed,
     make_mesh,
     replicate,
     shard_params,
@@ -14,6 +15,7 @@ __all__ = [
     "DEFAULT_TP_RULES",
     "SAM3_TP_RULES",
     "batch_sharding",
+    "init_distributed",
     "make_mesh",
     "pipeline_apply",
     "replicate",

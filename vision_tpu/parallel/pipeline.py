@@ -61,8 +61,21 @@ def pipeline_apply(
     works too — shard_map slices it). Returns the (M, ...) outputs,
     replicated, equal to applying the stages sequentially per microbatch.
     """
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no '{axis}' axis: {dict(mesh.shape)}")
     n_stages = mesh.shape[axis]
+    bad = [
+        tuple(jnp.shape(leaf))
+        for leaf in jax.tree_util.tree_leaves(stage_weights)
+        if jnp.ndim(leaf) < 1 or jnp.shape(leaf)[0] != n_stages
+    ]
+    if bad:
+        raise ValueError(
+            f"stage_weights leaves need a leading n_stages={n_stages} axis; got {bad[:3]}"
+        )
     m = xs.shape[0]
+    if m < 1:
+        raise ValueError("xs needs at least one microbatch")
 
     def body(w_local, xs_local):
         # shard_map hands each chip its (1, ...) stage slice

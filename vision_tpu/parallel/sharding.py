@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "DEFAULT_TP_RULES",
     "SAM3_TP_RULES",
+    "init_distributed",
     "make_mesh",
     "replicate",
     "batch_sharding",
@@ -41,6 +42,42 @@ __all__ = [
     "sharded_forward",
     "training_step",
 ]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """Multi-HOST initialization: call once per host process before any
+    other JAX use, then build meshes as usual — ``jax.devices()`` returns
+    the GLOBAL device list afterwards, so ``make_mesh`` spans the pod.
+
+    On a TPU pod slice all arguments auto-detect from the environment
+    (``jax.distributed.initialize()``); pass them explicitly elsewhere.
+    Lay out the mesh so the fast collectives stay inside a host/slice:
+    tp/sp innermost (ICI), dp outermost (DCN-tolerant — one gradient/
+    batch collective per step). Single-host single-process use never
+    needs this; it exists so the serving/mesh story scales to multi-host
+    pods without touching model code. Idempotent: a second call is a
+    no-op (jax raises if re-initialized with different settings).
+    """
+    import jax
+
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
 
 # Default tensor-parallel rules: dotted-name regex -> PartitionSpec.
 # Linear weights are torch-canonical (out, in): column-parallel shards dim 0,
