@@ -319,6 +319,15 @@ def test_sam3_vision_sp_sharded_matches_single_device():
     for e, g in zip(expected, got):
         np.testing.assert_allclose(g, e, atol=2e-5)
 
+    # batch > 1 under sp: the window axis is b*nw — shard groups may mix
+    # batch elements in the scans (harmless: windows are independent) and
+    # the globals' (b, T, c) reshape forces a reshard; parity must hold
+    xb = jnp.asarray(np.random.default_rng(5).random((2, 32, 32, 3)), jnp.float32)
+    exp_b = [np.asarray(f) for f in fn(params, stack, xb)]
+    got_b = [np.asarray(f) for f in fn_sp(sharded, sstack, xb)]
+    for e, g in zip(exp_b, got_b):
+        np.testing.assert_allclose(g, e, atol=2e-5)
+
     # sp without the scan trunk is an error, not a silent fallback
     with pytest.raises(ValueError, match="sequence parallelism"):
         encode_vision(Params(params), x, vp, win_stack=None, mesh=mesh)
