@@ -338,15 +338,21 @@ def test_init_distributed_single_process():
     1-process 'cluster' with a local coordinator) and meshes still build
     over the global device list; a second call is a no-op. Runs in a
     subprocess — distributed init mutates process-global jax state."""
+    import socket
     import subprocess
     import sys
 
+    # an OS-assigned free port, so concurrent suite runs can't collide on
+    # the coordinator bind (the heavy-lock only serializes @heavy tests)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');\n"
         "jax.config.update('jax_num_cpu_devices', 8)\n"
         "from vision_tpu.parallel import init_distributed, make_mesh\n"
-        "init_distributed('localhost:17631', num_processes=1, process_id=0)\n"
-        "init_distributed('localhost:17631', num_processes=1, process_id=0)  # idempotent\n"
+        f"init_distributed('localhost:{port}', num_processes=1, process_id=0)\n"
+        f"init_distributed('localhost:{port}', num_processes=1, process_id=0)  # idempotent\n"
         "assert jax.process_count() == 1, jax.process_count()\n"
         "mesh = make_mesh(8, tp=2)\n"
         "assert dict(mesh.shape) == {'dp': 4, 'pp': 1, 'sp': 1, 'tp': 2}\n"
@@ -392,6 +398,7 @@ def test_sam3_vision_pp_pipelined_matches_single_device():
         encode_vision,
         encode_vision_pipelined,
         sam3_pack_vision_weights,
+        sam3_pipeline_weights,
     )
 
     vp = Sam3VitParams(
@@ -412,6 +419,21 @@ def test_sam3_vision_pp_pipelined_matches_single_device():
     expected = [np.asarray(f) for f in fn(params, stack, imgs)]
 
     mesh = make_mesh(8, pp=2, tp=2)  # 2 stages of (1 window layer + 1 global)
+
+    # production path: eagerly placed stage weights — each chip holds only
+    # its n_stages/pp slice (the HBM-scaling contract)
+    stage_w = sam3_pipeline_weights(Params(params)["backbone"], stack, vp, mesh)
+    assert stage_w["win"]["attention.q_proj.weight"].sharding.spec == P("pp")
+    fn_sw = jax.jit(
+        lambda p, sw, xx: encode_vision_pipelined(
+            Params(p), xx, vp, stage_weights=sw, mesh=mesh
+        ).fpn_hidden_states
+    )
+    got = [np.asarray(f) for f in fn_sw(params, stage_w, imgs)]
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, atol=2e-5)
+
+    # convenience path: stacks built inside the program from win_stack
     fn_pp = jax.jit(
         lambda p, s, xx: encode_vision_pipelined(
             Params(p), xx, vp, win_stack=s, mesh=mesh

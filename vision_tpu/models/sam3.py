@@ -60,6 +60,7 @@ __all__ = [
     "vision_transformer_scan",
     "vision_transformer_pp",
     "sam3_pack_vision_weights",
+    "sam3_pipeline_weights",
     "sam3_shard_vision",
     "sam3_window_runs",
     "encode_vision",
@@ -538,7 +539,14 @@ def vision_transformer_scan(
     x = x.reshape(b, nwh, win, nww, win, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b * nw, win * win, c)
     if sp_shard is not None:
-        assert (b * nw) % dict(mesh.shape)["sp"] == 0, (b, nw, dict(mesh.shape))
+        sp_size = dict(mesh.shape)["sp"]
+        if (b * nw) % sp_size:
+            raise ValueError(
+                f"sequence parallelism needs sp ({sp_size}) to divide batch*windows "
+                f"({b}*{nw}); at the canonical 1008 px geometry (9 windows, batch 1) "
+                "use sp in {3, 9} — on a power-of-2 slice build a sub-mesh, e.g. "
+                "make_mesh(6, tp=2, sp=3) on 8 chips (the rest stay idle or serve dp)"
+            )
         x = jax.lax.with_sharding_constraint(x, sp_shard)
 
     # rope tables: window layers use in-window positions (standard tables);
@@ -590,8 +598,66 @@ def vision_transformer_scan(
     return x
 
 
+def _sam3_stage_layout(vp: Sam3VitParams, pp_size: int):
+    """Validate the trunk decomposes into pp-shardable uniform stages;
+    returns (n_stages, stages_per_chip, window_layers_per_stage,
+    global_layer_indexes)."""
+    runs = sam3_window_runs(vp)
+    wins = [r for r in runs if r[0] == "win"]
+    glbs = [r[1] for r in runs if r[0] == "glb"]
+    if not (
+        wins
+        and len(wins) == len(glbs)
+        and all(r[2] == wins[0][2] for r in wins)
+        and [k for k, _, _ in runs] == ["win", "glb"] * len(glbs)
+    ):
+        raise ValueError(f"trunk is not uniform (win^k glb)* stages: {runs}")
+    n_stages = len(glbs)
+    if n_stages % pp_size:
+        raise ValueError(f"{n_stages} stages not divisible by mesh pp={pp_size}")
+    return n_stages, n_stages // pp_size, wins[0][2], glbs
+
+
+def sam3_pipeline_weights(
+    p: Params, win_stack: dict, vp: Sam3VitParams, mesh
+) -> dict:
+    """EAGERLY build + place the stage-stacked trunk weights for the
+    pipeline path: win (pp, s_per, per, ...), glb (pp, s_per, ...), each
+    leaf device_put with its leading stage axis sharded over ``pp``
+    (parallel.pipeline.stage_sharding) — so every chip materializes ONLY
+    its own n_stages/pp stages' weights. This placement is what makes pp
+    actually scale trunks larger than one chip's HBM; building the stacks
+    inside the jitted program instead leaves the replicated copy's
+    footprint to the compiler's discretion. ``p``: the backbone Params
+    view (dotted ``layers.{i}`` weights for the globals)."""
+    from ..parallel.pipeline import stage_sharding
+
+    pp_size = dict(mesh.shape)["pp"]
+    _, s_per, per, glbs = _sam3_stage_layout(vp, pp_size)
+    sh = stage_sharding(mesh)
+    out_win = {
+        k: jax.device_put(
+            jnp.reshape(v, (pp_size, s_per, per) + tuple(v.shape[1:])), sh
+        )
+        for k, v in win_stack.items()
+    }
+    out_glb = {}
+    for leaf in _SAM3_LAYER_LEAVES:
+        arr = jnp.stack([p["layers"][gi].weight(leaf) for gi in glbs])
+        out_glb[leaf] = jax.device_put(
+            jnp.reshape(arr, (pp_size, s_per) + tuple(arr.shape[1:])), sh
+        )
+    return {"win": out_win, "glb": out_glb}
+
+
 def vision_transformer_pp(
-    p: Params, win_stack: dict, images, vp: Sam3VitParams, mesh, flash: bool = False
+    p: Params,
+    win_stack: dict | None,
+    images,
+    vp: Sam3VitParams,
+    mesh,
+    flash: bool = False,
+    stage_weights: dict | None = None,
 ):
     """PIPELINE-PARALLEL trunk: GPipe over the scan trunk's uniform stages.
 
@@ -604,24 +670,15 @@ def vision_transformer_pp(
     than one chip's HBM; prefer dp when the weights fit (no pipeline
     bubble — b images fill b + pp - 1 steps here). Exact same math as
     vision_transformer_scan; embed and the (tiny) neck run replicated.
-    Reference graph: src/visp/arch/sam3.h:291-613 (single device).
+
+    Pass ``stage_weights`` from :func:`sam3_pipeline_weights` so each chip
+    holds only its stages (the HBM-scaling contract); with only
+    ``win_stack``, the stacks are built inside the program — convenient,
+    but the pre-slice footprint is left to the compiler. Reference graph:
+    src/visp/arch/sam3.h:291-613 (single device).
     """
     pp_size = dict(mesh.shape)["pp"]
-    runs = sam3_window_runs(vp)
-    assert runs and runs[0][0] == "win" and len(runs) % 2 == 0, runs
-    wins = [r for r in runs if r[0] == "win"]
-    glbs = [r[1] for r in runs if r[0] == "glb"]
-    per = wins[0][2]
-    if not (
-        len(wins) == len(glbs)
-        and all(r[2] == per for r in wins)
-        and [k for k, _, _ in runs] == ["win", "glb"] * len(glbs)
-    ):
-        raise ValueError(f"trunk is not uniform (win^k glb)* stages: {runs}")
-    n_stages = len(glbs)
-    if n_stages % pp_size:
-        raise ValueError(f"{n_stages} stages not divisible by mesh pp={pp_size}")
-    s_per = n_stages // pp_size
+    n_stages, s_per, per, glbs = _sam3_stage_layout(vp, pp_size)
 
     from ..parallel.pipeline import pipeline_apply
 
@@ -646,13 +703,21 @@ def vision_transformer_pp(
     glb_tables = _rope_tables_pos(px, py, c // vp.n_heads)
 
     # stage-stacked weights: win (pp, s_per, per, ...), glb (pp, s_per, ...)
-    win_w = {
-        k: v.reshape((pp_size, s_per, per) + v.shape[1:]) for k, v in win_stack.items()
-    }
-    glb_w = {}
-    for leaf in _SAM3_LAYER_LEAVES:
-        arr = jnp.stack([p["layers"][gi].weight(leaf) for gi in glbs])
-        glb_w[leaf] = arr.reshape((pp_size, s_per) + arr.shape[1:])
+    if stage_weights is not None:
+        lead = {tuple(jnp.shape(v))[:1] for t in stage_weights.values() for v in t.values()}
+        if lead != {(pp_size,)}:
+            raise ValueError(f"stage_weights leading dims {lead} != mesh pp {pp_size}")
+        win_w, glb_w = stage_weights["win"], stage_weights["glb"]
+    else:
+        if win_stack is None:
+            raise ValueError("vision_transformer_pp needs stage_weights or win_stack")
+        win_w = {
+            k: v.reshape((pp_size, s_per, per) + v.shape[1:]) for k, v in win_stack.items()
+        }
+        glb_w = {}
+        for leaf in _SAM3_LAYER_LEAVES:
+            arr = jnp.stack([p["layers"][gi].weight(leaf) for gi in glbs])
+            glb_w[leaf] = arr.reshape((pp_size, s_per) + arr.shape[1:])
 
     def win_body(carry, wslice):
         return _vision_layer_tokens(Params(wslice), carry, vp.n_heads, win, 1.0), None
@@ -682,13 +747,21 @@ def encode_vision_pipelined(
     flash: bool = False,
     win_stack: dict | None = None,
     mesh=None,
+    stage_weights: dict | None = None,
 ) -> VisionOutput:
     """Batched encode_vision with the trunk pipeline-parallel over the
     mesh's ``pp`` axis (see vision_transformer_pp). ``images``: (B, H, W, 3);
-    B is the microbatch count — B >= pp keeps the bubble small."""
-    if win_stack is None or mesh is None:
-        raise ValueError("encode_vision_pipelined needs win_stack and a mesh with a pp axis")
-    x = vision_transformer_pp(p["backbone"], win_stack, images, vp, mesh, flash=flash)
+    B is the microbatch count — B >= pp keeps the bubble small. For the
+    HBM-scaling contract (each chip holds only its stages' weights), pass
+    ``stage_weights`` built once with :func:`sam3_pipeline_weights`."""
+    if mesh is None or (win_stack is None and stage_weights is None):
+        raise ValueError(
+            "encode_vision_pipelined needs a mesh with a pp axis and "
+            "stage_weights (sam3_pipeline_weights) or win_stack"
+        )
+    x = vision_transformer_pp(
+        p["backbone"], win_stack, images, vp, mesh, flash=flash, stage_weights=stage_weights
+    )
     return vision_neck(p["neck"], x)
 
 

@@ -8,9 +8,10 @@ insert the collectives (psum for dp gradient/activation reductions,
 all-gather for tp outputs) over ICI.
 
 Design:
-  * ``make_mesh(n, tp, sp)`` — (dp, sp, tp) mesh over the available
-    devices (sp = sequence/spatial parallelism of a single image's
-    tokens; dp/tp as usual; all default to trivial axes).
+  * ``make_mesh(n, tp, sp, pp)`` — (dp, pp, sp, tp) mesh over the
+    available devices (sp = sequence/spatial parallelism of a single
+    image's tokens; pp = pipeline stages, see parallel.pipeline; dp/tp
+    as usual; all extra axes default to size 1).
   * ``shard_params`` — apply name-pattern rules mapping dotted GGUF names
     to PartitionSpecs; everything else is replicated. The default rules
     shard the big attention/MLP projection matrices over ``tp``.
@@ -60,8 +61,10 @@ def init_distributed(
     tp/sp innermost (ICI), dp outermost (DCN-tolerant — one gradient/
     batch collective per step). Single-host single-process use never
     needs this; it exists so the serving/mesh story scales to multi-host
-    pods without touching model code. Idempotent: a second call is a
-    no-op (jax raises if re-initialized with different settings).
+    pods without touching model code. Idempotent: once the distributed
+    client exists, any further call returns without touching it —
+    INCLUDING calls with different settings (re-configuring a live
+    process is not supported; restart the process to change clusters).
     """
     import jax
 
