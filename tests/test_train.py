@@ -1,0 +1,194 @@
+"""Training / fine-tuning subsystem (vision_tpu/train.py).
+
+The reference is inference-only; these tests pin the north-star extra:
+optax step correctness (loss descends, frozen/non-float leaves untouched),
+gradient-accumulation exactness, orbax checkpoint/resume bit-exactness
+(incl. sharded restore on the virtual mesh), and single-vs-mesh parity.
+"""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vision_tpu.train import (
+    create_train_state,
+    latest_checkpoint,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def _problem(seed=0):
+    rng = np.random.default_rng(seed)
+    params = {
+        "head.w.weight": (rng.normal(size=(4, 8)) * 0.1).astype(np.float32),
+        "head.w.bias": np.zeros(4, np.float32),
+        "buf.count": np.array([1, 2, 3], np.int32),  # non-float buffer
+    }
+    w_true = rng.normal(size=(4, 8)).astype(np.float32)
+    x = rng.normal(size=(16, 8)).astype(np.float32)
+    y = x @ w_true.T
+    return params, (x, y)
+
+
+def _loss_fn(p, batch):
+    x, y = batch
+    pred = x @ p["head.w.weight"].T + p["head.w.bias"]
+    return jnp.mean((pred - y) ** 2)
+
+
+def test_train_step_descends_and_preserves_buffers():
+    params, batch = _problem()
+    opt = optax.adam(5e-2)
+    state = create_train_state(params, opt)
+    step = make_train_step(_loss_fn, opt)
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    # realizable linear target: adam should collapse the loss
+    assert losses[-1] < losses[0] * 0.05
+    assert int(state.step) == 40
+    np.testing.assert_array_equal(np.asarray(state.params["buf.count"]), [1, 2, 3])
+
+
+def test_grad_accum_matches_full_batch():
+    params, (x, y) = _problem()
+    opt = optax.adam(5e-2)
+    full = make_train_step(_loss_fn, opt)
+    accum = make_train_step(_loss_fn, opt, accum=4)
+    s_full, _ = full(create_train_state(params, opt), (x, y))
+    s_acc, m = accum(
+        create_train_state(params, opt), (x.reshape(4, 4, 8), y.reshape(4, 4, 4))
+    )
+    # equal-sized microbatches: mean-of-micro-grads == full-batch grad
+    for k in ("head.w.weight", "head.w.bias"):
+        np.testing.assert_allclose(
+            np.asarray(s_acc.params[k]), np.asarray(s_full.params[k]), rtol=2e-6, atol=2e-7
+        )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_trainable_predicate_freezes_rest():
+    params, batch = _problem()
+    opt = optax.adam(5e-2)
+    step = make_train_step(_loss_fn, opt, trainable=r"\bbias$")
+    state = create_train_state(params, opt, trainable=r"\bbias$")
+    state, _ = step(state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["head.w.weight"]), params["head.w.weight"]
+    )
+    assert not np.array_equal(np.asarray(state.params["head.w.bias"]), params["head.w.bias"])
+
+
+def test_create_train_state_rejects_all_frozen():
+    params, _ = _problem()
+    with pytest.raises(Exception, match="no trainable"):
+        create_train_state(params, optax.sgd(1e-2), trainable=r"\bnot_a_param$")
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    params, batch = _problem()
+    opt = optax.adam(5e-2)
+    step = make_train_step(_loss_fn, opt)
+    state = create_train_state(params, opt)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    path = save_checkpoint(tmp_path / "step_3", state)
+    assert latest_checkpoint(tmp_path) == path
+
+    resumed = restore_checkpoint(path, state)
+    a, b = state, resumed
+    for _ in range(2):
+        a, _ = step(a, batch)
+        b, _ = step(b, batch)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_latest_checkpoint_ordering(tmp_path):
+    assert latest_checkpoint(tmp_path / "missing") is None
+    for n in (1, 10, 2):
+        os.makedirs(tmp_path / f"step_{n}")
+    os.makedirs(tmp_path / "not_a_step")
+    assert latest_checkpoint(tmp_path) == str(tmp_path / "step_10")
+
+
+def test_finetune_depthany_head_smoke():
+    """End-to-end: fine-tune a real family's head (depth-anything 'test'
+    variant) against a synthetic depth target — the production fine-tune
+    recipe (frozen backbone, trainable head) composes with a real model
+    graph, and the loss descends."""
+    from vision_tpu.core.params import Params
+    from vision_tpu.models.depth_anything import DepthAnythingParams, depthany_predict
+    from vision_tpu.models.dino import DinoParams
+    from vision_tpu.models.random_weights import random_depth_anything_params
+
+    dp = DepthAnythingParams(
+        dino=DinoParams(embed_dim=64, n_heads=2, n_layers=4),
+        image_size=56,
+        feature_layers=(0, 1, 2, 3),
+    )
+    params = random_depth_anything_params("test")
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    target = rng.uniform(0.2, 0.8, size=(2, 56, 56, 1)).astype(np.float32)
+
+    def loss_fn(p, batch):
+        x, y = batch
+        return jnp.mean((depthany_predict(Params(p), x, dp) - y) ** 2)
+
+    opt = optax.adam(1e-3)
+    state = create_train_state(params, opt, trainable=r"^head\.")
+    step = make_train_step(loss_fn, opt, trainable=r"^head\.")
+    losses = []
+    for _ in range(4):
+        state, m = step(state, (img, target))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # backbone frozen bit-exact
+    bk = next(k for k in params if k.startswith("backbone."))
+    np.testing.assert_array_equal(np.asarray(state.params[bk]), params[bk])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_train_parity_and_sharded_restore(tmp_path):
+    from vision_tpu.parallel import make_mesh
+
+    params, batch = _problem()
+    opt = optax.adam(5e-2)
+    ref = create_train_state(params, opt)
+    ref_step = make_train_step(_loss_fn, opt)
+
+    mesh = make_mesh(8, tp=2)
+    ms = create_train_state(params, opt, mesh=mesh)
+    # the toy weights aren't tp-divisible by the rules (no qkv names), but
+    # the batch dp-shards and the grad psum must still reproduce the
+    # single-device step exactly
+    mstep = make_train_step(_loss_fn, opt, mesh=mesh)
+    for _ in range(2):
+        ref, rm = ref_step(ref, batch)
+        ms, mm = mstep(ms, batch)
+    np.testing.assert_allclose(float(mm["loss"]), float(rm["loss"]), rtol=1e-5)
+    for k in ("head.w.weight", "head.w.bias"):
+        np.testing.assert_allclose(
+            np.asarray(ms.params[k]), np.asarray(ref.params[k]), rtol=2e-6, atol=2e-7
+        )
+
+    path = save_checkpoint(tmp_path / "step_2", ms)
+    fresh = create_train_state(params, opt, mesh=mesh)
+    restored = restore_checkpoint(path, fresh)
+    assert restored.params["head.w.weight"].sharding == ms.params["head.w.weight"].sharding
+    for la, lb in zip(jax.tree_util.tree_leaves(ms), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # a restored state must be steppable: every leaf (incl. adam's count
+    # slot) lives on the mesh, not the default device (regression: the
+    # optimizer.init scalars used to stay on device 0)
+    stepped, _ = mstep(restored, batch)
+    assert int(stepped.step) == 3

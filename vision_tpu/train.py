@@ -1,0 +1,262 @@
+"""Training / fine-tuning on device meshes, with checkpoint/resume.
+
+The reference is inference-only (SURVEY.md §2 has no training rows); this
+module is a north-star extra that makes the framework production-complete:
+an optax train step jitted over the same (dp, pp, sp, tp) meshes the
+inference paths use, gradient accumulation for HBM-bound batches, and
+orbax checkpoint/resume so long runs survive preemption (the real form of
+SURVEY §5's checkpoint/resume row — the inference side's analog is the
+persistent compile cache).
+
+TPU-first design notes:
+  * ONE jitted step per configuration: ``value_and_grad`` + optax update
+    with the TrainState donated — params and optimizer slots update
+    in-place in HBM, no extra copy.  The batch is dp-sharded; XLA inserts
+    the dp gradient psum and any tp collectives from the param shardings
+    alone (same mechanism as inference, no manual collectives).
+  * Gradient accumulation is a ``lax.scan`` over a static microbatch axis
+    — compiles once, runs as one program, grads accumulate in f32.
+  * Fine-tuning: a ``trainable`` name-predicate partitions the flat
+    param dict; frozen leaves (and any non-float buffer) are closed over
+    untouched, so ``jax.grad`` never sees them.
+  * Mixed precision is the loss_fn's business (cast to bf16 inside,
+    ``jax.checkpoint`` remat likewise); params stay the dtype the caller
+    placed (f32 master weights recommended, updates are applied in f32
+    and cast back by optax).
+
+Checkpoint layout: one orbax StandardCheckpointer directory per save —
+restores are sharding-aware (arrays land back on the template's mesh
+placement) and bit-exact (tested in tests/test_train.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Mapping, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .parallel.sharding import DEFAULT_TP_RULES, batch_sharding, shard_params
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint",
+]
+
+
+class TrainState(NamedTuple):
+    """The full mutable state of a training run (a pytree).
+
+    ``params`` is the flat dotted-name dict every model in this framework
+    uses (core/params.py); ``opt_state`` covers the TRAINABLE subset only.
+    """
+
+    step: jax.Array
+    params: dict
+    opt_state: Any
+
+
+def _is_float(v) -> bool:
+    return jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+
+
+def _trainable_pred(trainable) -> Callable[[str, Any], bool]:
+    """Normalize the ``trainable`` argument to a (name, value) predicate.
+
+    None -> every float leaf; a string -> regex on the dotted name; a
+    callable -> used as-is (value passed for dtype checks). Non-float
+    leaves are never trainable regardless.
+    """
+    if trainable is None:
+        return lambda name, v: _is_float(v)
+    if isinstance(trainable, str):
+        pat = re.compile(trainable)
+        return lambda name, v: _is_float(v) and bool(pat.search(name))
+    return lambda name, v: _is_float(v) and bool(trainable(name, v))
+
+
+def _split(params: Mapping[str, Any], pred) -> tuple[dict, dict]:
+    train = {k: v for k, v in params.items() if pred(k, v)}
+    frozen = {k: v for k, v in params.items() if k not in train}
+    return train, frozen
+
+
+def create_train_state(
+    params: Mapping[str, Any],
+    optimizer,
+    mesh=None,
+    rules: Sequence = DEFAULT_TP_RULES,
+    trainable=None,
+) -> TrainState:
+    """Place params (tp-sharded on a mesh via the same rules inference
+    uses, replicated otherwise) and init the optimizer over the trainable
+    subset. Optimizer slots inherit each param's placement (zeros_like of
+    a sharded array is sharded the same way)."""
+    if mesh is not None:
+        params = shard_params(params, mesh, rules)
+    else:
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+    train, _ = _split(params, _trainable_pred(trainable))
+    if not train:
+        from .core.errors import raise_error
+
+        raise_error("create_train_state: no trainable parameters selected")
+    opt_state = optimizer.init(train)
+    step = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        step = jax.device_put(step, rep)
+
+        # optimizer.init slots built as zeros_like(param) inherit the
+        # param's mesh placement, but fresh scalars (adam's count, ...)
+        # land on the default device — mixing the two breaks any later
+        # jit over the state (and checkpoint-restore templates). Move
+        # every leaf NOT already on this mesh to replicated; leaves on
+        # the mesh keep their (possibly tp-sharded) placement.
+        def place(x):
+            s = getattr(x, "sharding", None)
+            if isinstance(s, NamedSharding) and s.mesh == mesh:
+                return x
+            return jax.device_put(x, rep)
+
+        opt_state = jax.tree_util.tree_map(place, opt_state)
+    return TrainState(step=step, params=dict(params), opt_state=opt_state)
+
+
+def make_train_step(
+    loss_fn: Callable,
+    optimizer,
+    mesh=None,
+    accum: int = 1,
+    trainable=None,
+) -> Callable:
+    """Build ``step(state, batch) -> (state, metrics)`` as one jitted,
+    state-donating program.
+
+    ``loss_fn(params, batch) -> scalar`` sees the FULL param dict (frozen
+    leaves included); gradients flow only into the trainable subset.
+    With ``accum > 1`` every batch leaf carries a leading microbatch axis
+    of that size — the step scans over it, accumulating grads in f32, and
+    applies one update of the mean gradient (exactly equal to the
+    full-batch gradient for equal-sized microbatches; tested).
+    Metrics: ``{"loss": mean loss over the batch}``.
+    """
+    if accum < 1:
+        from .core.errors import raise_error
+
+        raise_error("make_train_step: accum must be >= 1, got {}", accum)
+    pred = _trainable_pred(trainable)
+
+    def grads_of(params, batch):
+        train, frozen = _split(params, pred)
+
+        def loss_of_trainable(t, b):
+            return loss_fn({**t, **frozen}, b)
+
+        return jax.value_and_grad(loss_of_trainable)(train, batch)
+
+    def step(state: TrainState, batch):
+        if accum == 1:
+            loss, grads = grads_of(state.params, batch)
+        else:
+            train0, _ = _split(state.params, pred)
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(jnp.shape(p), jnp.float32), train0
+            )
+
+            def body(carry, micro):
+                loss_sum, gsum = carry
+                loss, g = grads_of(state.params, micro)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), gsum, g
+                )
+                return (loss_sum + loss, gsum), None
+
+            (loss_sum, gsum), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32), g0), batch)
+            loss = loss_sum / accum
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        train, frozen = _split(state.params, pred)
+        grads = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype), grads, train)
+        updates, new_opt = optimizer.update(grads, state.opt_state, train)
+        import optax
+
+        new_train = optax.apply_updates(train, updates)
+        new_params = {**frozen, **new_train}
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt)
+        return new_state, {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # accum batches: (accum, micro, ...) — dp shards the SECOND axis
+    bspec = P(None, "dp") if accum > 1 else P("dp")
+    bs = NamedSharding(mesh, bspec)
+    return jax.jit(step, in_shardings=(None, bs), donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (orbax)
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(directory: str | os.PathLike, state: TrainState, *, force: bool = True) -> str:
+    """Write ``state`` to ``directory`` (one orbax checkpoint per dir).
+
+    Blocks until the write is durable (orbax saves are async by default —
+    a preempted process must not lose its last save). ``force`` replaces
+    an existing checkpoint at the same path.
+    """
+    path = os.path.abspath(os.fspath(directory))
+    ckptr = _ckptr()
+    ckptr.save(path, state, force=force)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(directory: str | os.PathLike, like: TrainState) -> TrainState:
+    """Restore a TrainState from ``directory``.
+
+    ``like`` supplies the tree structure, dtypes, AND shardings — pass the
+    freshly-built state (create_train_state on the same mesh) and the
+    restored arrays land directly on the same placement, bit-exact.
+    """
+    path = os.path.abspath(os.fspath(directory))
+
+    def abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        a = np.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    template = jax.tree_util.tree_map(abstract, like)
+    restored = _ckptr().restore(path, template)
+    return TrainState(*restored)
+
+
+def latest_checkpoint(root: str | os.PathLike) -> str | None:
+    """Scan ``root`` for ``step_*`` subdirectories (the conventional layout
+    ``save_checkpoint(root/f"step_{n}")``) and return the newest, or None."""
+    root = os.path.abspath(os.fspath(root))
+    if not os.path.isdir(root):
+        return None
+    best, best_n = None, -1
+    for name in os.listdir(root):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = os.path.join(root, name), int(m.group(1))
+    return best
