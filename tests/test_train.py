@@ -19,6 +19,7 @@ from vision_tpu.train import (
     create_train_state,
     latest_checkpoint,
     make_train_step,
+    prefetch_to_device,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -118,6 +119,32 @@ def test_latest_checkpoint_ordering(tmp_path):
         os.makedirs(tmp_path / f"step_{n}")
     os.makedirs(tmp_path / "not_a_step")
     assert latest_checkpoint(tmp_path) == str(tmp_path / "step_10")
+
+
+def test_prefetch_to_device_order_and_placement():
+    batches = [(np.full((8, 2), i, np.float32), np.full((8, 1), -i, np.float32)) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=3))
+    assert len(out) == 5
+    for i, (x, y) in enumerate(out):
+        assert isinstance(x, jax.Array)
+        np.testing.assert_array_equal(np.asarray(x), batches[i][0])
+        np.testing.assert_array_equal(np.asarray(y), batches[i][1])
+    assert list(prefetch_to_device(iter([]), size=2)) == []
+    with pytest.raises(Exception, match="size"):
+        next(prefetch_to_device(iter(batches), size=0))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_prefetch_to_device_mesh_sharding():
+    from jax.sharding import PartitionSpec as P
+
+    from vision_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, tp=2)
+    batches = [(np.zeros((8, 2), np.float32),) for _ in range(3)]
+    out = list(prefetch_to_device(iter(batches), size=2, mesh=mesh))
+    assert len(out) == 3
+    assert out[0][0].sharding.spec == P("dp")
 
 
 def test_finetune_depthany_head_smoke():

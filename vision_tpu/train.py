@@ -45,6 +45,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "prefetch_to_device",
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",
@@ -202,6 +203,44 @@ def make_train_step(
     bspec = P(None, "dp") if accum > 1 else P("dp")
     bs = NamedSharding(mesh, bspec)
     return jax.jit(step, in_shardings=(None, bs), donate_argnums=(0,))
+
+
+def prefetch_to_device(batches, size: int = 2, mesh=None):
+    """Wrap a host batch iterator with device prefetch.
+
+    Keeps ``size`` batches in flight: ``jax.device_put`` is async, so the
+    H2D transfer of batch N+1 overlaps the device compute of batch N —
+    the standard TPU input-pipeline shape (the training analog of the
+    serving layer's prep-worker pool). With a mesh, every leaf lands
+    dp-sharded on its leading axis (the layout ``make_train_step``
+    expects); pre-shard accum microbatch leaves yourself if you need the
+    ``(K, micro, ...)`` layout.
+    """
+    import collections
+
+    if size < 1:
+        from .core.errors import raise_error
+
+        raise_error("prefetch_to_device: size must be >= 1, got {}", size)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(b):
+        if sharding is None:
+            return jax.tree_util.tree_map(jnp.asarray, b)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), b)
+
+    it = iter(batches)
+    queue = collections.deque()
+    done = False
+    while True:
+        while not done and len(queue) < size:
+            try:
+                queue.append(put(next(it)))
+            except StopIteration:
+                done = True
+        if not queue:
+            return
+        yield queue.popleft()
 
 
 # ---------------------------------------------------------------------------
