@@ -121,6 +121,53 @@ def test_latest_checkpoint_ordering(tmp_path):
     assert latest_checkpoint(tmp_path) == str(tmp_path / "step_10")
 
 
+def test_export_gguf_roundtrip_from_cwhn_source(tmp_path):
+    """load (cwhn file) -> fine-tune-shaped params -> export -> reload:
+    arrays equal, arch KVs preserved, layout markers dropped (the export
+    stores torch-canonical, so an echoed cwhn marker would double-permute
+    on reload)."""
+    from vision_tpu.core.gguf import GGUFFile, GGUFWriter
+    from vision_tpu.core.weights import load_weights
+    from vision_tpu.train import export_gguf
+
+    rng = np.random.default_rng(0)
+    conv = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)  # torch (O,I,H,W)
+    bias = rng.normal(size=(8,)).astype(np.float32)
+    src = tmp_path / "src.gguf"
+    w = GGUFWriter(src, "esrgan")
+    w.add("esrgan.scale", 4)
+    w.add("esrgan.tensor_data_layout", "cwhn")
+    w.add("esrgan.conv2d_weights", [0])
+    w.add_tensor("body.conv.weight", np.ascontiguousarray(conv.transpose(0, 2, 3, 1)))
+    w.add_tensor("body.conv.bias", bias)
+    w.write()
+
+    params = load_weights(GGUFFile(src), as_numpy=True)
+    np.testing.assert_array_equal(params["body.conv.weight"], conv)
+
+    dst = tmp_path / "out.gguf"
+    export_gguf(params, dst, source=src)
+    back = GGUFFile(dst)
+    assert back.arch == "esrgan"
+    assert back.get_int("esrgan.scale") == 4
+    assert back.tensor_layout == ""  # cwhn marker must NOT survive
+    assert back.conv2d_weight_indices() == []
+    reloaded = load_weights(back, as_numpy=True)
+    np.testing.assert_array_equal(reloaded["body.conv.weight"], conv)
+    np.testing.assert_array_equal(reloaded["body.conv.bias"], bias)
+
+    # f16 export halves storage; device (jax) arrays export fine too
+    dev_params = {k: jnp.asarray(v) for k, v in params.items()}
+    dst16 = tmp_path / "out16.gguf"
+    export_gguf(dev_params, dst16, arch="esrgan", float_type="f16")
+    r16 = load_weights(GGUFFile(dst16), as_numpy=True)
+    np.testing.assert_allclose(r16["body.conv.weight"], conv, rtol=1e-3, atol=1e-3)
+    with pytest.raises(Exception, match="float_type"):
+        export_gguf(params, tmp_path / "bad.gguf", arch="esrgan", float_type="q8_0")
+    with pytest.raises(Exception, match="arch"):
+        export_gguf(params, tmp_path / "bad.gguf")
+
+
 def test_prefetch_to_device_order_and_placement():
     batches = [(np.full((8, 2), i, np.float32), np.full((8, 1), -i, np.float32)) for i in range(5)]
     out = list(prefetch_to_device(iter(batches), size=3))

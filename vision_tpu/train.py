@@ -44,6 +44,7 @@ from .parallel.sharding import DEFAULT_TP_RULES, batch_sharding, shard_params
 __all__ = [
     "TrainState",
     "create_train_state",
+    "export_gguf",
     "make_train_step",
     "prefetch_to_device",
     "save_checkpoint",
@@ -203,6 +204,76 @@ def make_train_step(
     bspec = P(None, "dp") if accum > 1 else P("dp")
     bs = NamedSharding(mesh, bspec)
     return jax.jit(step, in_shardings=(None, bs), donate_argnums=(0,))
+
+
+def export_gguf(
+    params: Mapping[str, Any],
+    dst: str | os.PathLike,
+    source=None,
+    arch: str | None = None,
+    float_type: str = "f32",
+) -> str:
+    """Write (fine-tuned) in-memory params back to a deployable GGUF file.
+
+    Completes the load -> fine-tune -> serve loop: ``params`` is the flat
+    dotted-name dict in the loader contract's torch-canonical layouts
+    (exactly what ``load_weights`` returns and ``TrainState.params``
+    holds), so the output file loads through every existing model path.
+
+    ``source`` (a GGUFFile or path) copies the family/arch KVs the
+    detection and builders need — EXCEPT the storage-layout ones
+    (``{arch}.tensor_data_layout``, ``{arch}.conv2d_weights``,
+    ``general.file_type``): tensors are written torch-canonical, never
+    cwhn-permuted, so echoing a source cwhn marker would make the loader
+    un-permute them a second time.
+
+    ``float_type``: "f32" or "f16" storage (bf16 device arrays convert to
+    f32 ON device first — NOTES.md: np.asarray on bf16 is pathological
+    over the tunnel). For block-quantized deployment run the result
+    through ``requantize_gguf`` / ``vision-cli quantize``.
+    """
+    from .core.gguf import GGUFFile, GGUFWriter, REQUANTIZE_TYPES
+
+    if float_type not in ("f32", "f16"):
+        from .core.errors import raise_error
+
+        raise_error(
+            "export_gguf: float_type must be 'f32' or 'f16' (quantize the "
+            "result with requantize_gguf), got '{}'", float_type,
+        )
+    if source is not None and not isinstance(source, GGUFFile):
+        source = GGUFFile(source)
+    if arch is None:
+        arch = source.arch if source is not None else None
+    if not arch:
+        from .core.errors import raise_error
+
+        raise_error("export_gguf: pass arch= or a source file with an architecture")
+    w = GGUFWriter(os.fspath(dst), arch)
+    if source is not None:
+        drop = {
+            "general.file_type",
+            "general.architecture",
+            f"{arch}.tensor_data_layout",
+            f"{arch}.conv2d_weights",
+        }
+        for k, v in source.metadata.items():
+            if k not in drop:
+                w.add(k, v, vtype=source.kv_types.get(k))
+    w.add("general.file_type", REQUANTIZE_TYPES[float_type][0])
+    target = np.float16 if float_type == "f16" else np.float32
+    for name, v in params.items():
+        if isinstance(v, jax.Array):
+            if v.dtype == jnp.bfloat16:
+                v = v.astype(jnp.float32)
+            v = np.asarray(jax.device_get(v))
+        else:
+            v = np.asarray(v)
+        if np.issubdtype(v.dtype, np.floating):
+            v = v.astype(target, copy=False)
+        w.add_tensor(name, v)
+    w.write()
+    return os.fspath(dst)
 
 
 def prefetch_to_device(batches, size: int = 2, mesh=None):
