@@ -4,6 +4,12 @@ Fine-tunes depth-anything-small (random weights, B=4 @ 518x518) on the
 single real chip: full-params adamw and head-only variants, loop-method
 timing (K steps inside one jitted fori_loop, t_K - t_1 differencing to
 cancel the tunnel RPC floor — NOTES.md round-1 measurement caveat).
+
+NOTE: this times the step MATH (forward+backward+adamw update) chained
+inside one program — the loop-method requirement. make_train_step's
+per-dispatch program differs only in buffer donation (irrelevant inside
+a fori_loop, where XLA reuses buffers anyway) and pays the per-dispatch
+RPC on top; the grad-dtype cast below matches make_train_step exactly.
 """
 
 import sys
@@ -49,6 +55,7 @@ def main():
                 return loss_fn({**t, **frozen}, b)
 
             loss, grads = jax.value_and_grad(loss_of_trainable)(train, batch)
+            grads = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype), grads, train)
             updates, new_opt = opt.update(grads, state.opt_state, train)
             new_train = optax.apply_updates(train, updates)
             return type(state)(state.step + 1, {**frozen, **new_train}, new_opt), loss

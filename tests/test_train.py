@@ -7,7 +7,6 @@ gradient-accumulation exactness, orbax checkpoint/resume bit-exactness
 """
 
 import os
-import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +73,31 @@ def test_grad_accum_matches_full_batch():
             np.asarray(s_acc.params[k]), np.asarray(s_full.params[k]), rtol=2e-6, atol=2e-7
         )
     assert np.isfinite(float(m["loss"]))
+
+
+def test_grad_accum_rejects_wrong_leading_axis():
+    params, (x, y) = _problem()
+    opt = optax.sgd(1e-2)
+    step = make_train_step(_loss_fn, opt, accum=4)
+    state = create_train_state(params, opt)
+    with pytest.raises(Exception, match="leading axis 4"):
+        # 8 microbatches into an accum=4 step would silently double the lr
+        step(state, (x.reshape(8, 2, 8), y.reshape(8, 2, 4)))
+
+
+def test_export_gguf_host_bf16_casts(tmp_path):
+    import jax.numpy as jnp
+
+    from vision_tpu.core.gguf import GGUFFile, GGMLType
+    from vision_tpu.train import export_gguf
+
+    v = np.arange(8, dtype=np.float32).reshape(2, 4)
+    params = {"w.weight": np.asarray(jnp.asarray(v, jnp.bfloat16))}  # host ml_dtypes bf16
+    assert not np.issubdtype(params["w.weight"].dtype, np.floating)  # the trap
+    path = export_gguf(params, tmp_path / "bf16.gguf", arch="esrgan", float_type="f16")
+    f = GGUFFile(path)
+    assert f.tensors["w.weight"].ggml_type == GGMLType.F16
+    np.testing.assert_allclose(f.tensor("w.weight"), v, atol=1e-2)
 
 
 def test_trainable_predicate_freezes_rest():

@@ -170,6 +170,18 @@ def make_train_step(
         if accum == 1:
             loss, grads = grads_of(state.params, batch)
         else:
+            # leaf shapes are static at trace time: a mismatched microbatch
+            # count would otherwise silently mis-scale the gradient by
+            # leading/accum (the sums below divide by accum)
+            for leaf in jax.tree_util.tree_leaves(batch):
+                if jnp.shape(leaf)[0] != accum:
+                    from .core.errors import raise_error
+
+                    raise_error(
+                        "make_train_step(accum={}): every batch leaf needs "
+                        "leading axis {} (microbatch count), got shape {}",
+                        accum, accum, jnp.shape(leaf),
+                    )
             train0, _ = _split(state.params, pred)
             g0 = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(jnp.shape(p), jnp.float32), train0
@@ -269,6 +281,11 @@ def export_gguf(
             v = np.asarray(jax.device_get(v))
         else:
             v = np.asarray(v)
+        if v.dtype == jnp.bfloat16:
+            # host-numpy bf16 (ml_dtypes): np.issubdtype says NOT floating,
+            # which would skip the cast and store GGML BF16 under an f16/f32
+            # file_type claim
+            v = v.astype(np.float32)
         if np.issubdtype(v.dtype, np.floating):
             v = v.astype(target, copy=False)
         w.add_tensor(name, v)
@@ -318,10 +335,19 @@ def prefetch_to_device(batches, size: int = 2, mesh=None):
 # Checkpoint / resume (orbax)
 
 
-def _ckptr():
-    import orbax.checkpoint as ocp
+_CKPTR = None
 
-    return ocp.StandardCheckpointer()
+
+def _ckptr():
+    # one process-wide checkpointer: each StandardCheckpointer owns an
+    # async executor, so per-call construction would leak threads across
+    # a long run's periodic saves
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
 
 
 def save_checkpoint(directory: str | os.PathLike, state: TrainState, *, force: bool = True) -> str:
