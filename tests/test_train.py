@@ -145,6 +145,61 @@ def test_latest_checkpoint_ordering(tmp_path):
     assert latest_checkpoint(tmp_path) == str(tmp_path / "step_10")
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fsdp_param_sharding_parity():
+    """ZeRO-style dp-sharded params + opt state: placement is actually
+    partitioned, numerics match the single-device step exactly, and the
+    updated state keeps its partitioned placement."""
+    from vision_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    params = {
+        "big.table": (rng.normal(size=(512, 130)) * 0.02).astype(np.float32),
+        "head.w.weight": (rng.normal(size=(4, 8)) * 0.1).astype(np.float32),
+    }
+    x = rng.normal(size=(16, 8)).astype(np.float32)
+    y = rng.normal(size=(16, 4)).astype(np.float32)
+
+    def loss_fn(p, batch):
+        xb, yb = batch
+        pred = xb @ p["head.w.weight"].T
+        # touch the fsdp-sharded table so it gets a gradient
+        return jnp.mean((pred - yb) ** 2) + 1e-3 * jnp.mean(p["big.table"] ** 2)
+
+    def dp_sharded_dim0(arr):
+        # P("dp") and P("dp", None) are the same placement but compare
+        # unequal lexically — check semantically
+        spec = tuple(arr.sharding.spec)
+        return len(spec) >= 1 and spec[0] == "dp" and all(s is None for s in spec[1:])
+
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(8, tp=2)  # dp=4
+    state = create_train_state(params, opt, mesh=mesh, fsdp=True, fsdp_min_size=1024)
+    assert dp_sharded_dim0(state.params["big.table"])
+    # small tensor stays replicated
+    assert all(s is None for s in tuple(state.params["head.w.weight"].sharding.spec))
+    # adam slots follow the param partitioning (the ZeRO memory win)
+    m_leaf = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(
+        getattr(l, "sharding", None) is not None and l.ndim == 2 and dp_sharded_dim0(l)
+        for l in m_leaf
+    )
+
+    step = make_train_step(loss_fn, opt, mesh=mesh)
+    ref_state = create_train_state(params, opt)
+    ref_step = make_train_step(loss_fn, opt)
+    for _ in range(2):
+        state, m = step(state, (x, y))
+        ref_state, rm = ref_step(ref_state, (x, y))
+    np.testing.assert_allclose(float(m["loss"]), float(rm["loss"]), rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(state.params[k]), np.asarray(ref_state.params[k]), rtol=2e-6, atol=2e-7
+        )
+    # updated params keep the partitioned placement (no silent re-replication)
+    assert dp_sharded_dim0(state.params["big.table"])
+
+
 def test_export_gguf_roundtrip_from_cwhn_source(tmp_path):
     """load (cwhn file) -> fine-tune-shaped params -> export -> reload:
     arrays equal, arch KVs preserved, layout markers dropped (the export

@@ -96,13 +96,44 @@ def create_train_state(
     mesh=None,
     rules: Sequence = DEFAULT_TP_RULES,
     trainable=None,
+    fsdp: bool = False,
+    fsdp_min_size: int = 2**16,
 ) -> TrainState:
     """Place params (tp-sharded on a mesh via the same rules inference
     uses, replicated otherwise) and init the optimizer over the trainable
     subset. Optimizer slots inherit each param's placement (zeros_like of
-    a sharded array is sharded the same way)."""
+    a sharded array is sharded the same way).
+
+    ``fsdp=True`` additionally shards every float param that the tp rules
+    left replicated — at least ``fsdp_min_size`` elements, leading dim
+    divisible by the dp axis — over ``dp`` on its leading dim (ZeRO-3
+    style: params AND their optimizer slots live partitioned; XLA
+    all-gathers each weight just-in-time for its op and reduce-scatters
+    its gradient, from the shardings alone). Per-chip state memory drops
+    ~dp-fold for the sharded tensors; the cost is one all-gather per
+    weight per step, riding ICI. Numerics are unchanged (parity-tested)."""
     if mesh is not None:
         params = shard_params(params, mesh, rules)
+        if fsdp and mesh.shape["dp"] > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            placed = {}
+            for k, v in params.items():
+                spec = v.sharding.spec if isinstance(v.sharding, NamedSharding) else None
+                replicated = not spec or all(s is None for s in spec)
+                if (
+                    replicated
+                    and jnp.issubdtype(v.dtype, jnp.floating)
+                    and v.size >= fsdp_min_size
+                    and v.ndim >= 1
+                    and v.shape[0] % dp == 0
+                ):
+                    v = jax.device_put(
+                        v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+                    )
+                placed[k] = v
+            params = placed
     else:
         params = {k: jnp.asarray(v) for k, v in params.items()}
     train, _ = _split(params, _trainable_pred(trainable))
