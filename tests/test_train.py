@@ -247,6 +247,29 @@ def test_export_gguf_roundtrip_from_cwhn_source(tmp_path):
         export_gguf(params, tmp_path / "bad.gguf")
 
 
+def test_data_loader_batching_and_shuffle():
+    from vision_tpu.train import data_loader
+
+    items = list(range(10))
+    load = lambda i: {"x": np.full((2,), i, np.float32), "y": np.int32(i)}
+    batches = list(data_loader(items, 4, load=load, workers=3))
+    assert len(batches) == 2  # drop_last drops the trailing 2
+    assert batches[0]["x"].shape == (4, 2)
+    got = np.concatenate([b["y"] for b in batches]).tolist()
+    assert got == list(range(8))  # order preserved without shuffle
+    # keep_last keeps the ragged tail
+    full = list(data_loader(items, 4, load=load, drop_last=False))
+    assert [b["y"].shape[0] for b in full] == [4, 4, 2]
+    # shuffle is a permutation, deterministic per seed
+    s1 = np.concatenate([b["y"] for b in data_loader(items, 5, load=load, shuffle=True, seed=1)])
+    s2 = np.concatenate([b["y"] for b in data_loader(items, 5, load=load, shuffle=True, seed=1)])
+    np.testing.assert_array_equal(s1, s2)
+    assert sorted(s1.tolist()) == items and s1.tolist() != items
+    assert list(data_loader([], 4, load=load)) == []
+    with pytest.raises(Exception, match="batch_size"):
+        list(data_loader(items, 0, load=load))
+
+
 def test_prefetch_to_device_order_and_placement():
     batches = [(np.full((8, 2), i, np.float32), np.full((8, 1), -i, np.float32)) for i in range(5)]
     out = list(prefetch_to_device(iter(batches), size=3))

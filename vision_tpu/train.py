@@ -44,6 +44,7 @@ from .parallel.sharding import DEFAULT_TP_RULES, batch_sharding, shard_params
 __all__ = [
     "TrainState",
     "create_train_state",
+    "data_loader",
     "export_gguf",
     "make_train_step",
     "prefetch_to_device",
@@ -322,6 +323,64 @@ def export_gguf(
         w.add_tensor(name, v)
     w.write()
     return os.fspath(dst)
+
+
+def data_loader(
+    items: Sequence,
+    batch_size: int,
+    load: Callable | None = None,
+    workers: int = 4,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = True,
+):
+    """Threaded host-side batch producer: maps ``load`` (decode +
+    preprocess, e.g. ``image.image_load`` + resize) over ``items`` with a
+    worker pool so host work overlaps device steps, then stacks each
+    group of ``batch_size`` results into one batch pytree (leaves gain a
+    leading batch axis). Chain into ``prefetch_to_device`` for the full
+    input pipeline:
+
+        for batch in prefetch_to_device(data_loader(paths, 32, load=prep), mesh=mesh):
+            state, metrics = step(state, batch)
+
+    ``load=None`` uses the items as-is. Results keep item order within
+    each batch; ``shuffle`` reorders items per epoch-call with ``seed``.
+    ``drop_last`` drops a trailing partial batch (static shapes — a
+    ragged final batch would recompile the step).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if batch_size < 1:
+        from .core.errors import raise_error
+
+        raise_error("data_loader: batch_size must be >= 1, got {}", batch_size)
+    order = list(range(len(items)))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n = (len(order) // batch_size) * batch_size if drop_last else len(order)
+    order = order[:n]
+    if not order:
+        return
+
+    def stack(results):
+        return jax.tree_util.tree_map(lambda *leaves: np.stack(leaves), *results)
+
+    if load is None:
+        load = lambda x: x
+    import collections
+
+    groups = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        # keep at most 2 batches of loads in flight: overlap without
+        # pulling the whole dataset into host memory
+        pending: collections.deque = collections.deque()
+        gi = 0
+        while gi < len(groups) or pending:
+            while gi < len(groups) and len(pending) < 2:
+                pending.append([pool.submit(load, items[j]) for j in groups[gi]])
+                gi += 1
+            yield stack([f.result() for f in pending.popleft()])
 
 
 def prefetch_to_device(batches, size: int = 2, mesh=None):
