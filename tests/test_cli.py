@@ -30,6 +30,18 @@ def _gguf_from_dict(path, arch, params, meta=None):
     return str(path)
 
 
+def test_cli_compare(tmp_path, capsys):
+    a = _save_img(tmp_path, "a.png", (32, 40, 3), seed=1)
+    b = _save_img(tmp_path, "b.png", (32, 40, 3), seed=2)
+    assert main(["compare", "-i", a, a]) == 0
+    out = capsys.readouterr().out
+    assert "rms  0.000000" in out and "ssim 1.00000" in out and "psnr inf" in out
+    # different images + a gating threshold -> exit 2
+    assert main(["compare", "-i", a, b, "--max-rms", "0.0001"]) == 2
+    out = capsys.readouterr().out
+    assert "rms" in out and "psnr" in out
+
+
 def test_cli_migan(tmp_path):
     from test_migan import TMigan
     from vision_tpu.convert.convert import convert_model

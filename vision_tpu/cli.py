@@ -32,6 +32,7 @@ USAGE_COMMANDS = {
     "serve": "HTTP serving (batched SAM/ESRGAN endpoints)",
     "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, iq4_nl/xs, f16, f32)",
     "info": "inspect a .gguf: metadata, detected family, tensor/type breakdown",
+    "compare": "compare two images: RMS (reference image_difference_rms semantics), PSNR, SSIM",
     "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 
@@ -176,6 +177,10 @@ def main(argv=None) -> int:
         help="info: also print the full per-tensor table",
     )
     parser.add_argument(
+        "--max-rms", type=float, default=None, metavar="T",
+        help="compare: exit 2 if RMS exceeds T (scripted regression gating)",
+    )
+    parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
         help="bench: arguments forwarded to vision_tpu.benchmark "
              "(e.g. --bench-args sam-encode-1024 --k 8)",
@@ -183,8 +188,40 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.input is None and args.command not in ("serve", "quantize", "bench", "info"):
         parser.error("-i/--input is required")
-    if args.output is None and args.command not in ("serve", "quantize", "bench", "info"):
+    if args.output is None and args.command not in ("serve", "quantize", "bench", "info", "compare"):
         args.output = "output.png"
+
+    if args.command == "compare":
+        # host-only metrics — no model, no TPU (reference analog:
+        # image_difference_rms, tests/test-image.cpp usage; psnr/ssim are
+        # the extra quality metrics utils/metrics.py adds). psnr/ssim are
+        # jnp, so pin the CPU backend before any jax op: otherwise the
+        # first jnp call opens the axon tunnel, which can hang for minutes
+        # when the tunnel is degraded (same contract as backend_init(cpu)).
+        backend_init(BackendType.cpu)
+        from .image import image_difference_rms, image_load
+        from .utils.metrics import psnr, ssim
+
+        if len(args.input) != 2:
+            parser.error("compare needs exactly two images: -i A B")
+        try:
+            a, b = (image_load(p) for p in args.input)
+            rms = image_difference_rms(a, b)
+        except VispError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        fa, fb = a.load_f32x4()[:, :, :3], b.load_f32x4()[:, :, :3]
+        p = float(psnr(fa, fb))
+        # SSIM's 11x11 window needs the image to be at least that big
+        win = min(11, fa.shape[0], fa.shape[1])
+        s = float(ssim(fa, fb, window=win))
+        print(f"rms  {rms:.6f}")
+        print(f"psnr {p:.2f} dB")
+        print(f"ssim {s:.5f}")
+        if args.max_rms is not None and rms > args.max_rms:
+            print(f"FAIL: rms {rms:.6f} > --max-rms {args.max_rms}", file=sys.stderr)
+            return 2
+        return 0
 
     if args.command == "bench":
         # the reference ships vision-bench as its own tool (tests/benchmark.cpp);
