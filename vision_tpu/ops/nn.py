@@ -89,9 +89,23 @@ def leaky_relu(x, negative_slope: float = 0.01):
 
 
 def linear(p: Params, x):
-    """y = x @ W^T + b (reference nn.cpp:6-12). W is (O, I)."""
+    """y = x @ W^T + b (reference nn.cpp:6-12). W is (O, I).
+
+    A LoRA adapter pair next to the weight (``lora_a (r, I)`` /
+    ``lora_b (O, r)``, see vision_tpu.lora) contributes
+    ``(x @ A^T) @ B^T`` — the lookup is trace-time, so models without
+    adapters pay nothing. Adapters are cast to the activation dtype
+    (tiny matmuls, MXU-native) with f32 accumulation like the base."""
     w = p.weight("weight")
-    y = jnp.matmul(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
+    a = p.find("lora_a")
+    if a is not None:
+        ba = p.weight("lora_b")
+        h = jnp.matmul(x, a.astype(x.dtype).T, preferred_element_type=jnp.float32)
+        y = y + jnp.matmul(
+            h.astype(x.dtype), ba.astype(x.dtype).T, preferred_element_type=jnp.float32
+        )
+    y = y.astype(x.dtype)
     b = p.find("bias")
     if b is not None:
         y = y + b
