@@ -368,3 +368,19 @@ def test_mesh_train_parity_and_sharded_restore(tmp_path):
     # optimizer.init scalars used to stay on device 0)
     stepped, _ = mstep(restored, batch)
     assert int(stepped.step) == 3
+
+
+def test_ema_update():
+    from vision_tpu.train import ema_update
+
+    params = {"w.weight": np.ones((4, 4), np.float32), "buf.count": np.array([1, 2], np.int32)}
+    ema = {"w.weight": np.zeros((4, 4), np.float32), "buf.count": np.array([0, 0], np.int32)}
+    out = ema_update(ema, params, decay=0.9)
+    # float leaf: 0.9*0 + 0.1*1; non-float buffer tracks params verbatim
+    np.testing.assert_allclose(np.asarray(out["w.weight"]), 0.1, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["buf.count"]), [1, 2])
+    # converges onto params under repetition, and jits
+    step = jax.jit(ema_update, static_argnames=("decay",))
+    for _ in range(200):
+        ema = step(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(ema["w.weight"]), 1.0, atol=1e-6)

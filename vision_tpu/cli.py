@@ -33,6 +33,7 @@ USAGE_COMMANDS = {
     "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, iq4_nl/xs, f16, f32)",
     "info": "inspect a .gguf: metadata, detected family, tensor/type breakdown",
     "compare": "compare two images: RMS (reference image_difference_rms semantics), PSNR, SSIM",
+    "finetune": "self-supervised fine-tune of an esrgan .gguf on your images (L1 downscale-reconstruct)",
     "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 
@@ -145,11 +146,11 @@ def main(argv=None) -> int:
         "--batch", type=int, default=None,
         help="serve: max batch size (default: each service's measured "
         "per-chip optimum — sam 6, esrgan/birefnet/depthany/migan 4, "
-        "yolo 8 — times --dp)",
+        "yolo 8 — times --dp); finetune: training batch size (default 4)",
     )
     parser.add_argument(
         "--dp", type=int, default=0, metavar="N",
-        help="serve: shard each request batch over N chips (data parallel "
+        help="serve/finetune: shard each batch over N chips (data parallel "
         "over ICI; every served family meshes, 0 = single chip)",
     )
     parser.add_argument(
@@ -181,6 +182,25 @@ def main(argv=None) -> int:
         help="compare: exit 2 if RMS exceeds T (scripted regression gating)",
     )
     parser.add_argument(
+        "--steps", type=int, default=200, help="finetune: optimizer steps",
+    )
+    parser.add_argument(
+        "--lr", type=float, default=1e-4, help="finetune: adam learning rate",
+    )
+    parser.add_argument(
+        "--patch", type=int, default=64,
+        help="finetune: HR patch size (must divide by the model scale)",
+    )
+    parser.add_argument(
+        "--ema", type=float, default=None, metavar="DECAY",
+        help="finetune: track+export EMA weights at this decay (e.g. 0.999)",
+    )
+    parser.add_argument(
+        "--train-filter", default=None, metavar="REGEX",
+        help="finetune: train only params whose dotted name matches "
+             "(default: all float params)",
+    )
+    parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
         help="bench: arguments forwarded to vision_tpu.benchmark "
              "(e.g. --bench-args sam-encode-1024 --k 8)",
@@ -189,7 +209,7 @@ def main(argv=None) -> int:
     if args.input is None and args.command not in ("serve", "quantize", "bench", "info"):
         parser.error("-i/--input is required")
     if args.output is None and args.command not in ("serve", "quantize", "bench", "info", "compare"):
-        args.output = "output.png"
+        args.output = "finetuned.gguf" if args.command == "finetune" else "output.png"
 
     if args.command == "compare":
         # host-only metrics — no model, no TPU (reference analog:
@@ -324,6 +344,7 @@ def main(argv=None) -> int:
         "migan": "MIGAN-512-places2-F16.gguf",
         "esrgan": "RealESRGAN-x4.gguf",
         "yolov9t": "yolov9t_converted-F16.gguf",
+        "finetune": "RealESRGAN-x4.gguf",
     }
 
     try:
@@ -357,11 +378,47 @@ def main(argv=None) -> int:
         for inp in args.input or []:
             if not Path(inp).exists():
                 raise VispError(f"Input file not found: {inp}")
+        train_images = None
+        if args.command == "finetune":
+            # expand dirs + validate BEFORE device init (fail fast)
+            from .finetune import list_images
+
+            train_images = list_images(args.input)
+            if args.steps < 1 or (args.batch is not None and args.batch < 1):
+                raise VispError("finetune: --steps and --batch must be >= 1")
         if args.command == "sam" and args.prompt and len(args.prompt) not in (2, 4):
             raise VispError(
                 f"Expected 2 (point) or 4 (box) numbers for -p, got {len(args.prompt)}"
             )
         dev = _device(args)
+
+        if args.command == "finetune":
+            from .finetune import finetune
+
+            mesh = None
+            if args.dp:
+                if args.dp < 1:
+                    raise VispError(f"--dp must be >= 1, got {args.dp}")
+                from .parallel import make_mesh
+
+                mesh = make_mesh(args.dp)
+            batch = args.batch if args.batch is not None else 4
+            if mesh is not None and batch % args.dp:
+                raise VispError(f"--batch {batch} must be divisible by --dp {args.dp}")
+            with _Timer("Fine-tuning"):
+                stats = finetune(
+                    model_path, train_images, args.output,
+                    steps=args.steps, lr=args.lr, batch=batch,
+                    patch=args.patch, ema_decay=args.ema,
+                    trainable=args.train_filter, device=dev, mesh=mesh,
+                    log=print,
+                )
+            print(
+                f"loss {stats['first_loss']:.5f} -> {stats['last_loss']:.5f} "
+                f"over {stats['steps']} steps ({len(train_images)} images)"
+            )
+            print(f"-> {stats['out']}")
+            return 0
 
         if args.command == "serve":
             from .api import ModelFamily, model_detect_family

@@ -45,6 +45,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "data_loader",
+    "ema_update",
     "export_gguf",
     "make_train_step",
     "prefetch_to_device",
@@ -419,6 +420,30 @@ def prefetch_to_device(batches, size: int = 2, mesh=None):
         if not queue:
             return
         yield queue.popleft()
+
+
+def ema_update(ema: Mapping[str, Any], params: Mapping[str, Any], decay: float = 0.999):
+    """One exponential-moving-average step over a param dict:
+    ``ema <- decay * ema + (1 - decay) * params`` for float leaves
+    (non-float buffers track ``params`` verbatim).
+
+    The standard eval/serving-weights trick for SR/GAN fine-tuning
+    (Real-ESRGAN ships EMA weights). Pure and jittable — fold it into the
+    train loop (or jit it once) and evaluate/export the EMA dict:
+
+        ema = dict(state.params)                     # init = params
+        for batch in loader:
+            state, metrics = step(state, batch)
+            ema = ema_step(ema, state.params)        # ema_step = jax.jit(ema_update)
+        export_gguf(ema, "finetuned-ema.gguf", source=...)
+    """
+    def one(e, p):
+        if not _is_float(p):
+            return p
+        d = jnp.asarray(decay, jnp.asarray(e).dtype)
+        return e * d + p * (1 - d)
+
+    return jax.tree_util.tree_map(one, dict(ema), dict(params))
 
 
 # ---------------------------------------------------------------------------
