@@ -229,7 +229,9 @@ def test_export_gguf_roundtrip_from_cwhn_source(tmp_path):
     back = GGUFFile(dst)
     assert back.arch == "esrgan"
     assert back.get_int("esrgan.scale") == 4
-    assert back.tensor_layout == ""  # cwhn marker must NOT survive
+    # cwhn marker must NOT survive; the export declares all-torch-canonical
+    # so the family fixup_weights passes skip their whcn special cases
+    assert back.tensor_layout == "torch"
     assert back.conv2d_weight_indices() == []
     reloaded = load_weights(back, as_numpy=True)
     np.testing.assert_array_equal(reloaded["body.conv.weight"], conv)

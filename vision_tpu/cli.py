@@ -34,6 +34,7 @@ USAGE_COMMANDS = {
     "info": "inspect a .gguf: metadata, detected family, tensor/type breakdown",
     "compare": "compare two images: RMS (reference image_difference_rms semantics), PSNR, SSIM",
     "finetune": "self-supervised fine-tune of an esrgan .gguf on your images (L1 downscale-reconstruct)",
+    "distill": "distill a depth-anything teacher .gguf into a smaller student on unlabeled images",
     "bench": "run the per-model benchmark table (vision-bench analog)",
 }
 
@@ -197,8 +198,16 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--train-filter", default=None, metavar="REGEX",
-        help="finetune: train only params whose dotted name matches "
+        help="finetune/distill: train only params whose dotted name matches "
              "(default: all float params)",
+    )
+    parser.add_argument(
+        "--student", default=None, metavar="GGUF",
+        help="distill: the student model to train (-m is the frozen teacher)",
+    )
+    parser.add_argument(
+        "--size", type=int, default=252,
+        help="distill: square training resolution (multiple of the 14-px patch)",
     )
     parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
@@ -209,7 +218,9 @@ def main(argv=None) -> int:
     if args.input is None and args.command not in ("serve", "quantize", "bench", "info"):
         parser.error("-i/--input is required")
     if args.output is None and args.command not in ("serve", "quantize", "bench", "info", "compare"):
-        args.output = "finetuned.gguf" if args.command == "finetune" else "output.png"
+        args.output = {
+            "finetune": "finetuned.gguf", "distill": "distilled.gguf",
+        }.get(args.command, "output.png")
 
     if args.command == "compare":
         # host-only metrics — no model, no TPU (reference analog:
@@ -379,22 +390,25 @@ def main(argv=None) -> int:
             if not Path(inp).exists():
                 raise VispError(f"Input file not found: {inp}")
         train_images = None
-        if args.command == "finetune":
+        student_path = None
+        if args.command in ("finetune", "distill"):
             # expand dirs + validate BEFORE device init (fail fast)
             from .finetune import list_images
 
             train_images = list_images(args.input)
             if args.steps < 1 or (args.batch is not None and args.batch < 1):
-                raise VispError("finetune: --steps and --batch must be >= 1")
+                raise VispError(f"{args.command}: --steps and --batch must be >= 1")
+        if args.command == "distill":
+            if not args.student:
+                raise VispError("distill: --student <gguf> is required (-m is the teacher)")
+            student_path = find_model(args.student)
         if args.command == "sam" and args.prompt and len(args.prompt) not in (2, 4):
             raise VispError(
                 f"Expected 2 (point) or 4 (box) numbers for -p, got {len(args.prompt)}"
             )
         dev = _device(args)
 
-        if args.command == "finetune":
-            from .finetune import finetune
-
+        if args.command in ("finetune", "distill"):
             mesh = None
             if args.dp:
                 if args.dp < 1:
@@ -405,14 +419,27 @@ def main(argv=None) -> int:
             batch = args.batch if args.batch is not None else 4
             if mesh is not None and batch % args.dp:
                 raise VispError(f"--batch {batch} must be divisible by --dp {args.dp}")
-            with _Timer("Fine-tuning"):
-                stats = finetune(
-                    model_path, train_images, args.output,
-                    steps=args.steps, lr=args.lr, batch=batch,
-                    patch=args.patch, ema_decay=args.ema,
-                    trainable=args.train_filter, device=dev, mesh=mesh,
-                    log=print,
-                )
+            if args.command == "finetune":
+                from .finetune import finetune
+
+                with _Timer("Fine-tuning"):
+                    stats = finetune(
+                        model_path, train_images, args.output,
+                        steps=args.steps, lr=args.lr, batch=batch,
+                        patch=args.patch, ema_decay=args.ema,
+                        trainable=args.train_filter, device=dev, mesh=mesh,
+                        log=print,
+                    )
+            else:
+                from .finetune import distill_depthany
+
+                with _Timer("Distilling"):
+                    stats = distill_depthany(
+                        model_path, student_path, train_images, args.output,
+                        steps=args.steps, lr=args.lr, batch=batch,
+                        size=args.size, trainable=args.train_filter,
+                        device=dev, mesh=mesh, log=print,
+                    )
             print(
                 f"loss {stats['first_loss']:.5f} -> {stats['last_loss']:.5f} "
                 f"over {stats['steps']} steps ({len(train_images)} images)"

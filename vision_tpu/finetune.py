@@ -26,7 +26,7 @@ import numpy as np
 
 from .core.errors import raise_error
 
-__all__ = ["finetune", "finetune_esrgan", "list_images"]
+__all__ = ["distill_depthany", "finetune", "finetune_esrgan", "list_images"]
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tga", ".gif")
 
@@ -48,12 +48,18 @@ def list_images(inputs: Sequence[str]) -> list[str]:
     return out
 
 
-def _patch_load(patch: int) -> Callable[[str], np.ndarray]:
+def _patch_load(patch: int, seed: int) -> Callable[[tuple], np.ndarray]:
     """Decode one image and cut a random (patch, patch, 3) f32 crop in
-    [0, 1]; images smaller than the patch are reflect-padded first."""
+    [0, 1]; images smaller than the patch are reflect-padded first.
+
+    Items are ``(index, path)`` pairs and the crop rng is keyed on
+    ``(seed, index)`` — deterministic per (epoch seed, item) regardless of
+    data_loader's worker-thread scheduling, so a fine-tune run reproduces
+    bit-exactly from its ``seed`` argument."""
     from .image import image_load
 
-    def load(path: str) -> np.ndarray:
+    def load(item: tuple) -> np.ndarray:
+        idx, path = item
         a = image_load(path).load_f32x4()[:, :, :3]
         h, w, _ = a.shape
         if h < patch or w < patch:
@@ -63,7 +69,7 @@ def _patch_load(patch: int) -> Callable[[str], np.ndarray]:
                 mode="reflect",
             )
             h, w, _ = a.shape
-        rng = np.random.default_rng()
+        rng = np.random.default_rng([seed, idx])
         y0 = int(rng.integers(0, h - patch + 1))
         x0 = int(rng.integers(0, w - patch + 1))
         return np.ascontiguousarray(a[y0 : y0 + patch, x0 : x0 + patch])
@@ -154,9 +160,10 @@ def finetune_esrgan(
         else [images[i % len(images)] for i in range(batch)]
     )
     while done < steps:
+        ep_seed = int(rng.integers(2**31))
         epoch = data_loader(
-            items, batch, load=_patch_load(patch), workers=workers,
-            shuffle=True, seed=int(rng.integers(2**31)),
+            list(enumerate(items)), batch, load=_patch_load(patch, ep_seed),
+            workers=workers, shuffle=True, seed=ep_seed,
         )
         got = False
         for hr in prefetch_to_device(epoch, mesh=mesh):
@@ -177,6 +184,187 @@ def finetune_esrgan(
             raise_error("finetune: dataset produced no batches")
     out = dict(ema) if ema is not None else dict(state.params)
     export_gguf(out, dst, source=file)
+    return {"out": os.fspath(dst), "steps": done, "first_loss": first, "last_loss": last}
+
+
+def _ssi_normalize(d, eps: float = 1e-6):
+    """Per-image scale-and-shift-invariant normalization (MiDaS eq. 5-6):
+    subtract the median, divide by the mean absolute deviation. Makes the
+    distillation loss blind to the affine depth ambiguity between teacher
+    and student."""
+    n = d.shape[0]
+    flat = d.reshape(n, -1).astype(jnp.float32)
+    med = jnp.median(flat, axis=1, keepdims=True)
+    dev = jnp.mean(jnp.abs(flat - med), axis=1, keepdims=True)
+    return (flat - med) / (dev + eps)
+
+
+def _resize_load(size: int) -> Callable[[str], np.ndarray]:
+    """Decode one image, square-resize to (size, size), ImageNet-normalize
+    — host-thread half of the distillation input pipeline (the same
+    preprocessing contract as depthany_process_input, fixed-square so the
+    step compiles once)."""
+    from .image import (
+        ImageFormat,
+        image_load,
+        image_scale,
+        image_u8_to_f32,
+        preprocess_scale_method,
+    )
+    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    def load(path: str) -> np.ndarray:
+        img = image_load(path)
+        if img.extent != (size, size):
+            img = image_scale(img, (size, size), preprocess_scale_method())
+        out = image_u8_to_f32(
+            img,
+            ImageFormat.rgb_f32,
+            offset=tuple(-m for m in IMAGENET_MEAN),
+            scale=tuple(1.0 / s for s in IMAGENET_STD),
+        )
+        return np.ascontiguousarray(out.data[:, :, :3])
+
+    return load
+
+
+def distill_depthany(
+    teacher,
+    student,
+    images: Sequence[str],
+    dst: str | os.PathLike,
+    steps: int = 200,
+    lr: float = 1e-4,
+    batch: int = 4,
+    size: int = 252,
+    trainable=None,
+    seed: int = 0,
+    device=None,
+    mesh=None,
+    workers: int = 4,
+    log: Callable[[str], None] | None = None,
+) -> dict:
+    """Knowledge distillation for Depth-Anything: train a small student
+    GGUF against a larger teacher's pseudo-depth on unlabeled images —
+    exactly the pseudo-labeling loop the Depth-Anything paper trains with,
+    reduced to its self-supervised core.
+
+    Each step resizes ``batch`` images to ``size``² (must be a multiple of
+    the 14-px patch), runs the FROZEN teacher to get a pseudo-depth target,
+    and takes one adam step on the scale-and-shift-invariant L1 between
+    student and teacher depth (both per-image median/MAD normalized, so the
+    affine depth ambiguity cancels). The teacher forward is its OWN jitted
+    program with the teacher params as arguments — closing over them in the
+    train step would constant-fold hundreds of MB of weights into the
+    student's program. Writes the student to ``dst`` (f32, student KVs) and
+    returns ``{"out", "steps", "first_loss", "last_loss"}``.
+    """
+    import optax
+
+    from .core.gguf import GGUFFile
+    from .core.params import Params
+    from .core.weights import load_weights
+    from .models.depth_anything import (
+        depthany_detect_params,
+        depthany_predict,
+        fixup_weights,
+    )
+    from .train import (
+        create_train_state,
+        data_loader,
+        export_gguf,
+        make_train_step,
+        prefetch_to_device,
+    )
+
+    tfile = teacher if isinstance(teacher, GGUFFile) else GGUFFile(os.fspath(teacher))
+    sfile = student if isinstance(student, GGUFFile) else GGUFFile(os.fspath(student))
+    tp, sp = depthany_detect_params(tfile), depthany_detect_params(sfile)
+    mult = max(tp.image_multiple, sp.image_multiple)
+    if size % mult or size < mult:
+        raise_error(
+            "distill: size {} must be a positive multiple of the patch "
+            "size {}", size, mult,
+        )
+    if steps < 1 or batch < 1:
+        raise_error("distill: steps and batch must be >= 1, got {} / {}", steps, batch)
+    images = list(images)
+    # load host-side so the converter-layout fixup (always-cwhn
+    # patch_embed/projection convs in whcn files) applies before placement
+    t_np = fixup_weights(tfile, load_weights(tfile, device=None, as_numpy=True))
+    s_np = fixup_weights(sfile, load_weights(sfile, device=None, as_numpy=True, float_dtype=jnp.float32))
+    s_params = {k: jnp.asarray(v) for k, v in s_np.items()}
+    # frozen teacher runs at the device's inference dtype (bf16 on TPU):
+    # place f32 host arrays, cast on device (NOTES.md: host bf16 is slow)
+    t_dtype = device.preferred_float_type if device is not None else jnp.float32
+    dev = device.jax_device if device is not None else None
+
+    def _place_t(v):
+        a = jax.device_put(v, dev) if dev is not None else jnp.asarray(v)
+        return a.astype(t_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    if mesh is not None:
+        from .parallel.sharding import shard_params
+
+        t_params = shard_params(t_np, mesh)
+        t_dtype = next(
+            (v.dtype for v in t_params.values() if jnp.issubdtype(v.dtype, jnp.floating)),
+            jnp.float32,
+        )
+    else:
+        t_params = {k: _place_t(v) for k, v in t_np.items()}
+
+    def teacher_fwd(t, x):
+        return depthany_predict(Params(t), x.astype(t_dtype), tp)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tfwd = jax.jit(
+            teacher_fwd, in_shardings=(None, NamedSharding(mesh, P("dp")))
+        )
+    else:
+        tfwd = jax.jit(teacher_fwd)
+
+    def loss_fn(params, batch):
+        x, target = batch
+        s = depthany_predict(Params(params), x, sp)
+        return jnp.mean(jnp.abs(_ssi_normalize(s) - _ssi_normalize(target)))
+
+    opt = optax.adam(lr)
+    state = create_train_state(s_params, opt, mesh=mesh, trainable=trainable)
+    step = make_train_step(loss_fn, opt, mesh=mesh, trainable=trainable)
+
+    first = last = None
+    done = 0
+    rng = np.random.default_rng(seed)
+    items = (
+        list(images)
+        if len(images) >= batch
+        else [images[i % len(images)] for i in range(batch)]
+    )
+    while done < steps:
+        epoch = data_loader(
+            items, batch, load=_resize_load(size), workers=workers,
+            shuffle=True, seed=int(rng.integers(2**31)),
+        )
+        got = False
+        for x in prefetch_to_device(epoch, mesh=mesh):
+            got = True
+            target = tfwd(t_params, x)
+            state, metrics = step(state, (x, target))
+            loss = float(metrics["loss"])
+            last = loss
+            if first is None:
+                first = loss
+            done += 1
+            if log is not None and (done == 1 or done % 10 == 0 or done == steps):
+                log(f"step {done}/{steps}  loss {loss:.5f}")
+            if done >= steps:
+                break
+        if not got:
+            raise_error("distill: dataset produced no batches")
+    export_gguf(dict(state.params), dst, source=sfile)
     return {"out": os.fspath(dst), "steps": done, "first_loss": first, "last_loss": last}
 
 

@@ -265,8 +265,10 @@ def birefnet_predict(
 
 
 def fixup_weights(file: GGUFFile, params: dict) -> dict:
-    """patch_embed conv is always stored cwhn (convert.py convert_birefnet)."""
-    if file.tensor_layout == "cwhn":
+    """patch_embed conv is always stored cwhn (convert.py convert_birefnet).
+    Applies to whcn converter files only — cwhn files were un-permuted
+    generically, "torch" files (train.export_gguf) are fully canonical."""
+    if file.tensor_layout in ("cwhn", "torch"):
         return params
     out = dict(params)
     for name, a in params.items():

@@ -161,8 +161,10 @@ def fixup_weights(file: GGUFFile, params: dict) -> dict:
     (scripts/convert.py convert_depth_anything): `patch_embeddings` and
     non-fusion `projection` conv weights are stored pre-permuted (cwhn) even
     in whcn files; `resize` transpose convs are always torch layout."""
-    if file.tensor_layout == "cwhn":
-        return params  # generic unpermute already handled everything
+    if file.tensor_layout in ("cwhn", "torch"):
+        # cwhn: generic unpermute already handled everything; torch:
+        # every tensor is torch-canonical (train.export_gguf output)
+        return params
     out = dict(params)
     for name, a in params.items():
         if a.ndim == 4 and name.endswith("weight") and (

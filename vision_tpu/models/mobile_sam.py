@@ -518,8 +518,10 @@ def sam_process_mask(masks: np.ndarray, index: int, target_extent, p: SamParams 
 def fixup_weights(file: GGUFFile, params: dict) -> dict:
     """Undo converter layout choices for whcn files (convert.py convert_sam):
     local_conv weights are ALWAYS stored cwhn; neck.0/neck.2 follow the
-    conv2d_weights list (torch layout in whcn files, handled generically)."""
-    if file.tensor_layout == "cwhn":
+    conv2d_weights list (torch layout in whcn files, handled generically).
+    Applies to whcn converter files only — cwhn files were un-permuted
+    generically, "torch" files (train.export_gguf) are fully canonical."""
+    if file.tensor_layout in ("cwhn", "torch"):
         return params
     out = dict(params)
     for name, a in params.items():

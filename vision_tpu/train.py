@@ -270,7 +270,11 @@ def export_gguf(
     (``{arch}.tensor_data_layout``, ``{arch}.conv2d_weights``,
     ``general.file_type``): tensors are written torch-canonical, never
     cwhn-permuted, so echoing a source cwhn marker would make the loader
-    un-permute them a second time.
+    un-permute them a second time. The file instead carries
+    ``tensor_data_layout = "torch"`` — EVERY tensor is torch-canonical —
+    which the per-family ``fixup_weights`` passes honor by skipping their
+    whcn-file special cases (the converter stores e.g. patch_embed
+    weights cwhn even in whcn files; an exported file does not).
 
     ``float_type``: "f32" or "f16" storage (bf16 device arrays convert to
     f32 ON device first — NOTES.md: np.asarray on bf16 is pathological
@@ -306,6 +310,7 @@ def export_gguf(
             if k not in drop:
                 w.add(k, v, vtype=source.kv_types.get(k))
     w.add("general.file_type", REQUANTIZE_TYPES[float_type][0])
+    w.add(f"{arch}.tensor_data_layout", "torch")
     target = np.float16 if float_type == "f16" else np.float32
     for name, v in params.items():
         if isinstance(v, jax.Array):
