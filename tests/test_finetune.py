@@ -175,12 +175,15 @@ def test_distill_depthany(tmp_path):
     assert lines
     f = GGUFFile(str(out))
     assert f.arch == "depthanything"
-    # student weights moved; teacher unchanged on disk
+    # student weights moved (compare post-fixup: the source file stores the
+    # fixup-set convs cwhn-permuted, the export is torch-canonical)
+    from vision_tpu.core.weights import load_weights as _lw
+    from vision_tpu.models.depth_anything import fixup_weights as _fx
+
     s0 = GGUFFile(str(student))
-    moved = [
-        n for n in s0.tensors
-        if not np.array_equal(s0.tensor(n, np.float32), f.tensor(n, np.float32))
-    ]
+    s_sem = _fx(s0, _lw(s0, as_numpy=True))
+    f_sem = _fx(f, _lw(f, as_numpy=True))
+    moved = [n for n, v in s_sem.items() if not np.array_equal(v, f_sem[n])]
     assert moved
     # the exported student still runs end-to-end through the model API
     from vision_tpu.api import load_model
@@ -236,3 +239,64 @@ def test_cli_distill(tmp_path, capsys):
         "-i", str(d), "-o", str(out), "--size", "30", "-b", "cpu",
     ])
     assert rc != 0
+
+
+def test_distill_lora(tmp_path):
+    """Parameter-efficient distillation: only adapters train (base weights
+    bit-frozen), the export is merged + adapter-free, and --lora-out saves
+    a loadable adapter file."""
+    import torch
+
+    from test_depth_anything import TDepthAnything
+    from vision_tpu.convert.convert import convert_model
+    from vision_tpu.finetune import distill_depthany
+
+    def _gguf(name, seed):
+        torch.manual_seed(seed)
+        t = randomize(TDepthAnything())
+        ckpt = tmp_path / f"{name}.pth"
+        torch.save(t.state_dict(), ckpt)
+        return convert_model("depth-anything", ckpt, tmp_path / f"{name}.gguf")
+
+    teacher = _gguf("lt", 0)
+    student = _gguf("ls", 1)
+    d = _img_dir(tmp_path, size=(30, 30))
+    out = tmp_path / "lora-distilled.gguf"
+    adapters = tmp_path / "adapters.gguf"
+    stats = distill_depthany(
+        str(teacher), str(student), list_images([str(d)]), out,
+        steps=2, lr=5e-2, batch=2, size=28, seed=0,
+        lora_rank=2, lora_out=adapters,
+    )
+    assert stats["lora_out"] == str(adapters)
+    f = GGUFFile(str(out))
+    assert not any(".lora_" in n for n in f.tensors)  # merged, adapter-free
+    # base linear weights moved ONLY by the merged low-rank delta; conv
+    # weights (no adapters possible) are bit-frozen
+    # compare in semantic (post-fixup torch-canonical) form: the source
+    # file stores the fixup-set convs cwhn-permuted, the export does not
+    from vision_tpu.core.weights import load_weights
+    from vision_tpu.models.depth_anything import fixup_weights
+
+    s0 = GGUFFile(str(student))
+    s_sem = fixup_weights(s0, load_weights(s0, as_numpy=True))
+    f_sem = fixup_weights(f, load_weights(f, as_numpy=True))
+    convs = [n for n, v in s_sem.items() if getattr(v, "ndim", 0) == 4]
+    assert convs and all(np.array_equal(s_sem[n], f_sem[n]) for n in convs)
+    moved_linear = [
+        n for n, v in s_sem.items()
+        if getattr(v, "ndim", 0) == 2 and not np.array_equal(v, f_sem[n])
+    ]
+    assert moved_linear  # the merged low-rank delta landed somewhere
+    # adapter file re-attaches to the pristine student
+    from vision_tpu.core.weights import load_weights
+    from vision_tpu.lora import load_lora, lora_modules
+
+    base = load_weights(s0, as_numpy=True)
+    attached = load_lora(base, str(adapters))
+    assert lora_modules(attached)
+    with pytest.raises(Exception, match="not both"):
+        distill_depthany(
+            str(teacher), str(student), list_images([str(d)]), out,
+            steps=1, batch=2, size=28, lora_rank=2, trainable=r".*",
+        )

@@ -210,6 +210,16 @@ def main(argv=None) -> int:
         help="distill: square training resolution (multiple of the 14-px patch)",
     )
     parser.add_argument(
+        "--lora", type=int, default=None, metavar="RANK",
+        help="distill: train LoRA adapters of this rank instead of full "
+             "params (merged into the exported file)",
+    )
+    parser.add_argument(
+        "--lora-out", default=None, metavar="GGUF",
+        help="distill: with --lora, also save the unmerged adapters as a "
+             "tiny GGUF adapter file",
+    )
+    parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
         help="bench: arguments forwarded to vision_tpu.benchmark "
              "(e.g. --bench-args sam-encode-1024 --k 8)",
@@ -438,6 +448,7 @@ def main(argv=None) -> int:
                         model_path, student_path, train_images, args.output,
                         steps=args.steps, lr=args.lr, batch=batch,
                         size=args.size, trainable=args.train_filter,
+                        lora_rank=args.lora, lora_out=args.lora_out,
                         device=dev, mesh=mesh, log=print,
                     )
             print(

@@ -238,6 +238,8 @@ def distill_depthany(
     batch: int = 4,
     size: int = 252,
     trainable=None,
+    lora_rank: int | None = None,
+    lora_out: str | os.PathLike | None = None,
     seed: int = 0,
     device=None,
     mesh=None,
@@ -248,6 +250,14 @@ def distill_depthany(
     GGUF against a larger teacher's pseudo-depth on unlabeled images —
     exactly the pseudo-labeling loop the Depth-Anything paper trains with,
     reduced to its self-supervised core.
+
+    ``lora_rank`` switches to parameter-efficient distillation: LoRA
+    adapters (vision_tpu.lora) attach to every linear in the student's
+    DINOv2 trunk + DPT neck, ONLY the adapters train (optimizer state
+    shrinks accordingly), and the export merges them back in —
+    numerically a plain deployable file. ``lora_out`` additionally saves
+    the unmerged adapters as a tiny GGUF adapter file
+    (``lora.load_lora`` re-attaches them to the pristine student).
 
     Each step resizes ``batch`` images to ``size``² (must be a multiple of
     the 14-px patch), runs the FROZEN teacher to get a pseudo-depth target,
@@ -293,6 +303,15 @@ def distill_depthany(
     # patch_embed/projection convs in whcn files) applies before placement
     t_np = fixup_weights(tfile, load_weights(tfile, device=None, as_numpy=True))
     s_np = fixup_weights(sfile, load_weights(sfile, device=None, as_numpy=True, float_dtype=jnp.float32))
+    if lora_rank is not None:
+        from .lora import LORA_TRAINABLE, add_lora
+
+        if trainable is not None:
+            raise_error("distill: pass either lora_rank or trainable, not both")
+        if lora_rank < 1:
+            raise_error("distill: lora_rank must be >= 1, got {}", lora_rank)
+        s_np = add_lora(s_np, rank=lora_rank, seed=seed)
+        trainable = LORA_TRAINABLE
     s_params = {k: jnp.asarray(v) for k, v in s_np.items()}
     # frozen teacher runs at the device's inference dtype (bf16 on TPU):
     # place f32 host arrays, cast on device (NOTES.md: host bf16 is slow)
@@ -364,8 +383,18 @@ def distill_depthany(
                 break
         if not got:
             raise_error("distill: dataset produced no batches")
-    export_gguf(dict(state.params), dst, source=sfile)
-    return {"out": os.fspath(dst), "steps": done, "first_loss": first, "last_loss": last}
+    out_params = dict(state.params)
+    if lora_rank is not None:
+        from .lora import merge_lora, save_lora
+
+        if lora_out is not None:
+            save_lora(out_params, lora_out, arch=sfile.arch)
+        out_params = merge_lora(out_params)
+    export_gguf(out_params, dst, source=sfile)
+    result = {"out": os.fspath(dst), "steps": done, "first_loss": first, "last_loss": last}
+    if lora_rank is not None and lora_out is not None:
+        result["lora_out"] = os.fspath(lora_out)
+    return result
 
 
 _RECIPES = {"esrgan": finetune_esrgan}
