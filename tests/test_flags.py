@@ -178,6 +178,39 @@ def test_compile_cache_env_persists_programs(tmp_path, monkeypatch):
         _cc.reset_cache()
 
 
+def test_compile_cache_defaults_on_for_production_entries(monkeypatch):
+    """With VISP_COMPILE_CACHE unset, backend_init points the persistent
+    compile cache at ~/.cache/vision_tpu/xla — production CLI/serving/
+    training processes must not pay a multi-minute remote recompile per
+    cold start (NOTES.md round-4f: a cold serving warmup took ~25 min on a
+    degraded tunnel). Empty VISP_COMPILE_CACHE disables; an application
+    that already configured jax_compilation_cache_dir keeps its setting."""
+    import os
+
+    import jax
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min_time = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        # an already-configured dir (conftest's suite cache here) wins
+        monkeypatch.delenv("VISP_COMPILE_CACHE", raising=False)
+        backend_init(BackendType.cpu)
+        assert jax.config.jax_compilation_cache_dir == prev_dir
+        # unset env + unconfigured dir -> the default location
+        jax.config.update("jax_compilation_cache_dir", None)
+        backend_init(BackendType.cpu)
+        got = jax.config.jax_compilation_cache_dir
+        assert got is not None and got.endswith(os.path.join("vision_tpu", "xla"))
+        # empty env -> explicitly disabled
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("VISP_COMPILE_CACHE", "")
+        backend_init(BackendType.cpu)
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min_time)
+
+
 def test_flag_env_disable_spellings(monkeypatch):
     """'OFF'/'False'/'no' must DISABLE a flag, not force-enable it (the
     reference honors VISP_FLASH_ATTENTION=0; review r4c made the env parse

@@ -198,6 +198,27 @@ def backend_init(btype: BackendType | str | None = None) -> Device:
         # cache every program regardless of compile time or size
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    elif cache_dir is None and jax.config.jax_compilation_cache_dir is None:
+        # Persistent compile cache ON BY DEFAULT for production entry
+        # points (CLI, serving, training): big-model compiles run minutes
+        # over the remote-compile tunnel (NOTES.md: a cold serving warmup
+        # rode a degraded phase for ~25 min) and the cache makes them a
+        # one-time cost. VISP_COMPILE_CACHE=<path> overrides the location,
+        # VISP_COMPILE_CACHE= (empty) disables; an application that already
+        # configured jax_compilation_cache_dir (tests' conftest, bench.py)
+        # keeps its own setting. Entries are HLO-hash keyed per platform,
+        # so CPU/TPU programs never collide; size-bounded with LRU
+        # eviction so code churn can't grow it without bound.
+        _default_cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "vision_tpu", "xla"
+        )
+        try:
+            os.makedirs(_default_cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _default_cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_compilation_cache_max_size", 8 * 1024**3)
+        except OSError:
+            pass  # read-only home: run without a persistent cache
     if btype == BackendType.cpu:
         # an explicit CPU request must not initialize accelerator platforms:
         # device enumeration would connect to the TPU (over a tunnel here,

@@ -125,7 +125,10 @@ def add_lora(
             continue
         dv = _dense(v)
         shape = jnp.shape(dv)
-        if len(shape) != 2 or not jnp.issubdtype(jnp.asarray(dv).dtype, jnp.floating):
+        # dtype check stays on host: jnp.asarray would commit every weight
+        # to the default device (a tunnel H2D per tensor on TPU) just to
+        # read its dtype
+        if len(shape) != 2 or not jnp.issubdtype(dv.dtype, jnp.floating):
             if pat is not None:
                 # an explicit target that can't take an adapter is a bug
                 # in the caller's regex (conv / norm / non-float weight)
