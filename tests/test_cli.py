@@ -73,6 +73,29 @@ def test_cli_depthany(tmp_path):
     assert image_load(out).extent == (80, 60)
 
 
+def test_cli_export(tmp_path):
+    """export verb: GGUF in, loadable StableHLO bundle out."""
+    from test_depth_anything import TDepthAnything
+    from vision_tpu.convert.convert import convert_model
+    from vision_tpu.export import load_bundle
+
+    t = randomize(TDepthAnything())
+    ckpt = tmp_path / "d.pth"
+    torch.save(t.state_dict(), ckpt)
+    model = convert_model("depth-anything", ckpt, tmp_path / "d.gguf")
+    dst = tmp_path / "d.vxp"
+    rc = main(["export", "-m", str(model), "-o", str(dst), "-b", "cpu",
+               "--extent", "70", "70"])
+    assert rc == 0
+    b = load_bundle(dst)
+    assert b.names == ["forward"]
+    assert b.meta["family"] == "DepthAnythingModel"
+    w, h = b.meta["extent"]
+    x = np.random.default_rng(0).integers(0, 255, (1, h, w, 3), np.uint8)
+    y = np.asarray(b.call("forward", x))
+    assert y.shape[:3] == (1, h, w)
+
+
 @pytest.mark.slow
 def test_cli_yolov9t(tmp_path):
     """Full-size YOLOv9t weights through the CLI (including --dump)."""

@@ -44,3 +44,18 @@ def model_detect_family(file):
     from .api import model_detect_family as _detect
 
     return _detect(file)
+
+
+def export_model(model, dst, **kwargs):
+    """AOT-export a Model's compiled programs as a portable StableHLO
+    bundle (weights embedded by default; see vision_tpu.export)."""
+    from .export import export_model as _export
+
+    return _export(model, dst, **kwargs)
+
+
+def load_bundle(src):
+    """Open a bundle written by export_model / export_bundle."""
+    from .export import load_bundle as _load
+
+    return _load(src)

@@ -36,6 +36,7 @@ USAGE_COMMANDS = {
     "finetune": "self-supervised fine-tune of an esrgan .gguf on your images (L1 downscale-reconstruct)",
     "distill": "distill a depth-anything teacher .gguf into a smaller student on unlabeled images",
     "bench": "run the per-model benchmark table (vision-bench analog)",
+    "export": "AOT-export a model's compiled programs as a portable StableHLO bundle (.vxp)",
 }
 
 
@@ -220,14 +221,34 @@ def main(argv=None) -> int:
              "tiny GGUF adapter file",
     )
     parser.add_argument(
+        "--extent", nargs=2, type=int, default=None, metavar=("W", "H"),
+        help="export: input geometry for the extent-dynamic families "
+             "(esrgan/birefnet/depthany; snapped to the family's grid); "
+             "fixed-input families ignore it",
+    )
+    parser.add_argument(
+        "--no-embed", action="store_true",
+        help="export: program-only bundle (a few MB); call() then takes "
+             "the param dict first instead of baking weights in",
+    )
+    parser.add_argument(
+        "--platforms", nargs="+", default=None, metavar="PLAT",
+        help="export: lower for these backends (e.g. --platforms cpu tpu "
+             "for a multi-platform artifact; default: the current one)",
+    )
+    parser.add_argument(
         "--bench-args", nargs=argparse.REMAINDER, default=[],
         help="bench: arguments forwarded to vision_tpu.benchmark "
              "(e.g. --bench-args sam-encode-1024 --k 8)",
     )
     args = parser.parse_args(argv)
-    if args.input is None and args.command not in ("serve", "quantize", "bench", "info"):
+    if args.input is None and args.command not in (
+        "serve", "quantize", "bench", "info", "export"
+    ):
         parser.error("-i/--input is required")
-    if args.output is None and args.command not in ("serve", "quantize", "bench", "info", "compare"):
+    if args.output is None and args.command not in (
+        "serve", "quantize", "bench", "info", "compare", "export"
+    ):
         args.output = {
             "finetune": "finetuned.gguf", "distill": "distilled.gguf",
         }.get(args.command, "output.png")
@@ -417,6 +438,25 @@ def main(argv=None) -> int:
                 f"Expected 2 (point) or 4 (box) numbers for -p, got {len(args.prompt)}"
             )
         dev = _device(args)
+
+        if args.command == "export":
+            from .api import load_model
+            from .export import export_model
+
+            with _Timer("Loading model weights"):
+                model = load_model(model_path, dev)
+            dst = args.output or str(Path(model_path).with_suffix(".vxp"))
+            with _Timer("Exporting programs"):
+                names = export_model(
+                    model, dst,
+                    extent=tuple(args.extent) if args.extent else None,
+                    batch=args.batch if args.batch is not None else 1,
+                    embed_params=not args.no_embed,
+                    platforms=tuple(args.platforms) if args.platforms else None,
+                )
+            print(f"-> {dst} ({Path(dst).stat().st_size / 1e6:.1f} MB; "
+                  f"entries: {', '.join(names)})")
+            return 0
 
         if args.command in ("finetune", "distill"):
             mesh = None

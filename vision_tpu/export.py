@@ -1,0 +1,291 @@
+"""AOT model export — portable StableHLO deployment bundles.
+
+The reference's deployment artifact is the GGUF weight file; every
+consumer still needs the full C++ graph-builder at run time to turn it
+into a program. On TPU the natural deployment artifact is the PROGRAM:
+``jax.export`` serializes a jitted function (with or without its weights
+baked in) as versioned StableHLO with JAX's cross-release compatibility
+guarantees, and the loader side needs jax + this file format — none of
+the model-building code, no GGUF parsing, no Python model classes.
+
+A bundle is a zip with ``meta.json`` (format tag, family, per-entry
+input specs) plus one ``<entry>.stablehlo`` blob per exported program:
+
+  * ``export_model(model, dst)`` — family-aware: exports each of the
+    model's jitted executables at a fixed geometry (SAM: ``encode`` +
+    ``decode_point`` + ``decode_box``; everything else: ``forward`` /
+    ``upscale``). With ``embed_params=True`` (default) the weights ride
+    along as StableHLO constants — ONE self-contained file to ship; with
+    ``embed_params=False`` the artifact is program-only (a few MB) and
+    ``call`` takes the param dict as its first argument, exactly as
+    ``load_weights`` returns it.
+  * ``load_bundle(src).call(entry, *args)`` — deserialize + run. The
+    first call per entry compiles for the local backend (the persistent
+    compile cache applies); subsequent calls reuse the executable.
+
+Geometry is static by design (XLA programs are shape-specialized): pick
+``extent``/``batch`` at export time, export several bundles for several
+shape buckets if needed — same discipline the serving layer's bucketing
+uses. Exports are single-device programs: a model constructed with a
+``mesh`` refuses to export (shardings don't survive to an arbitrary
+loader topology); export an unmeshed model and shard at the call site
+instead. By default programs lower for the platform jax is running on;
+pass ``platforms=("cpu", "tpu")`` for a multi-platform artifact (costs
+one lowering per platform; pallas-flash routes refuse a cpu lowering —
+export those models with flags cleared or platforms=None).
+
+Reference anchor: this subsystem has no reference counterpart (its
+deploy story ends at the GGUF file, scripts/convert.py); it completes
+SURVEY §5's checkpoint/resume row on the inference side — a compiled
+program that survives the process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import numpy as np
+
+from .core.errors import raise_error
+
+__all__ = ["ExportedBundle", "export_bundle", "export_model", "load_bundle"]
+
+FORMAT = "vision_tpu-export-v1"
+
+
+def _leaf_specs(tree) -> list:
+    return [
+        [list(map(int, np.shape(l))), str(getattr(l, "dtype", type(l).__name__))]
+        for l in jax.tree_util.tree_leaves(tree)
+    ]
+
+
+def _ensure_jit(fn):
+    # jax.export wants a jit-wrapped callable; jit-of-jit is free
+    return fn if hasattr(fn, "lower") else jax.jit(fn)
+
+
+def export_bundle(
+    dst: str | os.PathLike,
+    entries: Mapping[str, tuple[Callable, Sequence]],
+    meta: Mapping[str, Any] | None = None,
+    platforms: Sequence[str] | None = None,
+) -> str:
+    """Serialize named jitted functions into one bundle file.
+
+    ``entries``: ``{name: (fn, example_args)}`` — ``example_args`` may be
+    real arrays or ``jax.ShapeDtypeStruct`` specs (no data needed).
+    ``meta``: extra keys merged into ``meta.json``. Returns ``dst``.
+    """
+    from jax import export as jexport
+
+    if not entries:
+        raise_error("export_bundle: no entries to export")
+    meta_out: dict = {"format": FORMAT, "jax_version": jax.__version__}
+    if meta:
+        meta_out.update(meta)
+    meta_out["entries"] = {}
+    blobs: dict[str, bytes] = {}
+    for name, (fn, args) in entries.items():
+        exp = jexport.export(_ensure_jit(fn), platforms=platforms)(*args)
+        blobs[name] = bytes(exp.serialize())
+        meta_out["entries"][name] = {
+            "inputs": _leaf_specs(args),
+            "platforms": list(exp.platforms),
+        }
+    with zipfile.ZipFile(os.fspath(dst), "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta_out, indent=1))
+        for name, blob in blobs.items():
+            z.writestr(name + ".stablehlo", blob)
+    return os.fspath(dst)
+
+
+class ExportedBundle:
+    """A loaded bundle: ``meta`` (dict), ``names`` (entry list),
+    ``call(name, *args)``. Deserialization is per-entry lazy; the first
+    ``call`` compiles for the local backend."""
+
+    def __init__(self, path: str, meta: dict, blobs: Mapping[str, bytes]):
+        self.path = path
+        self.meta = meta
+        self._blobs = dict(blobs)
+        self._loaded: dict[str, Any] = {}
+
+    @property
+    def names(self) -> list[str]:
+        return sorted(self._blobs)
+
+    def _entry(self, name: str):
+        if name not in self._loaded:
+            from jax import export as jexport
+
+            if name not in self._blobs:
+                raise_error(
+                    "bundle '{}' has no entry '{}' (have: {})",
+                    self.path, name, ", ".join(self.names),
+                )
+            self._loaded[name] = jexport.deserialize(bytearray(self._blobs[name]))
+        return self._loaded[name]
+
+    def call(self, name: str, *args):
+        return self._entry(name).call(*args)
+
+    def input_specs(self, name: str) -> list:
+        """Flattened ``[shape, dtype]`` list recorded at export time."""
+        self._entry(name)  # validate the name
+        return self.meta["entries"][name]["inputs"]
+
+
+def load_bundle(src: str | os.PathLike) -> ExportedBundle:
+    """Open a bundle written by ``export_bundle`` / ``export_model``."""
+    path = os.fspath(src)
+    with zipfile.ZipFile(path, "r") as z:
+        names = set(z.namelist())
+        if "meta.json" not in names:
+            raise_error("'{}' is not a vision_tpu export bundle (no meta.json)", path)
+        meta = json.loads(z.read("meta.json"))
+        if meta.get("format") != FORMAT:
+            raise_error(
+                "'{}' has unknown bundle format {!r} (expected {!r})",
+                path, meta.get("format"), FORMAT,
+            )
+        blobs = {
+            n[: -len(".stablehlo")]: z.read(n)
+            for n in names
+            if n.endswith(".stablehlo")
+        }
+    return ExportedBundle(path, meta, blobs)
+
+
+# ---------------------------------------------------------------------------
+# family-aware model export
+
+
+def _embed(fn, params):
+    """Close the weights over the program (they become StableHLO consts)."""
+    return jax.jit(lambda *rest: fn(params, *rest))
+
+
+def _sds(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def export_model(
+    model,
+    dst: str | os.PathLike,
+    extent: tuple[int, int] | None = None,
+    batch: int = 1,
+    embed_params: bool = True,
+    platforms: Sequence[str] | None = None,
+) -> list[str]:
+    """Export a high-level Model's jitted executables as a bundle.
+
+    ``extent`` (w, h) picks the input geometry for the extent-dynamic
+    families (esrgan / birefnet / depth-anything; snapped to each
+    family's valid grid exactly like their ``compute`` does); fixed-input
+    families (sam 1024², migan ``resolution``², yolo ``input_size``²,
+    sam3 ``image_size``²) ignore it. ``batch`` sets the leading axis.
+    Returns the entry names written. See the module docstring for the
+    call signatures; inputs are the SAME u8 device arrays the model
+    programs consume (preprocessing fused in-program).
+    """
+    import jax.numpy as jnp
+
+    if getattr(model, "mesh", None) is not None:
+        raise_error(
+            "export_model: sharded models don't export (the mesh topology "
+            "wouldn't survive to the loader); construct without a mesh"
+        )
+    if batch < 1:
+        raise_error("export_model: batch must be >= 1, got {}", batch)
+    kind = type(model).__name__
+    params = model.params
+    meta: dict = {"family": kind, "batch": batch, "params_embedded": embed_params}
+    entries: dict[str, tuple[Callable, tuple]] = {}
+
+    def add(name, fn, *args):
+        if embed_params:
+            entries[name] = (_embed(fn, params), tuple(args))
+        else:
+            entries[name] = (fn, (params,) + tuple(args))
+
+    if kind == "SamModel":
+        s = model.p.image_size
+        x1 = _sds((1, s, s, 3), jnp.uint8)
+        embed_spec = jax.eval_shape(model._enc_single, params, x1)
+        coords = _sds((2, 2), jnp.float32)
+        add("encode", model._enc_single, _sds((batch, s, s, 3), jnp.uint8))
+        add("decode_point", model._dec_point, embed_spec, coords)
+        add("decode_box", model._dec_box, embed_spec, coords)
+        meta["image_size"] = s
+    elif kind == "EsrganModel":
+        if not embed_params:
+            raise_error(
+                "export_model: esrgan always embeds its (packed) weights — "
+                "the trunk consumes a derived packed form, not the GGUF "
+                "param dict; drop embed_params=False"
+            )
+        w, h = extent or (1024, 1024)
+        fn = model._fn(("whole", (w, h)), True, (w, h))  # closes over packed
+        entries["upscale"] = (jax.jit(lambda x: fn(x)), (_sds((batch, h, w, 3), jnp.uint8),))
+        meta.update(extent=[w, h], scale=model.p.scale)
+    elif kind == "BirefnetModel":
+        from .models.birefnet import birefnet_image_extent
+
+        w, h = birefnet_image_extent(extent or (1024, 1024), model.p, model.device.max_alloc)
+        add("forward", model._fn((w, h)), _sds((batch, h, w, 3), jnp.uint8))
+        meta["extent"] = [w, h]
+    elif kind == "DepthAnythingModel":
+        from .models.depth_anything import depthany_image_extent
+
+        w, h = depthany_image_extent(extent or (518, 518), model.p)
+        add("forward", model._fn((w, h)), _sds((batch, h, w, 3), jnp.uint8))
+        meta["extent"] = [w, h]
+    elif kind == "MiganModel":
+        r = model.p.resolution
+        add(
+            "forward", model._run,
+            _sds((batch, r, r, 3), jnp.uint8), _sds((batch, r, r, 1), jnp.uint8),
+        )
+        meta["resolution"] = r
+    elif kind == "Yolov9tModel":
+        s = model.p.input_size
+        add("forward", model._run, _sds((batch, s, s, 3), jnp.uint8))
+        meta["input_size"] = s
+    elif kind == "Sam3Model":
+        s = model._vp.image_size
+        t = model.max_tokens
+        dtype = model.device.preferred_float_type
+        stack = model._vision_stack()  # also drops the flat window copies
+        params = model.params  # re-read: _vision_stack rebinds the view
+
+        def vision(p_, st_, x_):
+            return model._vision_fn(p_, st_, x_)
+
+        if embed_params:
+            entries["encode_vision"] = (
+                jax.jit(lambda x: vision(params, stack, x)),
+                (_sds((1, s, s, 3), dtype),),
+            )
+            entries["encode_text"] = (
+                _embed(model._text_fn, params),
+                (_sds((1, t), jnp.int32), _sds((t, t), jnp.float32)),
+            )
+        else:
+            entries["encode_vision"] = (
+                jax.jit(vision),
+                (params, stack, _sds((1, s, s, 3), dtype)),
+            )
+            entries["encode_text"] = (
+                model._text_fn,
+                (params, _sds((1, t), jnp.int32), _sds((t, t), jnp.float32)),
+            )
+        meta.update(image_size=s, max_tokens=t)
+    else:
+        raise_error("export_model: unsupported model type '{}'", kind)
+    export_bundle(dst, entries, meta=meta, platforms=platforms)
+    return sorted(entries)
