@@ -146,14 +146,14 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--batch", type=int, default=None,
-        help="serve: max batch size (default: each service's measured "
+        help="serve/bulk: max batch size (default: each service's measured "
         "per-chip optimum — sam 6, esrgan/birefnet/depthany/migan 4, "
         "yolo 8 — times --dp); finetune: training batch size (default 4)",
     )
     parser.add_argument(
         "--dp", type=int, default=0, metavar="N",
-        help="serve/finetune: shard each batch over N chips (data parallel "
-        "over ICI; every served family meshes, 0 = single chip)",
+        help="serve/bulk/finetune: shard each batch over N chips (data "
+        "parallel over ICI; every served family meshes, 0 = single chip)",
     )
     parser.add_argument(
         "--warmup", action="store_true",
@@ -251,7 +251,11 @@ def main(argv=None) -> int:
     ):
         args.output = {
             "finetune": "finetuned.gguf", "distill": "distilled.gguf",
-        }.get(args.command, "output.png")
+        }.get(args.command)
+        if args.output is None:
+            # directory input = bulk mode: the output is a directory too
+            bulk_in = args.input and os.path.isdir(args.input[0])
+            args.output = "bulk_out" if bulk_in else "output.png"
 
     if args.command == "compare":
         # host-only metrics — no model, no TPU (reference analog:
@@ -438,6 +442,52 @@ def main(argv=None) -> int:
                 f"Expected 2 (point) or 4 (box) numbers for -p, got {len(args.prompt)}"
             )
         dev = _device(args)
+
+        model_families = ("sam", "birefnet", "depthany", "migan", "esrgan", "yolov9t")
+        if args.command in model_families and os.path.isdir(args.input[0]):
+            # bulk mode: a directory of images through the family's
+            # batching server (vision_tpu/bulk.py) — one jitted program
+            # per same-extent group, optionally dp-sharded over --dp chips
+            from .bulk import bulk_inputs, bulk_run, pair_masks
+
+            mesh = None
+            if args.dp:
+                if args.dp < 1:
+                    raise VispError(f"--dp must be >= 1, got {args.dp}")
+                from .parallel import make_mesh
+
+                mesh = make_mesh(args.dp)
+            if args.command == "sam":
+                from .models.mobile_sam import sam_load_model as loader
+            elif args.command == "birefnet":
+                from .models.birefnet import birefnet_load_model as loader
+            elif args.command == "depthany":
+                from .models.depth_anything import depthany_load_model as loader
+            elif args.command == "migan":
+                from .models.migan import migan_load_model as loader
+            elif args.command == "esrgan":
+                from .models.esrgan import esrgan_load_model as loader
+            else:
+                from .models.yolov9t import yolov9t_load_model as loader
+            inputs = bulk_inputs(args.input[0])
+            if args.command == "migan":
+                if not os.path.isdir(args.input[1]):
+                    raise VispError(
+                        "migan bulk mode takes two directories: -i <images> <masks> "
+                        "(masks matched to images by filename stem)"
+                    )
+                inputs = pair_masks(inputs, args.input[1])
+            with _Timer("Loading model weights"):
+                model = loader(model_path, dev, mesh=mesh) if mesh else loader(model_path, dev)
+            print(f"Processing {len(inputs)} images -> {args.output}/")
+            with _profile(args):
+                outs = bulk_run(
+                    model, inputs, args.output, prompt=args.prompt,
+                    conf_thres=args.conf, iou_thres=args.iou,
+                    batch_size=args.batch,
+                )
+            print(f"-> {len(outs)} files written to {args.output}/")
+            return 0
 
         if args.command == "export":
             from .api import load_model
