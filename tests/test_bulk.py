@@ -115,6 +115,29 @@ def test_bulk_yolo_detections_json(tmp_path, dev):
     assert image_load(tmp_path / "out" / "u.png").extent == (120, 100)
 
 
+def test_bulk_corrupt_image_skipped(tmp_path, tiny_depthany):
+    """A broken file mid-folder is reported and skipped; every other
+    image still processes (the documented per-item failure contract)."""
+    _write_images(tmp_path / "in", [("a", (98, 98)), ("c", (98, 98))])
+    (tmp_path / "in" / "b.png").write_bytes(b"not a png at all")
+    logs = []
+    outs = bulk_run(tiny_depthany, bulk_inputs(tmp_path / "in"),
+                    tmp_path / "out", log=logs.append)
+    assert sorted(Path(o).name for o in outs) == ["a.png", "c.png"]
+    assert any("FAILED" in line and "b.png" in line for line in logs)
+    assert any("1 failed" in line for line in logs)  # summary counts it
+
+
+def test_bulk_duplicate_stems_refused(tmp_path, tiny_depthany):
+    """a.png + a.jpg would clobber one output — the plan is validated
+    upfront, before any image is decoded or submitted."""
+    _write_images(tmp_path / "in", [("a", (98, 98))])
+    (tmp_path / "in" / "a.jpg").write_bytes(b"content never read")
+    with pytest.raises(VispError, match="duplicate input stem 'a'"):
+        bulk_run(tiny_depthany, bulk_inputs(tmp_path / "in"),
+                 tmp_path / "out", log=lambda *_: None)
+
+
 def test_bulk_input_validation(tmp_path, tiny_depthany):
     with pytest.raises(VispError, match="not a directory"):
         bulk_inputs(tmp_path / "nope")

@@ -98,6 +98,103 @@ def test_export_migan_two_inputs(tmp_path, dev):
     assert np.array_equal(got, want)
 
 
+def test_export_yolo_namedtuple_outputs_become_dicts(tmp_path, dev):
+    """Programs returning NamedTuple pytrees (DetectOutput) must export:
+    jax.export can't serialize unregistered NamedTuples, so export_model
+    rewrites outputs to plain {field: array} dicts — loadable with jax
+    alone (review r4i finding: sam/yolo/sam3 export crashed)."""
+    from vision_tpu.models.random_weights import random_yolov9t_params
+    from vision_tpu.models.yolov9t import Yolov9tModel, Yolov9tParams
+
+    model = Yolov9tModel(random_yolov9t_params(), Yolov9tParams(input_size=160), dev)
+    dst = tmp_path / "y.vxp"
+    assert export_model(model, dst) == ["forward"]
+    x = np.random.default_rng(4).integers(0, 255, (1, 160, 160, 3), np.uint8)
+    got = load_bundle(dst).call("forward", x)
+    want = model._run(model.params, jnp.asarray(x))
+    assert isinstance(got, dict) and set(got) == set(want._fields)
+    for field in want._fields:
+        np.testing.assert_allclose(
+            np.asarray(got[field]), np.asarray(getattr(want, field)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_export_sam_three_entries_serialize(tmp_path, dev):
+    """SAM exports encode + both decode entries (SamPrediction outputs);
+    serialization alone exercises the NamedTuple rewrite — a .call would
+    recompile the full 1024 encoder, already covered by test_serve."""
+    from vision_tpu.models.mobile_sam import SamModel, SamParams
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+
+    model = SamModel(
+        {k: np.asarray(v) for k, v in random_mobile_sam_params(0).items()},
+        SamParams(), dev,
+    )
+    dst = tmp_path / "s.vxp"
+    names = export_model(model, dst, batch=2)
+    assert names == ["decode_box", "decode_point", "encode"]
+    b = load_bundle(dst)
+    (enc_spec,) = b.input_specs("encode")
+    assert enc_spec == [[2, 1024, 1024, 3], "uint8"]
+    # decode entries are per-prompt: coords (2, 2) f32 rides last
+    assert b.input_specs("decode_point")[-1] == [[2, 2], "float32"]
+
+
+def test_export_sam3_vision_and_text(tmp_path, dev):
+    """SAM3 exports encode_vision (batch-general) + encode_text
+    (per-prompt); the vision program already returns a plain tuple of FPN
+    levels (sam3.py _sam3_programs) and the loaded copy matches it."""
+    import json as _json
+
+    import torch
+    from test_sam3 import TClipText, TFpnLayer, TVit
+    from workbench import randomize
+
+    from vision_tpu.convert.convert import convert_model
+    from vision_tpu.models.sam3 import Sam3Model, Sam3VitParams, sam3_load_model
+
+    tokens = ["<unk>", "a", "b", "a</w>", "b</w>", "<|startoftext|>", "<|endoftext|>"]
+    (tmp_path / "vocab.json").write_text(_json.dumps({t: i for i, t in enumerate(tokens)}))
+    (tmp_path / "merges.txt").write_text("#version\na b\n")
+    (tmp_path / "tokenizer_config.json").write_text(_json.dumps({
+        "bos_token_id": 5, "eos_token_id": 6, "pad_token_id": 6,
+        "unk_token_id": 0, "model_max_length": 8,
+    }))
+    dim, fpn = 8, 4
+    text = randomize(TClipText(vocab=7, dim=16, heads=4, layers=2, max_pos=8))
+    vit = randomize(TVit(dim=dim, heads=2, layers=3, patch=4, pretrain_grid=4,
+                         window=2, glob=(1,), img=16), seed=5)
+    neck = [randomize(TFpnLayer(dim, fpn, i), seed=20 + i) for i in range(4)]
+    ckpt = {}
+    for k, v in text.state_dict().items():
+        ckpt["detector_model.text_encoder.text_model." + k] = v
+    for k, v in vit.state_dict().items():
+        ckpt["detector_model.vision_encoder.backbone." + k] = v
+    for i, lay in enumerate(neck):
+        for k, v in lay.state_dict().items():
+            ckpt[f"detector_model.vision_encoder.neck.fpn_layers.{i}." + k] = v
+    torch.save(ckpt, tmp_path / "sam3.pth")
+    gguf = convert_model("sam3", tmp_path / "sam3.pth", tmp_path / "sam3.gguf")
+
+    vp = Sam3VitParams(image_size=16, patch_size=4, window_size=2, n_layers=3,
+                       n_heads=2, global_attn_indexes=(1,))
+    loaded = sam3_load_model(str(gguf), dev)
+    model = Sam3Model(loaded.params, loaded.tokenizer, loaded.max_tokens, dev, vp=vp)
+
+    dst = tmp_path / "s3.vxp"
+    names = export_model(model, dst, batch=2)
+    assert names == ["encode_text", "encode_vision"]
+    b = load_bundle(dst)
+    assert b.input_specs("encode_vision")[-1][0] == [2, 16, 16, 3]
+    x = np.random.default_rng(6).standard_normal((2, 16, 16, 3)).astype(np.float32)
+    got = b.call("encode_vision", x)
+    want = model._vision_fn(model.params, model._vision_stack(), jnp.asarray(x))
+    assert isinstance(got, tuple) and len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5)
+
+
 def test_export_bundle_container_and_errors(tmp_path, tiny_depthany):
     dst = tmp_path / "da.vxp"
     export_model(tiny_depthany, dst, extent=(126, 126))

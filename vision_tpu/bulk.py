@@ -108,8 +108,17 @@ def bulk_run(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    # family dispatch: (server, submit(request-paths) -> Future,
-    #                   finish(result, stem) -> output path | None)
+    # family dispatch: server + submit(request paths) -> Future; finish
+    # turns a resolved result into the written file, fail cleans up any
+    # per-item state when a future/finish errored
+    def finish(res, stem):  # default: PNG under the input's stem
+        dst = out / f"{stem}.png"
+        _save(res, dst)
+        return str(dst)
+
+    def fail(stem):
+        pass
+
     detections: dict[str, list] = {}
     if kind == "SamModel":
         from .serve import SamServer
@@ -124,11 +133,6 @@ def bulk_run(
                 return server.submit(img, point=(prompt[0], prompt[1]))
             return server.submit(img, point=(img.width // 2, img.height // 2))
 
-        def finish(res, stem):
-            dst = out / f"{stem}.png"
-            _save(res, dst)
-            return str(dst)
-
     elif kind == "EsrganModel":
         from .serve import EsrganServer
 
@@ -136,11 +140,6 @@ def bulk_run(
 
         def submit(path):
             return server.submit(image_load(path))
-
-        def finish(res, stem):
-            dst = out / f"{stem}.png"
-            _save(res, dst)
-            return str(dst)
 
     elif kind in ("BirefnetModel", "DepthAnythingModel", "MiganModel"):
         from .serve import ImageServer
@@ -152,11 +151,6 @@ def bulk_run(
                 img_path, mask_path = path
                 return server.submit((image_load(img_path), image_load(mask_path)))
             return server.submit(image_load(path))
-
-        def finish(res, stem):
-            dst = out / f"{stem}.png"
-            _save(res, dst)
-            return str(dst)
 
     elif kind == "Yolov9tModel":
         from .models.yolov9t import COCO_CLASS_NAMES, draw_detections
@@ -172,6 +166,10 @@ def bulk_run(
             return server.submit(img)
 
         def finish(dets, stem):
+            # write the annotation FIRST: an image only appears in
+            # detections.json if its output file exists
+            dst = out / f"{stem}.png"
+            _save(draw_detections(originals.pop(stem), dets), dst)
             detections[stem] = [
                 {
                     "class": COCO_CLASS_NAMES[d.class_id]
@@ -181,9 +179,11 @@ def bulk_run(
                 }
                 for d in dets
             ]
-            dst = out / f"{stem}.png"
-            _save(draw_detections(originals.pop(stem), dets), dst)
             return str(dst)
+
+        def fail(stem):  # don't let failed items pin their decoded image
+            originals.pop(stem, None)
+            detections.pop(stem, None)
 
     else:
         raise_error("bulk: unsupported model type '{}'", kind)
@@ -201,16 +201,34 @@ def bulk_run(
             written.append(finish(fut.result(), stem))
         except Exception as e:  # per-item: log + continue
             failures += 1
+            fail(stem)
             log(f"  FAILED {src}: {e}")
+
+    # validate the whole plan BEFORE any work: pure path checks, so a bad
+    # plan fails fast instead of mid-run with results half-written
+    seen_stems: set[str] = set()
+    for item in inputs:
+        src = item[0] if isinstance(item, tuple) else item
+        stem = Path(src).stem
+        if stem in seen_stems:
+            # a.png + a.jpg would both write out/a.png (and cross the
+            # YOLO per-stem state) — refuse rather than silently clobber
+            raise_error("bulk: duplicate input stem '{}' ('{}')", stem, src)
+        seen_stems.add(stem)
+        dst = out / f"{stem}.png"
+        if dst.resolve() == Path(src).resolve():
+            raise_error("bulk: output '{}' would overwrite its input", dst)
 
     try:
         for item in inputs:
             src = item[0] if isinstance(item, tuple) else item
             stem = Path(src).stem
-            dst = out / f"{stem}.png"
-            if dst.resolve() == Path(src).resolve():
-                raise_error("bulk: output '{}' would overwrite its input", dst)
-            pending.append((stem, src, submit(item)))
+            try:
+                pending.append((stem, src, submit(item)))
+            except Exception as e:  # e.g. a corrupt image failing decode
+                failures += 1
+                fail(stem)
+                log(f"  FAILED {src}: {e}")
             while len(pending) >= window:
                 drain_one()
         while pending:

@@ -223,8 +223,8 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--extent", nargs=2, type=int, default=None, metavar=("W", "H"),
         help="export: input geometry for the extent-dynamic families "
-             "(esrgan/birefnet/depthany; snapped to the family's grid); "
-             "fixed-input families ignore it",
+             "(birefnet/depthany snap it to their grids, esrgan takes it "
+             "verbatim); fixed-input families ignore it",
     )
     parser.add_argument(
         "--no-embed", action="store_true",

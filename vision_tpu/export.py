@@ -69,6 +69,23 @@ def _ensure_jit(fn):
     return fn if hasattr(fn, "lower") else jax.jit(fn)
 
 
+def _as_plain(x):
+    """NamedTuples -> plain dicts, recursively. The model programs return
+    NamedTuple pytrees (SamPrediction, DetectOutput, VisionOutput...)
+    which jax.export refuses to serialize unless the loader registers the
+    same types — a bundle must load with jax alone, so exported programs
+    return {field: array} dicts instead."""
+    if hasattr(x, "_fields"):
+        return {k: _as_plain(v) for k, v in zip(x._fields, x)}
+    if isinstance(x, (list, tuple)):
+        return tuple(_as_plain(v) for v in x)
+    return x
+
+
+def _portable(fn):
+    return lambda *a: _as_plain(fn(*a))
+
+
 def export_bundle(
     dst: str | os.PathLike,
     entries: Mapping[str, tuple[Callable, Sequence]],
@@ -119,15 +136,18 @@ class ExportedBundle:
     def names(self) -> list[str]:
         return sorted(self._blobs)
 
+    def _check(self, name: str) -> None:
+        if name not in self._blobs:
+            raise_error(
+                "bundle '{}' has no entry '{}' (have: {})",
+                self.path, name, ", ".join(self.names),
+            )
+
     def _entry(self, name: str):
         if name not in self._loaded:
             from jax import export as jexport
 
-            if name not in self._blobs:
-                raise_error(
-                    "bundle '{}' has no entry '{}' (have: {})",
-                    self.path, name, ", ".join(self.names),
-                )
+            self._check(name)
             self._loaded[name] = jexport.deserialize(bytearray(self._blobs[name]))
         return self._loaded[name]
 
@@ -135,8 +155,9 @@ class ExportedBundle:
         return self._entry(name).call(*args)
 
     def input_specs(self, name: str) -> list:
-        """Flattened ``[shape, dtype]`` list recorded at export time."""
-        self._entry(name)  # validate the name
+        """Flattened ``[shape, dtype]`` list recorded at export time (read
+        from meta.json — does not deserialize the program)."""
+        self._check(name)
         return self.meta["entries"][name]["inputs"]
 
 
@@ -185,10 +206,13 @@ def export_model(
     """Export a high-level Model's jitted executables as a bundle.
 
     ``extent`` (w, h) picks the input geometry for the extent-dynamic
-    families (esrgan / birefnet / depth-anything; snapped to each
-    family's valid grid exactly like their ``compute`` does); fixed-input
+    families: birefnet / depth-anything snap it to their valid grids
+    exactly like their ``compute`` does; esrgan takes it verbatim (its
+    trunk has no grid — pick the extents you will serve). Fixed-input
     families (sam 1024², migan ``resolution``², yolo ``input_size``²,
-    sam3 ``image_size``²) ignore it. ``batch`` sets the leading axis.
+    sam3 ``image_size``²) ignore it. ``batch`` sets the leading axis of
+    the image-input entries (SAM decode and sam3 text entries stay
+    per-item — see ``meta["entries"][*]["inputs"]``).
     Returns the entry names written. See the module docstring for the
     call signatures; inputs are the SAME u8 device arrays the model
     programs consume (preprocessing fused in-program).
@@ -208,16 +232,20 @@ def export_model(
     entries: dict[str, tuple[Callable, tuple]] = {}
 
     def add(name, fn, *args):
+        fn = _portable(fn)  # NamedTuple outputs -> plain dicts
         if embed_params:
             entries[name] = (_embed(fn, params), tuple(args))
         else:
-            entries[name] = (fn, (params,) + tuple(args))
+            entries[name] = (jax.jit(fn), (params,) + tuple(args))
 
     if kind == "SamModel":
         s = model.p.image_size
         x1 = _sds((1, s, s, 3), jnp.uint8)
         embed_spec = jax.eval_shape(model._enc_single, params, x1)
         coords = _sds((2, 2), jnp.float32)
+        # ``batch`` sizes the encode entry; the decode entries are
+        # per-prompt (one embedding + one prompt, the model's own decode
+        # granularity) — per-entry shapes are in meta["entries"][*]["inputs"]
         add("encode", model._enc_single, _sds((batch, s, s, 3), jnp.uint8))
         add("decode_point", model._dec_point, embed_spec, coords)
         add("decode_box", model._dec_box, embed_spec, coords)
@@ -264,24 +292,22 @@ def export_model(
         params = model.params  # re-read: _vision_stack rebinds the view
 
         def vision(p_, st_, x_):
-            return model._vision_fn(p_, st_, x_)
+            return _as_plain(model._vision_fn(p_, st_, x_))
 
+        text = _portable(model._text_fn)
+        # the vision trunk is batch-general; text encode is per-prompt
+        # (one (1, t) token row, the model's encode_text granularity)
+        x_spec = _sds((batch, s, s, 3), dtype)
         if embed_params:
-            entries["encode_vision"] = (
-                jax.jit(lambda x: vision(params, stack, x)),
-                (_sds((1, s, s, 3), dtype),),
-            )
+            entries["encode_vision"] = (jax.jit(lambda x: vision(params, stack, x)), (x_spec,))
             entries["encode_text"] = (
-                _embed(model._text_fn, params),
+                _embed(text, params),
                 (_sds((1, t), jnp.int32), _sds((t, t), jnp.float32)),
             )
         else:
-            entries["encode_vision"] = (
-                jax.jit(vision),
-                (params, stack, _sds((1, s, s, 3), dtype)),
-            )
+            entries["encode_vision"] = (jax.jit(vision), (params, stack, x_spec))
             entries["encode_text"] = (
-                model._text_fn,
+                jax.jit(text),
                 (params, _sds((1, t), jnp.int32), _sds((t, t), jnp.float32)),
             )
         meta.update(image_size=s, max_tokens=t)
