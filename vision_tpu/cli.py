@@ -33,6 +33,7 @@ USAGE_COMMANDS = {
     "quantize": "rewrite a .gguf at a different float type (q8_0, q4_0/1, q5_0/1, K-quants, iq4_nl/xs, f16, f32)",
     "info": "inspect a .gguf: metadata, detected family, tensor/type breakdown",
     "compare": "compare two images: RMS (reference image_difference_rms semantics), PSNR, SSIM",
+    "eval": "score a prediction directory against ground truth (mask IoU/F1, depth AbsRel/delta1, PSNR/SSIM, detection mAP); with -m, run the model on -i first",
     "finetune": "self-supervised fine-tune of an esrgan .gguf on your images (L1 downscale-reconstruct)",
     "distill": "distill a depth-anything teacher .gguf into a smaller student on unlabeled images",
     "bench": "run the per-model benchmark table (vision-bench analog)",
@@ -183,6 +184,28 @@ def main(argv=None) -> int:
         "--max-rms", type=float, default=None, metavar="T",
         help="compare: exit 2 if RMS exceeds T (scripted regression gating)",
     )
+    from .evaluate import TASKS as EVAL_TASKS
+
+    parser.add_argument(
+        "--task", default=None, choices=list(EVAL_TASKS),
+        help="eval: what the predictions are (default: inferred from the "
+             "-m model's family; required when scoring without a model)",
+    )
+    parser.add_argument(
+        "--gt", default=None, metavar="PATH",
+        help="eval: ground-truth directory (detection: .txt dir or JSON), "
+             "files matched to predictions by stem",
+    )
+    parser.add_argument(
+        "--no-align", action="store_true",
+        help="eval: score depth WITHOUT scale/shift-aligning the relative "
+             "prediction to the ground truth first",
+    )
+    parser.add_argument(
+        "--pred-out", default=None, metavar="DIR",
+        help="eval with -m: keep the generated predictions here "
+             "(default: a temporary directory)",
+    )
     parser.add_argument(
         "--steps", type=int, default=200, help="finetune: optimizer steps",
     )
@@ -247,7 +270,7 @@ def main(argv=None) -> int:
     ):
         parser.error("-i/--input is required")
     if args.output is None and args.command not in (
-        "serve", "quantize", "bench", "info", "compare", "export"
+        "serve", "quantize", "bench", "info", "compare", "export", "eval"
     ):
         args.output = {
             "finetune": "finetuned.gguf", "distill": "distilled.gguf",
@@ -377,6 +400,77 @@ def main(argv=None) -> int:
                 tname = getattr(info.ggml_type, "name", str(info.ggml_type))
                 shape = "x".join(str(d) for d in info.shape)
                 print(f"    {info.name:<{width}}  {tname:<7} {shape}")
+        return 0
+
+    if args.command == "eval":
+        # dataset scoring (vision_tpu/evaluate.py). Two modes:
+        #   scoring-only:  eval --task mask -i <pred dir> --gt <gt dir>
+        #   with a model:  eval -m model.gguf -i <images dir> --gt <gt dir>
+        # The second runs bulk inference first (the -i directory through
+        # the family's batching server) and scores the fresh predictions.
+        import json as _json
+        import tempfile
+
+        from .evaluate import evaluate, format_report, task_for_family
+
+        if not args.gt:
+            parser.error("eval requires --gt <ground-truth dir (or JSON)>")
+        try:
+            if args.model:
+                from .api import load_model, model_detect_family
+                from .bulk import bulk_inputs, bulk_run, pair_masks
+                from .core.gguf import model_load
+
+                model_path = find_model(args.model)
+                family = model_detect_family(model_load(model_path)).value
+                task = args.task or task_for_family(family)
+                if not os.path.isdir(args.input[0]):
+                    raise VispError(
+                        "eval with -m takes an image DIRECTORY as -i "
+                        f"(got '{args.input[0]}')"
+                    )
+                inputs = bulk_inputs(args.input[0])
+                if family == "migan":
+                    if len(args.input) != 2 or not os.path.isdir(args.input[1]):
+                        raise VispError(
+                            "eval migan takes two directories: -i <images> <masks>"
+                        )
+                    inputs = pair_masks(inputs, args.input[1])
+                elif len(args.input) != 1:
+                    raise VispError("eval takes one input directory: -i <images>")
+                dev = _device(args)
+                with tempfile.TemporaryDirectory(prefix="vision-eval-") as tmp:
+                    pred_dir = args.pred_out or tmp
+                    with _Timer("Loading model weights"):
+                        model = load_model(model_path, dev)
+                    print(f"Predicting {len(inputs)} images"
+                          + (f" -> {pred_dir}/" if args.pred_out else ""))
+                    with _profile(args):
+                        bulk_run(
+                            model, inputs, pred_dir, prompt=args.prompt,
+                            conf_thres=args.conf, iou_thres=args.iou,
+                            batch_size=args.batch,
+                        )
+                    result = evaluate(
+                        task, pred_dir, args.gt, align_depth=not args.no_align
+                    )
+            else:
+                if not args.task:
+                    parser.error("eval without -m requires --task")
+                # pure host scoring — pin the CPU backend before any jnp
+                # metric op (same tunnel contract as the compare verb)
+                backend_init(BackendType.cpu)
+                result = evaluate(
+                    args.task, args.input[0], args.gt,
+                    align_depth=not args.no_align,
+                )
+        except VispError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        print(format_report(result))
+        if args.output:
+            Path(args.output).write_text(_json.dumps(result, indent=1))
+            print(f"-> {args.output}")
         return 0
 
     from .image import image_load, image_save
