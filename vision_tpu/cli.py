@@ -276,9 +276,16 @@ def main(argv=None) -> int:
             "finetune": "finetuned.gguf", "distill": "distilled.gguf",
         }.get(args.command)
         if args.output is None:
-            # directory input = bulk mode: the output is a directory too
-            bulk_in = args.input and os.path.isdir(args.input[0])
-            args.output = "bulk_out" if bulk_in else "output.png"
+            # directory input = bulk mode (output is a directory); video
+            # input = video mode (output is a video)
+            if args.input and os.path.isdir(args.input[0]):
+                args.output = "bulk_out"
+            else:
+                from .video import is_video
+
+                args.output = (
+                    "output.mp4" if args.input and is_video(args.input[0]) else "output.png"
+                )
 
     if args.command == "compare":
         # host-only metrics — no model, no TPU (reference analog:
@@ -538,12 +545,18 @@ def main(argv=None) -> int:
         dev = _device(args)
 
         model_families = ("sam", "birefnet", "depthany", "migan", "esrgan", "yolov9t")
-        if args.command in model_families and os.path.isdir(args.input[0]):
+        from .video import is_video
+
+        bulk_in = args.command in model_families and os.path.isdir(args.input[0])
+        video_in = (
+            args.command in model_families and not bulk_in and is_video(args.input[0])
+        )
+        if bulk_in or video_in:
             # bulk mode: a directory of images through the family's
             # batching server (vision_tpu/bulk.py) — one jitted program
-            # per same-extent group, optionally dp-sharded over --dp chips
-            from .bulk import bulk_inputs, bulk_run, pair_masks
-
+            # per same-extent group, optionally dp-sharded over --dp chips.
+            # video mode: the same servers over a frame stream
+            # (vision_tpu/video.py), results re-encoded at the source fps
             mesh = None
             if args.dp:
                 if args.dp < 1:
@@ -563,6 +576,36 @@ def main(argv=None) -> int:
                 from .models.esrgan import esrgan_load_model as loader
             else:
                 from .models.yolov9t import yolov9t_load_model as loader
+            if video_in:
+                import json
+
+                from .video import video_run
+
+                mask = None
+                if args.command == "migan":
+                    if len(args.input) != 2 or is_video(args.input[1]):
+                        raise VispError(
+                            "migan video mode takes -i <video> <mask-image> "
+                            "(one static mask applied to every frame)"
+                        )
+                    mask = args.input[1]
+                with _Timer("Loading model weights"):
+                    model = loader(model_path, dev, mesh=mesh) if mesh else loader(model_path, dev)
+                print(f"Processing {args.input[0]} -> {args.output}")
+                with _profile(args):
+                    dets = video_run(
+                        model, args.input[0], args.output, prompt=args.prompt,
+                        mask=mask, conf_thres=args.conf, iou_thres=args.iou,
+                        batch_size=args.batch,
+                    )
+                if dets is not None:
+                    dst = Path(args.output).with_suffix(".detections.json")
+                    dst.write_text(json.dumps(dets, indent=1))
+                    print(f"-> {dst} ({sum(len(d) for d in dets)} detections)")
+                print(f"-> {args.output}")
+                return 0
+            from .bulk import bulk_inputs, bulk_run, pair_masks
+
             inputs = bulk_inputs(args.input[0])
             if args.command == "migan":
                 if not os.path.isdir(args.input[1]):
