@@ -154,8 +154,18 @@ def test_video_migan_static_mask(tmp_path, dev):
     image_save(Image(m, ImageFormat.alpha_u8), tmp_path / "mask.png")
     out = tmp_path / "out.avi"
     video_run(model, src, out, mask=tmp_path / "mask.png", log=lambda *_: None)
+    with VideoReader(src) as r:
+        inputs = list(r)
     with VideoReader(out) as r:
-        assert r.extent == (64, 64) and len(list(r)) == 3
+        outputs = list(r)
+    assert len(outputs) == 3
+    # the keep region (mask=255) must be the ORIGINAL pixels, not the
+    # generator's whole-frame reconstruction (composite in the drain path;
+    # tolerance = two lossy encode round-trips)
+    for i in (0, 2):
+        keep_in = inputs[i].data[:10, :, :].astype(int)
+        keep_out = outputs[i].data[:10, :, :].astype(int)
+        assert np.mean(np.abs(keep_out - keep_in)) < 12.0
     with pytest.raises(VispError, match="needs a mask"):
         video_run(model, src, tmp_path / "o2.avi", log=lambda *_: None)
 
@@ -168,6 +178,21 @@ def test_video_run_validation(tmp_path, tiny_depthany):
         video_run(tiny_depthany, src, src)
     with pytest.raises(VispError, match="unsupported model type"):
         video_run(object(), src, tmp_path / "out.avi")
+
+
+def test_video_cli_rejects_single_image_options(tmp_path, capsys):
+    """--tile/--composite belong to the single-image paths; video mode
+    rejects them up front instead of silently ignoring them (an HD esrgan
+    clip would otherwise fail on frame 1 pointing at a path video mode
+    doesn't expose)."""
+    from vision_tpu.cli import main
+
+    src = _write_video(tmp_path / "in.avi", _gradient_frames(1, 32, 32))
+    rc = main(["esrgan", "-i", src, "-o", str(tmp_path / "o.avi"), "--tile", "256"])
+    assert rc == 1 and "not supported in video mode" in capsys.readouterr().err
+    rc = main(["sam", "-i", src, "-o", str(tmp_path / "o.avi"),
+               "--composite", str(tmp_path / "c.png")])
+    assert rc == 1 and "not supported in video mode" in capsys.readouterr().err
 
 
 def test_video_cli_depthany(tmp_path):

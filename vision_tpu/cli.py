@@ -287,6 +287,26 @@ def main(argv=None) -> int:
                     "output.mp4" if args.input and is_video(args.input[0]) else "output.png"
                 )
 
+    if (
+        args.input
+        and (args.tile > 0 or args.composite)
+        and not os.path.isdir(args.input[0])
+    ):
+        from .video import is_video
+
+        if is_video(args.input[0]):
+            # both options belong to the single-image paths; accepting and
+            # ignoring them would surprise (esrgan video frames run through
+            # the whole-image server, capped at ~1 MP/frame — see docs/cli.md)
+            print(
+                "Error: --tile/--composite are not supported in video mode; "
+                "esrgan video frames must fit the whole-image server cap "
+                "(~1 MP) — for larger frames extract them to a directory and "
+                "use bulk mode, which reports and skips over-cap items",
+                file=sys.stderr,
+            )
+            return 1
+
     if args.command == "compare":
         # host-only metrics — no model, no TPU (reference analog:
         # image_difference_rms, tests/test-image.cpp usage; psnr/ssim are

@@ -30,7 +30,27 @@ from .errors import raise_error
 from .gguf import GGUFFile
 from .quant import _CONV_KERNEL_SIZES, QuantResident, is_quant
 
-__all__ = ["load_weights", "is_conv_2d_name", "unpermute_cwhn"]
+__all__ = ["load_weights", "cast_float_params", "is_conv_2d_name", "unpermute_cwhn"]
+
+
+def cast_float_params(params: dict, dtype) -> dict:
+    """Cast floating-point array leaves to the device float policy.
+
+    ``load_weights`` already returns policy-cast tensors, so on the loader
+    path this is a no-op; model constructors call it so DIRECT construction
+    (random/test weights, torch exports — always f32) also matches the
+    dtype the jitted programs cast their inputs to. Reference analog: the
+    F16<->F32 tensor_converter every weight passes through on upload
+    (ml.cpp:352-397). Integer tensors (index tables) and quantized-resident
+    leaves (core/quant.QuantResident) pass through untouched.
+    """
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, (np.ndarray, jax.Array)) and jnp.issubdtype(v.dtype, jnp.floating):
+            if v.dtype != dtype:
+                v = jnp.asarray(v, dtype) if isinstance(v, jax.Array) else np.asarray(v).astype(dtype)
+        out[k] = v
+    return out
 
 
 def is_conv_2d_name(name: str, shape: tuple[int, ...]) -> bool:

@@ -309,9 +309,12 @@ class BirefnetModel:
     shard the request batch over ``dp``."""
 
     def __init__(self, params: dict, p: BirefnetParams, device: Device, mesh=None):
+        from ..core.weights import cast_float_params
+
         self.p = p
         self.device = device
         self.mesh = mesh
+        params = cast_float_params(params, device.preferred_float_type)
         if mesh is not None:
             from ..parallel import shard_params
 

@@ -204,9 +204,12 @@ class DepthAnythingModel:
     ImageServer dp-shards the grouped request batch."""
 
     def __init__(self, params: dict, p: DepthAnythingParams, device: Device, mesh=None):
+        from ..core.weights import cast_float_params
+
         self.p = p
         self.device = device
         self.mesh = mesh
+        params = cast_float_params(params, device.preferred_float_type)
         if mesh is not None:
             from ..parallel import shard_params
 

@@ -418,7 +418,9 @@ class EsrganModel:
     vision.cpp:240-251, scaled by the mesh size)."""
 
     def __init__(self, params: dict, p: EsrganParams, device: Device, mesh=None):
-        self.params = params
+        from ..core.weights import cast_float_params
+
+        self.params = cast_float_params(params, device.preferred_float_type)
         self.p = p
         self.device = device
         self.mesh = mesh

@@ -241,9 +241,12 @@ class MiganModel:
     ``_run_sharded`` (single-request ``compute`` stays unsharded)."""
 
     def __init__(self, params: dict, p: MiganParams, device: Device, mesh=None):
+        from ..core.weights import cast_float_params
+
         self.p = p
         self.device = device
         self.mesh = mesh
+        params = cast_float_params(params, device.preferred_float_type)
         if mesh is not None:
             from ..parallel import shard_params
 

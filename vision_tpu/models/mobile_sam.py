@@ -606,6 +606,9 @@ class SamModel:
         dtype = device.preferred_float_type
         flash = bool(device.flags & BuildFlag.flash_attention)
 
+        from ..core.weights import cast_float_params
+
+        params = cast_float_params(params, dtype)
         if mesh is not None:
             from ..parallel import shard_params
 

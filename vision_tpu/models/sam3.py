@@ -890,7 +890,9 @@ class Sam3Model:
         vp: Sam3VitParams | None = None,
         mesh=None,
     ):
-        self.params = params
+        from ..core.weights import cast_float_params
+
+        self.params = cast_float_params(params, device.preferred_float_type)
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.device = device

@@ -389,9 +389,12 @@ class Yolov9tModel:
     unsharded."""
 
     def __init__(self, params: dict, p: Yolov9tParams, device: Device, mesh=None):
+        from ..core.weights import cast_float_params
+
         self.p = p
         self.device = device
         self.mesh = mesh
+        params = cast_float_params(params, device.preferred_float_type)
         if mesh is not None:
             from ..parallel import shard_params
 

@@ -24,6 +24,7 @@ a clear error when it is missing, and nothing else imports it.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from collections import deque
@@ -78,7 +79,11 @@ class VideoReader:
         self._cap = cv2.VideoCapture(self.path)
         if not self._cap.isOpened():
             raise_error("video: cannot open '{}' (unsupported codec/container?)", path)
-        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        # containers can report 0 or NaN fps (NaN is truthy, so a bare
+        # `or 30.0` would pass it through and yield a wrong-speed or
+        # unopenable writer) — accept only a finite positive rate
+        fps = float(self._cap.get(cv2.CAP_PROP_FPS))
+        self.fps = fps if math.isfinite(fps) and fps > 0 else 30.0
         self.extent = (
             int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
             int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
@@ -136,7 +141,14 @@ class VideoWriter:
                 "video: frame is {}x{} but the writer was opened at {}x{}",
                 a.shape[1], a.shape[0], self.extent[0], self.extent[1],
             )
-        self._writer.write(np.ascontiguousarray(a[:, :, ::-1]))  # RGB -> BGR
+        ok = self._writer.write(np.ascontiguousarray(a[:, :, ::-1]))  # RGB -> BGR
+        # some codec/frame combinations fail silently inside OpenCV; the
+        # boolean return is the only signal (None on older builds = unknown)
+        if ok is False:
+            raise_error(
+                "video: encoder rejected frame {} ({}x{}) for '{}'",
+                self.n_written, a.shape[1], a.shape[0], self.path,
+            )
         self.n_written += 1
 
     def close(self) -> None:
@@ -199,7 +211,7 @@ def video_run(
         raise_error("video: output '{}' would overwrite its input", output_path)
 
     detections: list[list] | None = None
-    finish_dets = None
+    finish = None  # (decoded frame, server result) -> writable frame
     if kind == "SamModel":
         from .serve import SamServer
 
@@ -221,16 +233,34 @@ def video_run(
     elif kind in ("BirefnetModel", "DepthAnythingModel", "MiganModel"):
         from .serve import ImageServer
 
-        server = ImageServer(model, batch_size=batch_size, max_delay_ms=max_delay_ms)
         if kind == "MiganModel":
+            # validate + load the mask BEFORE constructing the server so a
+            # bad argument doesn't leak the worker thread / prep executor
             if mask is None:
                 raise_error("video: migan needs a mask image (-i video mask.png)")
             mask_img = image_load(mask)
+            server = ImageServer(model, batch_size=batch_size, max_delay_ms=max_delay_ms)
 
             def submit(frame):
                 return server.submit((frame, mask_img))
 
+            def finish(frame, res):
+                # the server result is rgba u8 at the frame extent with the
+                # inpaint mask as alpha (alpha=255 -> keep region). Image
+                # and bulk modes write that PNG as-is, deferring the
+                # composite to the consumer; a video frame has no alpha, so
+                # composite here: keep the ORIGINAL pixels where the mask
+                # says keep, generated pixels in the hole — otherwise the
+                # whole frame would be the generator's reconstruction after
+                # its fixed-resolution scale round-trip.
+                a = np.asarray(res.data)
+                m = a[:, :, 3:4].astype(np.float32) / 255.0
+                orig = _to_rgb_u8(np.asarray(frame.data)).astype(np.float32)
+                out = orig * m + a[:, :, :3].astype(np.float32) * (1.0 - m)
+                return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
         else:
+            server = ImageServer(model, batch_size=batch_size, max_delay_ms=max_delay_ms)
             submit = server.submit
 
     elif kind == "Yolov9tModel":
@@ -242,7 +272,7 @@ def video_run(
         submit = server.submit
         detections = []
 
-        def finish_dets(frame, dets):
+        def finish(frame, dets):
             detections.append([
                 {
                     "class": COCO_CLASS_NAMES[d.class_id]
@@ -269,8 +299,8 @@ def video_run(
                 nonlocal writer, n
                 frame, fut = pending.popleft()
                 res = fut.result()
-                if finish_dets is not None:
-                    res = finish_dets(frame, res)
+                if finish is not None:
+                    res = finish(frame, res)
                 a = _to_rgb_u8(np.asarray(getattr(res, "data", res)))
                 if writer is None:
                     writer = VideoWriter(out_p, reader.fps, (a.shape[1], a.shape[0]))
@@ -278,9 +308,9 @@ def video_run(
                 n += 1
 
             for frame in reader:
-                # YOLO keeps the decoded frame alive for annotation; the
-                # window bound keeps that at ~4 groups of frames
-                pending.append((frame if finish_dets is not None else None, submit(frame)))
+                # YOLO (annotation) and MI-GAN (composite) keep the decoded
+                # frame alive; the window bound keeps that at ~4 groups
+                pending.append((frame if finish is not None else None, submit(frame)))
                 while len(pending) >= window:
                     drain_one()
             while pending:
