@@ -5,6 +5,7 @@ bench run; these pin the failure-mode behavior VERDICT r3 missing #1 asked
 for (a transient outage must retry bounded, a CPU fallback or compute hang
 must never green-light the bench)."""
 
+import json
 import subprocess
 import sys
 import types
@@ -78,6 +79,93 @@ def test_probe_command_requires_compute(monkeypatch):
     assert "jax.devices()" in code
     assert "x @ x" in code  # compute...
     assert "float(" in code and "sum" in code  # ...with a scalar readback
+
+
+_BENCH = str(__import__("pathlib").Path(bench.__file__).resolve())
+
+
+def _run_bench(fake, timeout_s="10", wait_for=None, send_sigterm=False):
+    # NOTE: the per-metric deadline must comfortably exceed child startup
+    # (~2s of interpreter + sitecustomize + numpy on this box) or 'ok'
+    # children get killed before they print
+    """Run bench.py as the driver does, with scripted metric outcomes
+    (VISP_BENCH_FAKE) and a short per-metric deadline. Returns
+    (rc, stdout_lines)."""
+    import os
+    import signal as _signal
+    import time as _time
+
+    env = dict(
+        os.environ,
+        VISP_BENCH_FAKE=fake,
+        VISP_BENCH_METRIC_TIMEOUT=timeout_s,
+    )
+    proc = subprocess.Popen(
+        [sys.executable, _BENCH],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    if send_sigterm:
+        # wait until the headline line is out, then deliver the driver's kill
+        deadline = _time.monotonic() + 30
+        first = proc.stdout.readline()
+        assert first.startswith("{"), first
+        proc.send_signal(_signal.SIGTERM)
+        out_rest, _ = proc.communicate(timeout=30)
+        assert _time.monotonic() < deadline
+        out = first + out_rest
+    else:
+        out, _ = proc.communicate(timeout=60)
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    return proc.returncode, lines
+
+
+def test_bench_partial_output_on_hang():
+    """A metric that hangs past its deadline must not lose the completed
+    ones: the headline (encode, run FIRST) is printed the moment it lands,
+    the hung metric is killed, later metrics still run, and the final line
+    re-prints the headline for the driver's last-line parse (VERDICT r4 #1)."""
+    rc, lines = _run_bench("encode:ok,mask:hang,esrgan:ok")
+    assert rc == 0
+    parsed = [json.loads(ln) for ln in lines if ln.startswith("{")]
+    metrics = [p["metric"] for p in parsed]
+    assert metrics[0] == "fake_encode"  # headline first, emitted immediately
+    assert "fake_esrgan" in metrics  # the hang did not eat the rest
+    assert "fake_mask" not in metrics  # the hung metric was killed
+    assert json.loads(lines[-1])["metric"] == "fake_encode"  # final re-print
+
+
+def test_bench_sigterm_flushes_headline():
+    """`timeout`'s SIGTERM (rc=124 in BENCH_r03/r04) must leave the
+    completed headline as the last stdout line instead of dying unprinted."""
+    rc, lines = _run_bench("encode:ok,mask:hang", timeout_s="600", send_sigterm=True)
+    assert rc == 0
+    assert json.loads(lines[-1])["metric"] == "fake_encode"
+
+
+def test_bench_all_fail_exits_nonzero():
+    rc, lines = _run_bench("encode:fail,mask:fail,esrgan:fail")
+    assert rc == 1
+    assert not [ln for ln in lines if ln.startswith("{")]
+
+
+def test_probe_budget_cap(monkeypatch, capsys):
+    """The probe ladder gives up when the wall budget is exhausted instead
+    of riding out every backoff (r4: the ladder alone could eat ~44 min)."""
+    fake, sleeps = _patch(monkeypatch, ["timeout"] * 10)
+    t = [0.0]
+    monkeypatch.setattr(bench.time, "monotonic", lambda: t[0])
+
+    def advancing_sleep(s):
+        sleeps.append(s)
+        t[0] += s
+
+    monkeypatch.setattr(bench.time, "sleep", advancing_sleep)
+    assert bench._wait_for_tpu(attempts=10, backoff=100, budget=250) is False
+    assert len(sleeps) == 2  # third backoff would cross the 250s budget
+    assert "budget" in capsys.readouterr().err
 
 
 def test_loop_method_median_rejects_one_stall():

@@ -235,8 +235,8 @@ def test_export_bundle_lowlevel(tmp_path):
     assert np.array_equal(np.asarray(b.call("f", a, c)), np.asarray(f(a, c)))
 
 
-def test_export_refuses_meshed_models(tmp_path, dev):
-    from vision_tpu.models.migan import MiganModel, MiganParams
+def test_export_refuses_meshed_non_sam_models(tmp_path, dev):
+    from vision_tpu.models.migan import MiganParams, MiganModel
     from vision_tpu.models.random_weights import random_migan_params
 
     class FakeMesh:  # export must refuse before touching the mesh
@@ -244,5 +244,57 @@ def test_export_refuses_meshed_models(tmp_path, dev):
 
     mg = MiganModel(random_migan_params(64), MiganParams(resolution=64), dev)
     mg.mesh = FakeMesh()
-    with pytest.raises(Exception, match="sharded models don't export"):
+    with pytest.raises(Exception, match="meshed MiganModel doesn't export"):
         export_model(mg, tmp_path / "x.vxp")
+
+
+@pytest.mark.heavy
+def test_export_meshed_sam_roundtrip(tmp_path):
+    """dp-sharded SAM export (the serving deployment case, VERDICT r4 next
+    #5): a mesh-constructed SamModel exports its dp-sharded encode; the
+    loaded bundle rebuilds the mesh from local devices (call_sharded),
+    places the GGUF-shaped param dict, and matches the live meshed model.
+    Decode entries ride along as single-device per-prompt programs."""
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.image import image_load_array
+    from vision_tpu.models.mobile_sam import SamModel, SamParams, TinyVitLayer, TinyVitParams
+    from vision_tpu.models.random_weights import random_mobile_sam_params
+    from vision_tpu.parallel import make_mesh
+
+    tp512 = TinyVitParams(
+        img_size=512,
+        layers=(
+            TinyVitLayer(128, 64, 2, 2, 7, True),
+            TinyVitLayer(64, 128, 2, 4, 7, True),
+            TinyVitLayer(32, 160, 6, 5, 14, True),
+            TinyVitLayer(32, 320, 2, 10, 7, False),
+        ),
+    )
+    dev = backend_init(BackendType.cpu)
+    params = random_mobile_sam_params(seed=0)
+    mesh = make_mesh(2)
+    model = SamModel(params, SamParams(image_size=512), dev, mesh=mesh, tiny_vit=tp512)
+
+    with pytest.raises(Exception, match="embed_params=False"):
+        export_model(model, tmp_path / "bad.vxp")
+    dst = tmp_path / "sam_dp2.vxp"
+    # encode only: the decode programs need the production 64x64 embedding
+    # (the dense positional-encoding WEIGHT fixes the token grid), so the
+    # reduced 512 test geometry can't lower them — entries= selects the
+    # subset, the same knob a deployment uses for an encoder-only bundle
+    names = export_model(model, dst, batch=2, embed_params=False, entries=("encode",))
+    assert names == ["encode"]
+
+    b = load_bundle(dst)
+    assert b.meta["mesh"]["dp"] == 2  # size-1 axes ride along for shard_params
+    assert b.meta["entries"]["encode"]["nr_devices"] == 2
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (512, 512, 3)).astype(np.uint8) for _ in range(2)]
+    want = np.asarray(model.encode_batch([image_load_array(f) for f in frames]))
+    got = np.asarray(b.call_sharded("encode", params, np.stack(frames)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    with pytest.raises(Exception, match="unknown entries"):
+        export_model(model, tmp_path / "y.vxp", batch=2, embed_params=False,
+                     entries=("nope",))

@@ -445,6 +445,45 @@ def test_server_warmup_compiles_before_traffic():
         assert srv.stats.batches == 1
 
 
+def test_warmup_hang_times_out_cleanly(monkeypatch):
+    """A warmup whose compile hangs (degraded tunnel, NOTES r4f: ~25 min
+    silent) must surface as a clean TimeoutError after VISP_WARMUP_TIMEOUT,
+    with the server still usable — not stall the caller forever."""
+    from concurrent.futures import Future
+
+    from vision_tpu.serve import _warmup_wait
+
+    monkeypatch.setenv("VISP_WARMUP_TIMEOUT", "0.3")
+    hung = Future()  # never resolves = compute hung in the batch worker
+    with pytest.raises(TimeoutError, match="warmup\\(migan\\).*retry"):
+        _warmup_wait([hung], "migan")
+
+
+def test_warmup_wait_narrates_long_compiles(monkeypatch, capsys):
+    """The minute-by-minute stderr narration fires while a compile is in
+    flight (same discipline as the bench probe watchdog)."""
+    import vision_tpu.serve as serve_mod
+    from concurrent.futures import Future
+
+    t = [0.0]
+    monkeypatch.setattr(serve_mod.time, "monotonic", lambda: t[0])
+    fut = Future()
+    orig_result = fut.result
+
+    def fake_result(timeout=None):
+        # each poll "takes" its full chunk; resolve on the third poll
+        t[0] += timeout
+        if t[0] >= 150.0:
+            fut.set_result("ok")
+        return orig_result(timeout=0.1)
+
+    monkeypatch.setattr(fut, "result", fake_result)
+    monkeypatch.setenv("VISP_WARMUP_TIMEOUT", "900")
+    serve_mod._warmup_wait([fut], "esrgan (256, 256)")
+    err = capsys.readouterr().err
+    assert err.count("still compiling") == 2  # at 60s and 120s
+
+
 def test_image_server_migan_prep_does_not_premultiply_mask():
     """An off-resolution RGBA request (alpha = inpaint mask) must keep its
     RGB content through the resize: the stb path alpha-premultiplies, which

@@ -285,6 +285,55 @@ BENCHMARKS = {
     "sam3-vision-1008": _make_sam3_vision,
 }
 
+# Analytic forward FLOPs per iteration (GFLOP), one entry per row (VERDICT
+# r4 next #3: MFU on the scoreboard). Values are XLA cost-analysis flops of
+# the EXACT bench step (scripts/exp_flops.py, CPU lowering), cross-checked
+# against NOTES' hand derivations: ESRGAN exact conv count 37.6 TFLOP
+# @1024^2 (NOTES r3), SAM encode ~80 GFLOP/img flat across batch (NOTES
+# r4d), SAM3 per-layer floor math ~1.8e11 x32 layers (NOTES r4).
+# Regression-pinned in tests/test_benchmark.py.
+WORKLOAD_GFLOP = {
+    "sam-encode-1024": 79.6,
+    "sam-decode": 1.2,
+    "esrgan-512": 9410.0,
+    "esrgan-1024": 37630.0,
+    "depthany-small": 174.0,
+    "depthany-base": 650.0,
+    "migan-512": 58.8,
+    "yolov9t-640": 11.2,
+    "birefnet-1024": 1250.0,
+    "birefnet-full-1024": 4590.0,
+    "sam3-vision-1008": 6420.0,
+}
+
+# bf16 MXU peak by jax device_kind; MFU is only reported when the kind is
+# known (public figures; this box's chip enumerates as "TPU v5 lite" = v5e)
+PEAK_TF_PER_SEC = {
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def workload_mfu(name: str, mean_ms: float, device_kind: str):
+    """(gflop, tf_per_sec, mfu) for a finished row; Nones where unknown.
+
+    TF/s falls out as GFLOP/ms; MFU is against the chip's bf16 MXU peak —
+    the reference's bench table (tests/benchmark.cpp:328-339) reports only
+    wall time, this adds the hardware-efficiency axis NOTES tracked by hand.
+    """
+    gflop = WORKLOAD_GFLOP.get(name)
+    if gflop is None or mean_ms <= 0:
+        return None, None, None
+    tf = gflop / mean_ms
+    peak = PEAK_TF_PER_SEC.get(device_kind)
+    mfu = tf / peak if peak else None
+    return gflop, tf, mfu
+
 
 def run_benchmark(names=None, k=8, repeats=3):
     from .core.device import backend_init
@@ -295,6 +344,7 @@ def run_benchmark(names=None, k=8, repeats=3):
     rows = []
     import sys
 
+    kind = str(getattr(dev.jax_device, "device_kind", ""))
     for name in names:
         t0 = time.perf_counter()
         step, params, x = BENCHMARKS[name](dev, dtype)
@@ -302,11 +352,16 @@ def run_benchmark(names=None, k=8, repeats=3):
         if mean < 1.0 and k < 256:
             # sub-ms workloads drown in timing noise at small K
             mean, stdev, n = _loop_time(step, params, x, k=256, repeats=repeats)
-        rows.append((name, mean, stdev, n))
+        gflop, tf, mfu = workload_mfu(name, mean, kind)
+        rows.append({
+            "name": name, "mean_ms": mean, "stdev_ms": stdev, "k": n,
+            "gflop": gflop, "tf_per_sec": tf, "mfu": mfu,
+        })
         # progress on stderr: a full table is many minutes of remote compiles
         # and the table itself prints only at the end
+        eff = f", {tf:.1f} TF/s" if tf else ""
         print(
-            f"# {name}: {mean:.1f} ms/iter (k={n}) "
+            f"# {name}: {mean:.1f} ms/iter (k={n}{eff}) "
             f"[{time.perf_counter() - t0:.0f}s incl. compile]",
             file=sys.stderr, flush=True,
         )
@@ -327,17 +382,28 @@ def main(argv=None):
     if args.json:
         import json
 
-        for name, mean, stdev, n in rows:
-            print(json.dumps({
-                "metric": name, "value": round(mean, 3), "unit": "ms/iter",
-                "stdev": round(stdev, 3), "k": n,
-            }))
+        for r in rows:
+            rec = {
+                "metric": r["name"], "value": round(r["mean_ms"], 3),
+                "unit": "ms/iter", "stdev": round(r["stdev_ms"], 3), "k": r["k"],
+            }
+            if r["gflop"] is not None:
+                rec["gflop"] = round(r["gflop"], 1)
+                rec["tf_per_sec"] = round(r["tf_per_sec"], 2)
+            if r["mfu"] is not None:
+                rec["mfu"] = round(r["mfu"], 4)
+            print(json.dumps(rec))
         return
     print("device ms/iter, loop-differenced (RPC floor excluded; see NOTES.md)")
-    print(f"| {'benchmark':<20} | {'mean':>10} | {'stdev':>8} | {'K':>3} |")
-    print(f"|{'-' * 22}|{'-' * 12}|{'-' * 10}|{'-' * 5}|")
-    for name, mean, stdev, n in rows:
-        print(f"| {name:<20} | {mean:8.1f}ms | {stdev:6.1f}ms | {n:>3} |")
+    print(f"| {'benchmark':<20} | {'mean':>10} | {'stdev':>8} | {'K':>3} | {'TF/s':>7} | {'MFU':>5} |")
+    print(f"|{'-' * 22}|{'-' * 12}|{'-' * 10}|{'-' * 5}|{'-' * 9}|{'-' * 7}|")
+    for r in rows:
+        tf = f"{r['tf_per_sec']:7.1f}" if r["tf_per_sec"] else f"{'—':>7}"
+        mfu = f"{r['mfu'] * 100:4.1f}%" if r["mfu"] else f"{'—':>5}"
+        print(
+            f"| {r['name']:<20} | {r['mean_ms']:8.1f}ms | {r['stdev_ms']:6.1f}ms "
+            f"| {r['k']:>3} | {tf} | {mfu} |"
+        )
 
 
 if __name__ == "__main__":

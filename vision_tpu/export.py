@@ -26,10 +26,20 @@ input specs) plus one ``<entry>.stablehlo`` blob per exported program:
 Geometry is static by design (XLA programs are shape-specialized): pick
 ``extent``/``batch`` at export time, export several bundles for several
 shape buckets if needed — same discipline the serving layer's bucketing
-uses. Exports are single-device programs: a model constructed with a
-``mesh`` refuses to export (shardings don't survive to an arbitrary
-loader topology); export an unmeshed model and shard at the call site
-instead. By default programs lower for the platform jax is running on;
+uses. Topology is static the same way: ``jax.export`` records each input
+and output sharding against a fixed device count, so a meshed export runs
+only on a mesh of the SAME shape. That fits exactly one deployment case —
+the dp-sharded serving batch — and ``SamModel`` (the flagship server)
+exports it: a mesh-constructed SamModel with ``embed_params=False``
+exports its dp-sharded ``encode`` (params replicated/tp-placed exactly as
+the model placed them, image batch split over ``dp``) plus the per-prompt
+decode entries; ``meta["mesh"]`` records the axis shape and
+``ExportedBundle.call_sharded`` rebuilds the mesh from local devices,
+places the arguments, and calls. The other families refuse a meshed
+export — their sharded programs close over derived weight forms (packed /
+stacked) whose placement is not reproducible from the GGUF param dict
+alone; export unmeshed and shard at the call site instead.
+By default programs lower for the platform jax is running on;
 pass ``platforms=("cpu", "tpu")`` for a multi-platform artifact (costs
 one lowering per platform; pallas-flash routes refuse a cpu lowering —
 export those models with flags cleared or platforms=None).
@@ -113,6 +123,7 @@ def export_bundle(
         meta_out["entries"][name] = {
             "inputs": _leaf_specs(args),
             "platforms": list(exp.platforms),
+            "nr_devices": int(exp.nr_devices),
         }
     with zipfile.ZipFile(os.fspath(dst), "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("meta.json", json.dumps(meta_out, indent=1))
@@ -153,6 +164,37 @@ class ExportedBundle:
 
     def call(self, name: str, *args):
         return self._entry(name).call(*args)
+
+    def make_mesh(self):
+        """Rebuild the export-time mesh shape from local devices (meshed
+        bundles only; raises when this process has too few devices)."""
+        axes = self.meta.get("mesh")
+        if not axes:
+            raise_error("bundle '{}' is not a meshed export (no meta['mesh'])", self.path)
+        from jax.sharding import Mesh
+
+        n = int(np.prod(list(axes.values())))
+        devs = jax.devices()
+        if len(devs) < n:
+            raise_error(
+                "bundle '{}' was exported for a {}-device mesh {}; this "
+                "process has {} device(s)", self.path, n, dict(axes), len(devs),
+            )
+        return Mesh(np.array(devs[:n]).reshape(tuple(axes.values())), tuple(axes))
+
+    def call_sharded(self, name: str, params, *args):
+        """Meshed-bundle convenience: place ``params`` with the same
+        default rules the exporting model used (``parallel.shard_params``
+        — replicated, tp-sharded where the rules say so) and dp-shard the
+        batch-leading array args, then call. ``params`` is the dict
+        ``load_weights`` returns."""
+        from .parallel import batch_sharding, shard_params
+
+        mesh = self.make_mesh()
+        placed = shard_params(params, mesh)
+        bs = batch_sharding(mesh)
+        placed_args = tuple(jax.device_put(a, bs) for a in args)
+        return self.call(name, placed, *placed_args)
 
     def input_specs(self, name: str) -> list:
         """Flattened ``[shape, dtype]`` list recorded at export time (read
@@ -202,8 +244,13 @@ def export_model(
     batch: int = 1,
     embed_params: bool = True,
     platforms: Sequence[str] | None = None,
+    entries: Sequence[str] | None = None,
 ) -> list[str]:
     """Export a high-level Model's jitted executables as a bundle.
+
+    ``entries`` selects a subset of the family's entry names (default:
+    all) — e.g. ``("encode",)`` for a SAM bundle that only serves the
+    encoder.
 
     ``extent`` (w, h) picks the input geometry for the extent-dynamic
     families: birefnet / depth-anything snap it to their valid grids
@@ -219,36 +266,80 @@ def export_model(
     """
     import jax.numpy as jnp
 
-    if getattr(model, "mesh", None) is not None:
-        raise_error(
-            "export_model: sharded models don't export (the mesh topology "
-            "wouldn't survive to the loader); construct without a mesh"
-        )
     if batch < 1:
         raise_error("export_model: batch must be >= 1, got {}", batch)
     kind = type(model).__name__
+    mesh = getattr(model, "mesh", None)
+    if mesh is not None:
+        # dp-sharded export: supported for SamModel (the serving case) —
+        # its top-level sharded program takes the param dict directly, so
+        # the loader can reproduce the placement with shard_params. The
+        # other families' sharded programs close over derived weight forms
+        # (packed/stacked); export those unmeshed and shard at the call
+        # site (module docstring).
+        if kind != "SamModel":
+            raise_error(
+                "export_model: meshed {} doesn't export — dp-sharded export "
+                "is supported for SamModel only; construct without a mesh "
+                "and shard at the call site", kind,
+            )
+        if embed_params:
+            raise_error(
+                "export_model: a meshed export takes the param dict at call "
+                "time (call_sharded places it on the mesh); pass "
+                "embed_params=False"
+            )
+        dp = dict(mesh.shape).get("dp", 1)
+        if batch % dp:
+            raise_error(
+                "export_model: batch {} must divide over the mesh dp axis "
+                "({})", batch, dp,
+            )
     params = model.params
     meta: dict = {"family": kind, "batch": batch, "params_embedded": embed_params}
-    entries: dict[str, tuple[Callable, tuple]] = {}
+    if mesh is not None:
+        meta["mesh"] = {str(k): int(v) for k, v in mesh.shape.items()}
+    programs: dict[str, tuple[Callable, tuple]] = {}
 
     def add(name, fn, *args):
         fn = _portable(fn)  # NamedTuple outputs -> plain dicts
         if embed_params:
-            entries[name] = (_embed(fn, params), tuple(args))
+            programs[name] = (_embed(fn, params), tuple(args))
         else:
-            entries[name] = (jax.jit(fn), (params,) + tuple(args))
+            programs[name] = (jax.jit(fn), (params,) + tuple(args))
 
     if kind == "SamModel":
         s = model.p.image_size
         x1 = _sds((1, s, s, 3), jnp.uint8)
         embed_spec = jax.eval_shape(model._enc_single, params, x1)
         coords = _sds((2, 2), jnp.float32)
-        # ``batch`` sizes the encode entry; the decode entries are
-        # per-prompt (one embedding + one prompt, the model's own decode
-        # granularity) — per-entry shapes are in meta["entries"][*]["inputs"]
-        add("encode", model._enc_single, _sds((batch, s, s, 3), jnp.uint8))
-        add("decode_point", model._dec_point, embed_spec, coords)
-        add("decode_box", model._dec_box, embed_spec, coords)
+        if mesh is not None:
+            if any(v > 1 for k, v in mesh.shape.items() if k != "dp"):
+                raise_error(
+                    "export_model: meshed SAM export supports dp-only meshes "
+                    "(got {}) — tp/sp placements are not reproducible from "
+                    "the GGUF param dict at load time", dict(mesh.shape),
+                )
+            # encode = the model's dp-sharded program (batch splits over
+            # dp, params replicated); decode entries export as plain
+            # 1-device per-prompt programs (a batch-1 embedding can't
+            # shard over dp) — the loader calls encode via call_sharded
+            # and decode via call
+            p_specs = {k: _sds(np.shape(v), v.dtype) for k, v in params.items()}
+            programs["encode"] = (model._enc, (p_specs, _sds((batch, s, s, 3), jnp.uint8)))
+            programs["decode_point"] = (
+                jax.jit(_portable(model._dec_point)), (p_specs, embed_spec, coords)
+            )
+            programs["decode_box"] = (
+                jax.jit(_portable(model._dec_box)), (p_specs, embed_spec, coords)
+            )
+        else:
+            # ``batch`` sizes the encode entry; the decode entries are
+            # per-prompt (one embedding + one prompt, the model's own decode
+            # granularity) — per-entry shapes are in meta["entries"][*]["inputs"]
+            add("encode", model._enc_single, _sds((batch, s, s, 3), jnp.uint8))
+            add("decode_point", model._dec_point, embed_spec, coords)
+            add("decode_box", model._dec_box, embed_spec, coords)
         meta["image_size"] = s
     elif kind == "EsrganModel":
         if not embed_params:
@@ -259,7 +350,7 @@ def export_model(
             )
         w, h = extent or (1024, 1024)
         fn = model._fn(("whole", (w, h)), True, (w, h))  # closes over packed
-        entries["upscale"] = (jax.jit(lambda x: fn(x)), (_sds((batch, h, w, 3), jnp.uint8),))
+        programs["upscale"] = (jax.jit(lambda x: fn(x)), (_sds((batch, h, w, 3), jnp.uint8),))
         meta.update(extent=[w, h], scale=model.p.scale)
     elif kind == "BirefnetModel":
         from .models.birefnet import birefnet_image_extent
@@ -299,19 +390,29 @@ def export_model(
         # (one (1, t) token row, the model's encode_text granularity)
         x_spec = _sds((batch, s, s, 3), dtype)
         if embed_params:
-            entries["encode_vision"] = (jax.jit(lambda x: vision(params, stack, x)), (x_spec,))
-            entries["encode_text"] = (
+            programs["encode_vision"] = (jax.jit(lambda x: vision(params, stack, x)), (x_spec,))
+            programs["encode_text"] = (
                 _embed(text, params),
                 (_sds((1, t), jnp.int32), _sds((t, t), jnp.float32)),
             )
         else:
-            entries["encode_vision"] = (jax.jit(vision), (params, stack, x_spec))
-            entries["encode_text"] = (
+            programs["encode_vision"] = (jax.jit(vision), (params, stack, x_spec))
+            programs["encode_text"] = (
                 jax.jit(text),
                 (params, _sds((1, t), jnp.int32), _sds((t, t), jnp.float32)),
             )
         meta.update(image_size=s, max_tokens=t)
     else:
         raise_error("export_model: unsupported model type '{}'", kind)
-    export_bundle(dst, entries, meta=meta, platforms=platforms)
-    return sorted(entries)
+    if entries is not None:
+        unknown = sorted(set(entries) - set(programs))
+        if unknown:
+            raise_error(
+                "export_model: unknown entries {} for {} (have: {})",
+                ", ".join(unknown), kind, ", ".join(sorted(programs)),
+            )
+        programs = {k: v for k, v in programs.items() if k in set(entries)}
+        if not programs:
+            raise_error("export_model: entries selected nothing to export")
+    export_bundle(dst, programs, meta=meta, platforms=platforms)
+    return sorted(programs)

@@ -44,6 +44,43 @@ __all__ = ["BatchServer", "ServerStats", "SamServer", "EsrganServer", "ImageServ
 _LATENCY_WINDOW = 4096  # most recent request latencies kept for percentiles
 
 
+def _warmup_wait(futures: Sequence[Future], what: str) -> None:
+    """Bounded wait on warmup futures, with stderr narration.
+
+    A warmup compile riding a degraded tunnel once took ~25 min with zero
+    output (NOTES round-4f); the same discipline as the bench probe applies:
+    narrate progress every minute and fail CLEANLY after
+    ``VISP_WARMUP_TIMEOUT`` seconds (default 900 — generous enough for a
+    healthy cold remote compile) instead of stalling the caller forever.
+    On timeout the server itself stays up — the caller can retry warmup,
+    or serve cold and let the first real request absorb the compile.
+    """
+    import os
+    import sys
+
+    timeout = float(os.environ.get("VISP_WARMUP_TIMEOUT", "900"))
+    t0 = time.monotonic()
+    for fut in futures:
+        while True:
+            remaining = timeout - (time.monotonic() - t0)
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"serve: warmup({what}) did not complete within "
+                    f"{timeout:.0f}s (degraded-tunnel compile hang? see "
+                    "NOTES.md); the server is still running — retry "
+                    "warmup(), raise VISP_WARMUP_TIMEOUT, or serve cold"
+                )
+            try:
+                fut.result(timeout=min(60.0, remaining))
+                break
+            except TimeoutError:
+                print(
+                    f"serve: warmup({what}) still compiling after "
+                    f"{time.monotonic() - t0:.0f}s",
+                    file=sys.stderr, flush=True,
+                )
+
+
 def _deliver_exception(fut: Future, exc: BaseException) -> None:
     """set_exception tolerant of a client having cancelled the Future
     (InvalidStateError from a worker thread would kill the worker)."""
@@ -435,11 +472,13 @@ class SamServer:
         traffic (cold-start control; with a persistent XLA cache —
         VISP_COMPILE_CACHE — repeat warmups are fast)."""
         img = _dummy_image()
+        futs = []
         for kind in kinds:
             if kind == "point":
-                self.compute(img, point=(32, 32))
+                futs.append(self.submit(img, point=(32, 32)))
             else:
-                self.compute(img, box=((8, 8), (56, 56)))
+                futs.append(self.submit(img, box=((8, 8), (56, 56))))
+        _warmup_wait(futs, f"sam {'+'.join(kinds)}")
         # first-compile latencies (minutes on a cold TPU) and padding-only
         # warmup batches must not poison the percentiles/occupancy
         self.stats.reset()
@@ -535,7 +574,7 @@ class EsrganServer:
     def warmup(self, extent=(256, 256)) -> None:
         """Compile the batched program for ``extent`` before taking traffic
         (extent buckets compile separately — warm the sizes you serve)."""
-        self.compute(_dummy_image(extent))
+        _warmup_wait([self.submit(_dummy_image(extent))], f"esrgan {extent}")
         self.stats.reset()  # compile latency must not poison the percentiles
 
     def submit(self, image) -> Future:
@@ -677,7 +716,7 @@ class ImageServer:
             from .image import Image, ImageFormat
 
             mask = Image(np.zeros((res[1], res[0], 1), np.uint8), ImageFormat.alpha_u8)
-            self.compute((_dummy_image(res), mask))
+            _warmup_wait([self.submit((_dummy_image(res), mask))], "migan")
             self.stats.reset()
             return
         if extent is None:
@@ -689,7 +728,7 @@ class ImageServer:
                 # otherwise warm the wrong shape bucket
                 size = self.model.p.image_size
                 extent = (size, size)
-        self.compute(_dummy_image(extent))
+        _warmup_wait([self.submit(_dummy_image(extent))], f"{self.kind} {extent}")
         self.stats.reset()
 
     def submit(self, request) -> Future:
@@ -809,7 +848,7 @@ class YoloServer:
     def warmup(self) -> None:
         """Compile the batched detection program (letterbox gives every
         request the same bucket, so one dummy request warms everything)."""
-        self.compute(_dummy_image())
+        _warmup_wait([self.submit(_dummy_image())], "yolov9t")
         self.stats.reset()
 
     def submit(self, image, conf_thres=None, iou_thres=None) -> Future:
