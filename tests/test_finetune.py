@@ -282,17 +282,24 @@ def test_distill_lora(tmp_path):
     s_sem = fixup_weights(s0, load_weights(s0, as_numpy=True))
     f_sem = fixup_weights(f, load_weights(f, as_numpy=True))
     convs = [n for n, v in s_sem.items() if getattr(v, "ndim", 0) == 4]
-    assert convs and all(np.array_equal(s_sem[n], f_sem[n]) for n in convs)
+    big = [n for n in convs if s_sem[n].shape[2:] != (1, 1)]
+    one = [n for n in convs if s_sem[n].shape[2:] == (1, 1)]
+    # k>1 convs have no adapters and stay bit-frozen; 1x1 convs ARE
+    # matmuls and now carry adapters (VERDICT r4 next #4) — the DPT
+    # neck's reassemble/fusion projections and head.conv3 all train
+    assert big and all(np.array_equal(s_sem[n], f_sem[n]) for n in big)
+    assert one and all(not np.array_equal(s_sem[n], f_sem[n]) for n in one)
     moved_linear = [
         n for n, v in s_sem.items()
         if getattr(v, "ndim", 0) == 2 and not np.array_equal(v, f_sem[n])
     ]
     assert moved_linear  # the merged low-rank delta landed somewhere
-    # adapter file re-attaches to the pristine student
-    from vision_tpu.core.weights import load_weights
+    # adapter file re-attaches to the pristine student (in semantic
+    # post-fixup form — 1x1-conv adapters validate against (O, I, 1, 1),
+    # which is what every model-loading path consumes)
     from vision_tpu.lora import load_lora, lora_modules
 
-    base = load_weights(s0, as_numpy=True)
+    base = fixup_weights(s0, load_weights(s0, as_numpy=True))
     attached = load_lora(base, str(adapters))
     assert lora_modules(attached)
     with pytest.raises(Exception, match="not both"):

@@ -94,6 +94,51 @@ def test_linear_adapter_math():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_conv1x1_adapter():
+    """1x1 conv weights take adapters (VERDICT r4 next #4: conv-LoRA —
+    they are matmuls): init-identity, math parity against the explicit
+    low-rank delta, stride/pad alignment of the adapter path, and merge
+    parity back into the (O, I, 1, 1) base."""
+    from vision_tpu.ops.nn import conv_2d
+
+    rng = np.random.default_rng(5)
+    base = {
+        "head.cv.weight": (rng.normal(size=(12, 8, 1, 1)) * 0.2).astype(np.float32),
+        "head.cv.bias": (rng.normal(size=(12,)) * 0.1).astype(np.float32),
+    }
+    x = rng.normal(size=(2, 9, 7, 8)).astype(np.float32)
+
+    def fwd(store, stride=1, pad=0):
+        return np.asarray(conv_2d(Params(store)["head"]["cv"], jnp.asarray(x), stride, pad))
+
+    y0 = fwd(base)
+    adapted = add_lora(base, rank=3, seed=2)
+    assert lora_modules(adapted) == ["head.cv"]
+    assert adapted["head.cv.lora_a"].shape == (3, 8)
+    assert adapted["head.cv.lora_b"].shape == (12, 3)
+    np.testing.assert_array_equal(fwd(adapted), y0)  # B=0: bit-identical
+
+    for k in ("head.cv.lora_a", "head.cv.lora_b"):
+        adapted[k] = (rng.normal(size=adapted[k].shape) * 0.1).astype(np.float32)
+    got = fwd(adapted)
+    delta = adapted["head.cv.lora_b"] @ adapted["head.cv.lora_a"]  # (O, I)
+    want = y0 + np.einsum("bhwi,oi->bhwo", x, delta)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # the adapter path carries the base conv's stride/pad, and merging
+    # folds the delta into the 4-D kernel exactly
+    y_sp = fwd(adapted, stride=2, pad=1)
+    merged = merge_lora(adapted)
+    assert lora_modules(merged) == []
+    assert merged["head.cv.weight"].shape == (12, 8, 1, 1)
+    np.testing.assert_allclose(fwd(merged), got, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(fwd(merged, stride=2, pad=1), y_sp, atol=1e-4, rtol=1e-4)
+
+    # depthwise 1x1 (I == 1) is pointless and excluded
+    with pytest.raises(VispError):
+        add_lora({"dw.weight": np.zeros((8, 1, 1, 1), np.float32)}, targets=r"dw")
+
+
 def test_merge_and_strip_parity():
     rng = np.random.default_rng(3)
     base = _base()

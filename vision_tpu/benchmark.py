@@ -285,27 +285,6 @@ BENCHMARKS = {
     "sam3-vision-1008": _make_sam3_vision,
 }
 
-# Analytic forward FLOPs per iteration (GFLOP), one entry per row (VERDICT
-# r4 next #3: MFU on the scoreboard). Values are XLA cost-analysis flops of
-# the EXACT bench step (scripts/exp_flops.py, CPU lowering), cross-checked
-# against NOTES' hand derivations: ESRGAN exact conv count 37.6 TFLOP
-# @1024^2 (NOTES r3), SAM encode ~80 GFLOP/img flat across batch (NOTES
-# r4d), SAM3 per-layer floor math ~1.8e11 x32 layers (NOTES r4).
-# Regression-pinned in tests/test_benchmark.py.
-WORKLOAD_GFLOP = {
-    "sam-encode-1024": 79.6,
-    "sam-decode": 1.2,
-    "esrgan-512": 9410.0,
-    "esrgan-1024": 37630.0,
-    "depthany-small": 174.0,
-    "depthany-base": 650.0,
-    "migan-512": 58.8,
-    "yolov9t-640": 11.2,
-    "birefnet-1024": 1250.0,
-    "birefnet-full-1024": 4590.0,
-    "sam3-vision-1008": 6420.0,
-}
-
 # bf16 MXU peak by jax device_kind; MFU is only reported when the kind is
 # known (public figures; this box's chip enumerates as "TPU v5 lite" = v5e)
 PEAK_TF_PER_SEC = {
@@ -319,20 +298,23 @@ PEAK_TF_PER_SEC = {
 }
 
 
-def workload_mfu(name: str, mean_ms: float, device_kind: str):
-    """(gflop, tf_per_sec, mfu) for a finished row; Nones where unknown.
+def workload_mfu(gflop: float | None, mean_ms: float, device_kind: str):
+    """(tf_per_sec, mfu) for a finished row; Nones where unknown.
 
     TF/s falls out as GFLOP/ms; MFU is against the chip's bf16 MXU peak —
     the reference's bench table (tests/benchmark.cpp:328-339) reports only
-    wall time, this adds the hardware-efficiency axis NOTES tracked by hand.
+    wall time, this adds the hardware-efficiency axis NOTES tracked by
+    hand (VERDICT r4 next #3). ``gflop`` comes from
+    ``utils.flops.count_flops`` over the exact step being timed — the
+    EXECUTED matmul/conv arithmetic, which for reformulated paths (the
+    ESRGAN block-domain tail trades ~10% extra FLOPs for 4x lane fill)
+    runs slightly above the canonical model count.
     """
-    gflop = WORKLOAD_GFLOP.get(name)
-    if gflop is None or mean_ms <= 0:
-        return None, None, None
+    if not gflop or mean_ms <= 0:
+        return None, None
     tf = gflop / mean_ms
     peak = PEAK_TF_PER_SEC.get(device_kind)
-    mfu = tf / peak if peak else None
-    return gflop, tf, mfu
+    return tf, (tf / peak if peak else None)
 
 
 def run_benchmark(names=None, k=8, repeats=3):
@@ -345,14 +327,18 @@ def run_benchmark(names=None, k=8, repeats=3):
     import sys
 
     kind = str(getattr(dev.jax_device, "device_kind", ""))
+    from .utils.flops import count_flops
+
     for name in names:
         t0 = time.perf_counter()
         step, params, x = BENCHMARKS[name](dev, dtype)
+        # trace-only FLOP count of the exact step being timed (no compile)
+        gflop = count_flops(step, params, x) / 1e9
         mean, stdev, n = _loop_time(step, params, x, k=k, repeats=repeats)
         if mean < 1.0 and k < 256:
             # sub-ms workloads drown in timing noise at small K
             mean, stdev, n = _loop_time(step, params, x, k=256, repeats=repeats)
-        gflop, tf, mfu = workload_mfu(name, mean, kind)
+        tf, mfu = workload_mfu(gflop, mean, kind)
         rows.append({
             "name": name, "mean_ms": mean, "stdev_ms": stdev, "k": n,
             "gflop": gflop, "tf_per_sec": tf, "mfu": mfu,

@@ -30,11 +30,16 @@ the trainable set.
 Scope: adapters inject at ``ops.nn.linear`` call sites — every per-layer
 transformer trunk in the package (DINOv2 / Depth-Anything, SWIN /
 BiRefNet, TinyViT / MobileSAM incl. its mask decoder, SAM3's text
-encoder). The SAM3 *vision* window-scan trunk and the conv-only families
-(ESRGAN, MI-GAN, YOLOv9t convs) stack or convolve their weights without
-per-layer linear lookups, so ``add_lora`` targets there would sit unused;
-``add_lora`` raises if a requested target has no linear consumer shape
-(ndim != 2) and the docs list the covered families.
+encoder) — and at ``ops.nn.conv_2d`` for **1x1 kernels** (they are
+matmuls; the adapter runs as two rank-r 1x1 convs carrying the base
+stride/pad), which reaches the 1x1-rich conv heads/necks: YOLOv9t's ELAN
+cv convs + detect head, the DPT neck's reassemble 1x1s, BiRefNet's
+laterals, the SAM/TinyViT neck. Still outside scope: k>1 convs and
+depthwise convs (low-rank over (I*k*k) needs a factored kernel form the
+package's conv layers don't carry), and weights consumed through derived
+packed/stacked forms (ESRGAN's packed trunk, SAM3's vision scan stack) —
+``add_lora`` raises on explicit targets with uncovered shapes, and
+docs/training.md carries the per-family coverage table.
 """
 
 from __future__ import annotations
@@ -96,11 +101,15 @@ def add_lora(
 ) -> dict:
     """Return a new param dict with LoRA adapters attached.
 
-    Every 2-D float ``{module}.weight`` whose dotted name matches the
-    ``targets`` regex (None = all of them) gains ``{module}.lora_a``
-    (``(rank, I)``, Gaussian ``N(0, 1/rank)`` scaled by ``alpha/rank``)
-    and ``{module}.lora_b`` (``(O, rank)``, zeros) — so the forward pass
-    is bit-identical until training moves ``lora_b`` off zero.
+    Every 2-D float ``{module}.weight`` (linear) and every 4-D
+    ``(O, I, 1, 1)`` float weight (1x1 conv — a matmul in kernel's
+    clothing; ``ops.nn.conv_2d`` applies the adapter as two rank-r 1x1
+    convs) whose dotted name matches the ``targets`` regex (None = all of
+    them) gains ``{module}.lora_a`` (``(rank, I)``, Gaussian
+    ``N(0, 1/rank)`` scaled by ``alpha/rank``) and ``{module}.lora_b``
+    (``(O, rank)``, zeros) — so the forward pass is bit-identical until
+    training moves ``lora_b`` off zero. k>1 convs and depthwise convs are
+    skipped (see docs/training.md for the per-family coverage table).
 
     ``alpha`` defaults to ``rank`` (scale 1). Adapters are f32 regardless
     of the base dtype (master-weight recommendation; ``linear`` casts them
@@ -128,13 +137,17 @@ def add_lora(
         # dtype check stays on host: jnp.asarray would commit every weight
         # to the default device (a tunnel H2D per tensor on TPU) just to
         # read its dtype
-        if len(shape) != 2 or not jnp.issubdtype(dv.dtype, jnp.floating):
+        is_linear = len(shape) == 2
+        is_conv1x1 = len(shape) == 4 and shape[2] == 1 and shape[3] == 1 and shape[1] > 1
+        if not (is_linear or is_conv1x1) or not jnp.issubdtype(dv.dtype, jnp.floating):
             if pat is not None:
                 # an explicit target that can't take an adapter is a bug
-                # in the caller's regex (conv / norm / non-float weight)
+                # in the caller's regex (k>1 conv / depthwise / norm /
+                # non-float weight)
                 raise_error(
                     "add_lora: target '{}' has shape {} — LoRA applies to "
-                    "2-D linear weights (O, I) only", key, tuple(shape),
+                    "2-D linear weights (O, I) and 1x1 conv weights "
+                    "(O, I, 1, 1) only", key, tuple(shape),
                 )
             continue
         o, i = int(shape[0]), int(shape[1])
@@ -168,7 +181,10 @@ def merge_lora(params: Mapping[str, Any]) -> dict:
         a = jnp.asarray(params[mod + _A], jnp.float32)
         b = jnp.asarray(params[mod + _B], jnp.float32)
         wf = jnp.asarray(w, jnp.float32) if not isinstance(w, jax.Array) else w.astype(jnp.float32)
-        merged = wf + jnp.matmul(b, a, preferred_element_type=jnp.float32)
+        delta = jnp.matmul(b, a, preferred_element_type=jnp.float32)
+        if wf.ndim == 4:  # 1x1 conv base (O, I, 1, 1)
+            delta = delta[:, :, None, None]
+        merged = wf + delta
         out[wkey] = merged.astype(jnp.asarray(w).dtype)
         del out[mod + _A], out[mod + _B]
     return out

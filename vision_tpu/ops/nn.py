@@ -160,10 +160,22 @@ def conv_2d(p: Params, x, stride: int = 1, pad: int = 0):
     The reference's three CWHN strategies (1x1-as-matmul, direct, im2col)
     collapse into one lax.conv — XLA lowers 1x1 convs to matmuls on the MXU
     itself.
-    """
+
+    A LoRA adapter pair next to the weight (``lora_a (r, I)`` /
+    ``lora_b (O, r)``, attached by vision_tpu.lora to 1x1 convs — they ARE
+    matmuls) contributes two rank-r 1x1 convs, the first carrying the base
+    conv's stride/pad so the paths stay spatially aligned. Trace-time
+    lookup: models without adapters pay nothing."""
     w = p.weight("weight")  # (O, I, kH, kW)
     k = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
     y = _conv_nhwc(x, k, stride, [(pad, pad), (pad, pad)]).astype(x.dtype)
+    a = p.find("lora_a")
+    if a is not None:
+        ba = p.weight("lora_b")
+        ka = a.astype(x.dtype).T[None, None]  # (1, 1, I, r) HWIO
+        kb = ba.astype(x.dtype).T[None, None]  # (1, 1, r, O)
+        h = _conv_nhwc(x, ka, stride, [(pad, pad), (pad, pad)]).astype(x.dtype)
+        y = y + _conv_nhwc(h, kb, 1, [(0, 0), (0, 0)]).astype(x.dtype)
     b = p.find("bias")
     if b is not None:
         y = y + b
