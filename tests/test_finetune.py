@@ -307,3 +307,110 @@ def test_distill_lora(tmp_path):
             str(teacher), str(student), list_images([str(d)]), out,
             steps=1, batch=2, size=28, lora_rank=2, trainable=r".*",
         )
+
+
+# ---------------------------------------------------------------------------
+# birefnet supervised mask fine-tune (third family recipe)
+
+
+def _biref_gguf(tmp_path):
+    import torch
+
+    from test_birefnet import TBirefnet
+    from test_roundtrip import _biref_ckpt_names
+    from vision_tpu.convert.convert import convert_model
+
+    t = randomize(TBirefnet())
+    path = tmp_path / "birefnet-dynamic.pth"  # "dynamic" -> image_size=-1
+    torch.save(_biref_ckpt_names(t.state_dict()), path)
+    return convert_model("birefnet", path, tmp_path / "biref.gguf")
+
+
+def _mask_dir(tmp_path, stems, size=(30, 30), seed=1):
+    from vision_tpu.image import image_load_array, image_save
+
+    d = tmp_path / "masks"
+    d.mkdir()
+    rng = np.random.default_rng(seed)
+    for s in stems:
+        a = ((rng.random(size) > 0.5) * 255).astype(np.uint8)
+        image_save(image_load_array(a), str(d / f"{s}.png"))
+    return d
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_finetune_birefnet(tmp_path):
+    """Supervised mask recipe end-to-end: GGUF in, (image, mask) pairs,
+    on-device augmentation in the jitted step, GGUF out that loads
+    through the normal birefnet path; reproducible from its seed."""
+    from vision_tpu.api import model_detect_family
+    from vision_tpu.core.weights import load_weights
+    from vision_tpu.finetune import finetune_birefnet
+    from vision_tpu.models.birefnet import fixup_weights
+
+    src = _biref_gguf(tmp_path)
+    d = _img_dir(tmp_path, n=3, size=(30, 30))
+    md = _mask_dir(tmp_path, [f"im{i}" for i in range(3)])
+    out = tmp_path / "biref-tuned.gguf"
+    lines = []
+    stats = finetune_birefnet(
+        src, list_images([str(d)]), out, masks=str(md),
+        steps=2, lr=1e-3, batch=2, size=1,  # snaps to the 128 grid
+        seed=0, log=lines.append,
+    )
+    assert stats["steps"] == 2
+    assert np.isfinite(stats["first_loss"]) and np.isfinite(stats["last_loss"])
+    assert any("-> 128" in l for l in lines)  # the snap was narrated
+    f = GGUFFile(str(out))
+    assert model_detect_family(f).value == "birefnet"
+    # trainable float weights moved; the export re-loads cleanly in
+    # semantic form (layout markers handled by export_gguf)
+    s0 = GGUFFile(str(src))
+    a = fixup_weights(s0, load_weights(s0, as_numpy=True))
+    b = fixup_weights(f, load_weights(f, as_numpy=True))
+    moved = [k for k, v in a.items()
+             if np.issubdtype(np.asarray(v).dtype, np.floating)
+             and not np.array_equal(np.asarray(v, np.float32), np.asarray(b[k], np.float32))]
+    assert moved
+
+    # masks are mandatory for this family
+    with pytest.raises(VispError, match="masks"):
+        finetune_birefnet(src, list_images([str(d)]), out, steps=1)
+
+    # same seed -> identical loss trajectory (keyed augmentation included)
+    stats2 = finetune_birefnet(
+        src, list_images([str(d)]), tmp_path / "det.gguf", masks=str(md),
+        steps=2, lr=1e-3, batch=2, size=1, seed=0,
+    )
+    assert (stats2["first_loss"], stats2["last_loss"]) == (
+        stats["first_loss"], stats["last_loss"])
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_cli_finetune_birefnet(tmp_path, capsys):
+    from vision_tpu.cli import main
+
+    src = _biref_gguf(tmp_path)
+    d = _img_dir(tmp_path, n=2, size=(30, 30))
+    md = _mask_dir(tmp_path, ["im0", "im1"])
+    out = tmp_path / "tuned.gguf"
+    rc = main([
+        "finetune", "-m", str(src), "-i", str(d), "-o", str(out),
+        "--masks", str(md), "--steps", "1", "--batch", "2", "--size", "1",
+        "-b", "cpu",
+    ])
+    assert rc == 0 and out.exists()
+    assert "loss" in capsys.readouterr().out
+    # a mask dir missing a stem fails fast (before device init)
+    bad = tmp_path / "badmasks"
+    bad.mkdir()
+    import shutil
+
+    shutil.copy(md / "im0.png", bad / "im0.png")
+    rc = main([
+        "finetune", "-m", str(src), "-i", str(d), "-o", str(out),
+        "--masks", str(bad), "-b", "cpu",
+    ])
+    assert rc != 0

@@ -34,7 +34,7 @@ USAGE_COMMANDS = {
     "info": "inspect a .gguf: metadata, detected family, tensor/type breakdown",
     "compare": "compare two images: RMS (reference image_difference_rms semantics), PSNR, SSIM",
     "eval": "score a prediction directory against ground truth (mask IoU/F1, depth AbsRel/delta1, PSNR/SSIM, detection mAP); with -m, run the model on -i first",
-    "finetune": "self-supervised fine-tune of an esrgan .gguf on your images (L1 downscale-reconstruct)",
+    "finetune": "fine-tune a .gguf on your images: esrgan (self-supervised SR) or birefnet (supervised masks, --masks DIR)",
     "distill": "distill a depth-anything teacher .gguf into a smaller student on unlabeled images",
     "bench": "run the per-model benchmark table (vision-bench analog)",
     "export": "AOT-export a model's compiled programs as a portable StableHLO bundle (.vxp)",
@@ -230,13 +230,24 @@ def main(argv=None) -> int:
         help="distill: the student model to train (-m is the frozen teacher)",
     )
     parser.add_argument(
-        "--size", type=int, default=252,
-        help="distill: square training resolution (multiple of the 14-px patch)",
+        "--size", type=int, default=None,
+        help="distill/finetune(birefnet): square training resolution "
+             "(snapped to the model's grid; default 252 / 256)",
+    )
+    parser.add_argument(
+        "--masks", default=None, metavar="DIR",
+        help="finetune(birefnet): directory of same-stem ground-truth "
+             "masks (grayscale image or .npy in [0,1]) for the -i images",
+    )
+    parser.add_argument(
+        "--no-augment", action="store_true",
+        help="finetune(birefnet): disable the on-device flip/color-jitter "
+             "augmentation",
     )
     parser.add_argument(
         "--lora", type=int, default=None, metavar="RANK",
-        help="distill: train LoRA adapters of this rank instead of full "
-             "params (merged into the exported file)",
+        help="distill/finetune(birefnet): train LoRA adapters of this rank "
+             "instead of full params (merged into the exported file)",
     )
     parser.add_argument(
         "--lora-out", default=None, metavar="GGUF",
@@ -554,6 +565,12 @@ def main(argv=None) -> int:
             train_images = list_images(args.input)
             if args.steps < 1 or (args.batch is not None and args.batch < 1):
                 raise VispError(f"{args.command}: --steps and --batch must be >= 1")
+            if args.command == "finetune" and args.masks is not None:
+                # validate the mask pairing now: a missing/mismatched mask
+                # dir must fail before the (minutes-long) device init
+                from .bulk import pair_masks
+
+                pair_masks(train_images, args.masks)
         if args.command == "distill":
             if not args.student:
                 raise VispError("distill: --student <gguf> is required (-m is the teacher)")
@@ -677,16 +694,26 @@ def main(argv=None) -> int:
             if mesh is not None and batch % args.dp:
                 raise VispError(f"--batch {batch} must be divisible by --dp {args.dp}")
             if args.command == "finetune":
+                from .api import model_detect_family
+                from .core.gguf import GGUFFile
                 from .finetune import finetune
 
-                with _Timer("Fine-tuning"):
-                    stats = finetune(
-                        model_path, train_images, args.output,
-                        steps=args.steps, lr=args.lr, batch=batch,
-                        patch=args.patch, ema_decay=args.ema,
-                        trainable=args.train_filter, device=dev, mesh=mesh,
-                        log=print,
+                family = model_detect_family(GGUFFile(model_path)).value
+                kw = dict(
+                    steps=args.steps, lr=args.lr, batch=batch,
+                    trainable=args.train_filter, device=dev, mesh=mesh,
+                    log=print,
+                )
+                if family == "birefnet":
+                    kw.update(
+                        masks=args.masks, size=args.size or 256,
+                        augment=not args.no_augment, lora_rank=args.lora,
+                        lora_out=args.lora_out,
                     )
+                else:  # esrgan (the dispatcher rejects other families)
+                    kw.update(patch=args.patch, ema_decay=args.ema)
+                with _Timer("Fine-tuning"):
+                    stats = finetune(model_path, train_images, args.output, **kw)
             else:
                 from .finetune import distill_depthany
 
@@ -694,7 +721,7 @@ def main(argv=None) -> int:
                     stats = distill_depthany(
                         model_path, student_path, train_images, args.output,
                         steps=args.steps, lr=args.lr, batch=batch,
-                        size=args.size, trainable=args.train_filter,
+                        size=args.size or 252, trainable=args.train_filter,
                         lora_rank=args.lora, lora_out=args.lora_out,
                         device=dev, mesh=mesh, log=print,
                     )

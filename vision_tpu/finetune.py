@@ -1,13 +1,13 @@
-"""Self-supervised fine-tuning recipes (the ``vision-cli finetune`` verb).
+"""Per-family fine-tuning recipes (the ``vision-cli finetune`` verb).
 
 Composes the training subsystem end-to-end on top of a deployable GGUF:
-load -> fine-tune -> export, with no labels required. The first recipe is
-super-resolution (Real-ESRGAN): sample random HR patches from user
-images, synthesize the LR input by bicubic downscale ON DEVICE inside
-the jitted step, and minimize L1(model(LR), HR) — the standard SR
-degradation-training loop reduced to its self-supervised core. The
-reference is inference-only; this closes the loop its users run through
-external torch training code.
+load -> fine-tune -> export. Recipes: Real-ESRGAN (self-supervised SR —
+random HR patches, bicubic LR synthesized ON DEVICE inside the jitted
+step, L1(model(LR), HR)), BiRefNet (supervised masks — same-stem
+(image, mask) pairs, BCE + soft-IoU, the ops.augment ops composed into
+the jitted step), and Depth-Anything distillation (teacher pseudo-depth,
+scale/shift-invariant L1). The reference is inference-only; this closes
+the loop its users run through external torch training code.
 
 TPU notes: the whole step (degrade + forward + backward + update) is ONE
 jitted program; host threads only decode images and crop patches
@@ -26,7 +26,7 @@ import numpy as np
 
 from .core.errors import raise_error
 
-__all__ = ["distill_depthany", "finetune", "finetune_esrgan", "list_images"]
+__all__ = ["distill_depthany", "finetune", "finetune_birefnet", "finetune_esrgan", "list_images"]
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tga", ".gif")
 
@@ -397,12 +397,191 @@ def distill_depthany(
     return result
 
 
-_RECIPES = {"esrgan": finetune_esrgan}
+def _mask_load(size: int) -> Callable[[tuple], tuple]:
+    """Host half of the mask-finetune pipeline: decode one (image, mask)
+    pair, square-resize both to ``size``², return ``(rgb [0,1] f32,
+    mask (H, W, 1) [0,1] f32)``. The image goes UN-normalized — the
+    device step jitters it first and fuses the ImageNet normalize (the
+    augment ops' [0, 1] contract). Masks route through the eval loaders
+    (grayscale PNG / .npy / color all work — evaluate._load_map)."""
+    from .evaluate import _gray, _load_map, _resize_to
+    from .image import ImageFormat, image_load, image_scale, image_u8_to_f32, preprocess_scale_method
+
+    def load(pair: tuple) -> tuple:
+        img_p, mask_p = pair
+        img = image_load(img_p)
+        if img.extent != (size, size):
+            img = image_scale(img, (size, size), preprocess_scale_method())
+        x = image_u8_to_f32(img, ImageFormat.rgb_f32).data[:, :, :3]
+        m = _resize_to(_gray(_load_map(mask_p)), (size, size))[:, :, None]
+        return np.ascontiguousarray(x), np.ascontiguousarray(np.clip(m, 0.0, 1.0))
+
+    return load
+
+
+def finetune_birefnet(
+    model,
+    images: Sequence[str],
+    dst: str | os.PathLike,
+    masks: str | None = None,
+    steps: int = 200,
+    lr: float = 1e-4,
+    batch: int = 4,
+    size: int = 256,
+    augment: bool = True,
+    trainable=None,
+    lora_rank: int | None = None,
+    lora_out: str | os.PathLike | None = None,
+    seed: int = 0,
+    device=None,
+    mesh=None,
+    workers: int = 4,
+    log: Callable[[str], None] | None = None,
+) -> dict:
+    """Supervised mask fine-tune of a BiRefNet GGUF on labeled
+    (image, mask) pairs — the third family recipe (VERDICT r4 next #4a):
+    segmentation/matting users adapt the released checkpoint to their
+    domain with a folder of images + same-stem masks (the
+    ``bulk.pair_masks`` convention; masks are grayscale images or .npy
+    float arrays in [0, 1]).
+
+    Each step resizes ``batch`` pairs to ``size``² (snapped to the
+    model's ``image_multiple`` grid), augments ON DEVICE inside the
+    jitted train step (consistent horizontal flip of image+mask, color
+    jitter on the image only — ``ops.augment``, keyed per batch so runs
+    reproduce from ``seed``), ImageNet-normalizes, and takes one adam
+    step on BCE + soft-IoU of ``birefnet_predict`` against the mask (the
+    standard DIS/matting objective). ``lora_rank`` trains only LoRA
+    adapters (SWIN trunk linears + decoder lateral/attn 1x1 convs) and
+    merges them into the export; ``lora_out`` additionally saves the
+    adapter file. Writes the tuned model to ``dst`` (f32, source KVs) and
+    returns ``{"out", "steps", "first_loss", "last_loss"}``.
+    """
+    import optax
+
+    from .bulk import pair_masks
+    from .core.gguf import GGUFFile
+    from .core.params import Params
+    from .core.weights import load_weights
+    from .models.birefnet import (
+        _next_multiple,
+        birefnet_detect_params,
+        birefnet_predict,
+        fixup_weights,
+    )
+    from .ops.augment import color_jitter, random_flip
+    from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from .train import (
+        create_train_state,
+        data_loader,
+        export_gguf,
+        make_train_step,
+        prefetch_to_device,
+    )
+
+    file = model if isinstance(model, GGUFFile) else GGUFFile(os.fspath(model))
+    bp = birefnet_detect_params(file)
+    if masks is None:
+        raise_error("finetune(birefnet): pass masks=<dir of same-stem ground-truth masks>")
+    if steps < 1 or batch < 1:
+        raise_error("finetune: steps and batch must be >= 1, got {} / {}", steps, batch)
+    s = _next_multiple(max(int(size), bp.image_multiple), bp.image_multiple)
+    if s != size and log is not None:
+        log(f"size {size} -> {s} (model grid: multiples of {bp.image_multiple})")
+    pairs = pair_masks(list(images), masks)
+
+    s_np = fixup_weights(file, load_weights(file, device=None, as_numpy=True, float_dtype=jnp.float32))
+    if lora_rank is not None:
+        from .lora import LORA_TRAINABLE, add_lora
+
+        if trainable is not None:
+            raise_error("finetune: pass either lora_rank or trainable, not both")
+        if lora_rank < 1:
+            raise_error("finetune: lora_rank must be >= 1, got {}", lora_rank)
+        s_np = add_lora(s_np, rank=lora_rank, seed=seed)
+        trainable = LORA_TRAINABLE
+    params = {k: jnp.asarray(v) for k, v in s_np.items()}
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    def loss_fn(params, batch):
+        x, m, keys = batch
+        if augment:
+            kf, kj = jax.random.split(keys[0])
+            both = random_flip(kf, jnp.concatenate([x, m], axis=-1))
+            x, m = both[..., :3], both[..., 3:]
+            x = color_jitter(kj, x, brightness=0.2, contrast=0.2, saturation=0.2)
+        pm = birefnet_predict(Params(params), (x - mean) / std, bp)
+        eps = 1e-6
+        bce = -jnp.mean(m * jnp.log(pm + eps) + (1 - m) * jnp.log(1 - pm + eps))
+        inter = jnp.sum(pm * m, axis=(1, 2, 3))
+        union = jnp.sum(pm, axis=(1, 2, 3)) + jnp.sum(m, axis=(1, 2, 3)) - inter
+        iou = jnp.mean((inter + 1.0) / (union + 1.0))
+        return bce + (1.0 - iou)
+
+    opt = optax.adam(lr)
+    state = create_train_state(params, opt, mesh=mesh, trainable=trainable)
+    step = make_train_step(loss_fn, opt, mesh=mesh, trainable=trainable)
+
+    first = last = None
+    done = 0
+    rng = np.random.default_rng(seed)
+    items = (
+        list(pairs)
+        if len(pairs) >= batch
+        else [pairs[i % len(pairs)] for i in range(batch)]
+    )
+
+    def with_keys(epoch):
+        # one augment key per batch, broadcast to (B, 2) u32 rows so the
+        # mesh path dp-shards it like every other leaf (loss uses keys[0])
+        for x, m in epoch:
+            kb = np.tile(
+                rng.integers(0, 2**32, 2, dtype=np.uint32), (x.shape[0], 1)
+            )
+            yield (x, m, kb)
+
+    while done < steps:
+        epoch = data_loader(
+            items, batch, load=_mask_load(s), workers=workers,
+            shuffle=True, seed=int(rng.integers(2**31)),
+        )
+        got = False
+        for b in prefetch_to_device(with_keys(epoch), mesh=mesh):
+            got = True
+            state, metrics = step(state, b)
+            loss = float(metrics["loss"])
+            last = loss
+            if first is None:
+                first = loss
+            done += 1
+            if log is not None and (done == 1 or done % 10 == 0 or done == steps):
+                log(f"step {done}/{steps}  loss {loss:.5f}")
+            if done >= steps:
+                break
+        if not got:
+            raise_error("finetune: dataset produced no batches")
+    out_params = dict(state.params)
+    if lora_rank is not None:
+        from .lora import merge_lora, save_lora
+
+        if lora_out is not None:
+            save_lora(out_params, lora_out, arch=file.arch)
+        out_params = merge_lora(out_params)
+    export_gguf(out_params, dst, source=file)
+    result = {"out": os.fspath(dst), "steps": done, "first_loss": first, "last_loss": last}
+    if lora_rank is not None and lora_out is not None:
+        result["lora_out"] = os.fspath(lora_out)
+    return result
+
+
+_RECIPES = {"esrgan": finetune_esrgan, "birefnet": finetune_birefnet}
 
 
 def finetune(model, images: Sequence[str], dst, **kw) -> dict:
     """Family-dispatching fine-tune: detect the GGUF's family and run its
-    recipe. Currently: esrgan (self-supervised SR). Other families train
+    recipe. Currently: esrgan (self-supervised SR) and birefnet
+    (supervised masks — pass ``masks=<dir>``). Other families train
     through the generic ``vision_tpu.train`` API with task-specific
     losses/labels — see docs/training.md."""
     from .api import model_detect_family
