@@ -44,6 +44,9 @@ with SamServer(model, batch_size=BS, max_delay_ms=5.0) as srv:
     futs = [srv.submit(imgs[i % 8], point=(320, 320)) for i in range(BS)]
     for f in futs:
         f.result()
+    # same discipline as SamServer.warmup(): first-compile latencies and
+    # the warmup batch must not poison the measured percentiles/occupancy
+    srv.stats.reset()
 
     # host-side preprocessing runs on the server's prep pool, so even a
     # single-threaded client fills batches; 8 client threads here model

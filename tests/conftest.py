@@ -34,11 +34,25 @@ if os.environ.get("VISP_TEST_CACHE", "1") != "0":
         os.path.expanduser("~"), ".cache", "vision_tpu", "test-xla"
     )
     os.makedirs(_cache_dir, exist_ok=True)
+    # Bound the cache by wholesale reset, NOT jax_compilation_cache_max_size:
+    # jax's LRU eviction races its own -atime bookkeeping files
+    # (FileNotFoundError inside put()), which silently DROPPED every write of
+    # the biggest entries (the multi-minute finetune fwd+bwd programs) — the
+    # one class of program the cache exists for. Entries are HLO-hash keyed,
+    # so code churn grows the dir monotonically; reset when it passes 8 GB
+    # (one cold suite rebuilds it in ~25 min).
+    _size = sum(
+        os.path.getsize(os.path.join(_cache_dir, f))
+        for f in os.listdir(_cache_dir)
+        if os.path.isfile(os.path.join(_cache_dir, f))
+    )
+    if _size > 8 * 1024**3:
+        import shutil
+
+        shutil.rmtree(_cache_dir)
+        os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # bound the cache: entries are HLO-hash keyed, so code churn would grow
-    # it monotonically without LRU eviction
-    jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
 
 import numpy as np
 import pytest

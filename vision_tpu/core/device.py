@@ -207,16 +207,29 @@ def backend_init(btype: BackendType | str | None = None) -> Device:
         # VISP_COMPILE_CACHE= (empty) disables; an application that already
         # configured jax_compilation_cache_dir (tests' conftest, bench.py)
         # keeps its own setting. Entries are HLO-hash keyed per platform,
-        # so CPU/TPU programs never collide; size-bounded with LRU
-        # eviction so code churn can't grow it without bound.
+        # so CPU/TPU programs never collide. Size is bounded by wholesale
+        # reset at 8 GB rather than jax_compilation_cache_max_size: jax's
+        # LRU eviction races its own -atime bookkeeping (FileNotFoundError
+        # inside put()), which silently drops the writes of exactly the
+        # multi-minute programs the cache exists for (observed with the
+        # finetune fwd+bwd steps).
         _default_cache = os.path.join(
             os.path.expanduser("~"), ".cache", "vision_tpu", "xla"
         )
         try:
             os.makedirs(_default_cache, exist_ok=True)
+            _size = sum(
+                os.path.getsize(os.path.join(_default_cache, f))
+                for f in os.listdir(_default_cache)
+                if os.path.isfile(os.path.join(_default_cache, f))
+            )
+            if _size > 8 * 1024**3:
+                import shutil
+
+                shutil.rmtree(_default_cache)
+                os.makedirs(_default_cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", _default_cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-            jax.config.update("jax_compilation_cache_max_size", 8 * 1024**3)
         except OSError:
             pass  # read-only home: run without a persistent cache
     if btype == BackendType.cpu:
