@@ -4,6 +4,8 @@ output file loads through the normal model path and carries the source
 KVs), the EMA variant exports EMA weights, family dispatch rejects
 recipes that don't exist, and the CLI verb runs end-to-end."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -338,12 +340,38 @@ def _mask_dir(tmp_path, stems, size=(30, 30), seed=1):
     return d
 
 
+def _run_finetune_cli(args, cache_dir, timeout=2400):
+    """Drive vision-cli in a SUBPROCESS. Training must not run in the
+    suite process: XLA's CPU executable serializer segfaults/aborts on
+    the multi-minute birefnet fwd+bwd program when the process has a
+    long-lived heap (observed twice in round 5, in
+    compilation_cache.put_executable_and_time -> executable.serialize();
+    fresh processes serialize the same program fine). The subprocess
+    also WRITES the persistent cache entry (VISP_COMPILE_CACHE), so the
+    first run ever pays the cold compile and every later run is warm."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["VISP_COMPILE_CACHE"] = str(cache_dir)
+    return subprocess.run(
+        [sys.executable, "-m", "vision_tpu.cli", *args],
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
+
+
 @pytest.mark.slow
 @pytest.mark.heavy
 def test_finetune_birefnet(tmp_path):
-    """Supervised mask recipe end-to-end: GGUF in, (image, mask) pairs,
-    on-device augmentation in the jitted step, GGUF out that loads
-    through the normal birefnet path; reproducible from its seed."""
+    """Supervised mask recipe end-to-end through the CLI: GGUF in,
+    (image, mask) pairs, on-device augmentation in the jitted step,
+    GGUF out that loads through the normal birefnet path; two runs with
+    the default seed produce bit-identical exports (the keyed
+    augmentation included)."""
+    import re
+
     from vision_tpu.api import model_detect_family
     from vision_tpu.core.weights import load_weights
     from vision_tpu.finetune import finetune_birefnet
@@ -352,20 +380,30 @@ def test_finetune_birefnet(tmp_path):
     src = _biref_gguf(tmp_path)
     d = _img_dir(tmp_path, n=3, size=(30, 30))
     md = _mask_dir(tmp_path, [f"im{i}" for i in range(3)])
-    out = tmp_path / "biref-tuned.gguf"
-    lines = []
-    stats = finetune_birefnet(
-        src, list_images([str(d)]), out, masks=str(md),
-        steps=2, lr=1e-3, batch=2, size=1,  # snaps to the 128 grid
-        seed=0, log=lines.append,
+    cache = (
+        os.path.join(os.path.expanduser("~"), ".cache", "vision_tpu", "test-xla")
+        if os.environ.get("VISP_TEST_CACHE", "1") != "0"
+        else tmp_path / "xla"
     )
-    assert stats["steps"] == 2
-    assert np.isfinite(stats["first_loss"]) and np.isfinite(stats["last_loss"])
-    assert any("-> 128" in l for l in lines)  # the snap was narrated
-    f = GGUFFile(str(out))
+
+    def run(out):
+        return _run_finetune_cli([
+            "finetune", "-m", str(src), "-i", str(d), "-o", str(out),
+            "--masks", str(md), "--steps", "2", "--batch", "2",
+            "--size", "1", "--lr", "1e-3", "-b", "cpu",
+        ], cache)
+
+    out1, out2 = tmp_path / "t1.gguf", tmp_path / "t2.gguf"
+    r1 = run(out1)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    assert "size 1 -> 128" in r1.stdout  # grid snap narrated
+    m1 = re.search(r"loss ([0-9.]+) -> ([0-9.]+)", r1.stdout)
+    assert m1 and out1.exists()
+
+    f = GGUFFile(str(out1))
     assert model_detect_family(f).value == "birefnet"
     # trainable float weights moved; the export re-loads cleanly in
-    # semantic form (layout markers handled by export_gguf)
+    # semantic (post-fixup) form
     s0 = GGUFFile(str(src))
     a = fixup_weights(s0, load_weights(s0, as_numpy=True))
     b = fixup_weights(f, load_weights(f, as_numpy=True))
@@ -374,43 +412,28 @@ def test_finetune_birefnet(tmp_path):
              and not np.array_equal(np.asarray(v, np.float32), np.asarray(b[k], np.float32))]
     assert moved
 
-    # masks are mandatory for this family
+    # same (default) seed -> identical trajectory AND identical tensors
+    r2 = run(out2)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert re.search(r"loss ([0-9.]+) -> ([0-9.]+)", r2.stdout).groups() == m1.groups()
+    f2 = GGUFFile(str(out2))
+    assert sorted(f2.tensors) == sorted(f.tensors)
+    for name in f.tensors:
+        assert np.array_equal(f.tensor(name, np.float32), f2.tensor(name, np.float32)), name
+
+    # masks are mandatory for this family (raises before any device work)
     with pytest.raises(VispError, match="masks"):
-        finetune_birefnet(src, list_images([str(d)]), out, steps=1)
-
-    # same seed -> identical loss trajectory (keyed augmentation included)
-    stats2 = finetune_birefnet(
-        src, list_images([str(d)]), tmp_path / "det.gguf", masks=str(md),
-        steps=2, lr=1e-3, batch=2, size=1, seed=0,
-    )
-    assert (stats2["first_loss"], stats2["last_loss"]) == (
-        stats["first_loss"], stats["last_loss"])
-
-
-@pytest.mark.slow
-@pytest.mark.heavy
-def test_cli_finetune_birefnet(tmp_path, capsys):
+        finetune_birefnet(src, list_images([str(d)]), out1, steps=1)
+    # a mask dir missing a stem fails fast in the CLI (before device init)
     from vision_tpu.cli import main
 
-    src = _biref_gguf(tmp_path)
-    d = _img_dir(tmp_path, n=2, size=(30, 30))
-    md = _mask_dir(tmp_path, ["im0", "im1"])
-    out = tmp_path / "tuned.gguf"
-    rc = main([
-        "finetune", "-m", str(src), "-i", str(d), "-o", str(out),
-        "--masks", str(md), "--steps", "1", "--batch", "2", "--size", "1",
-        "-b", "cpu",
-    ])
-    assert rc == 0 and out.exists()
-    assert "loss" in capsys.readouterr().out
-    # a mask dir missing a stem fails fast (before device init)
     bad = tmp_path / "badmasks"
     bad.mkdir()
     import shutil
 
     shutil.copy(md / "im0.png", bad / "im0.png")
     rc = main([
-        "finetune", "-m", str(src), "-i", str(d), "-o", str(out),
+        "finetune", "-m", str(src), "-i", str(d), "-o", str(tmp_path / "x.gguf"),
         "--masks", str(bad), "-b", "cpu",
     ])
     assert rc != 0
