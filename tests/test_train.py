@@ -298,6 +298,45 @@ def test_prefetch_to_device_mesh_sharding():
     assert out[0][0].sharding.spec == P("dp")
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_prefetch_accum_layout_and_parity():
+    """prefetch_to_device(accum=K) dp-shards axis 1 (the samples), not the
+    microbatch axis — the (K, micro, ...) layout make_train_step(accum=K)
+    declares — and the accumulated mesh step matches the full-batch mesh
+    step exactly (same contract as the single-device accum test)."""
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from vision_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, tp=2)  # dp=4
+    params, (x, y) = _problem()
+    opt = optax.sgd(0.1)
+
+    micro = [(np.zeros((3, 4, 8), np.float32),) for _ in range(2)]
+    out = list(prefetch_to_device(iter(micro), mesh=mesh, accum=3))
+    assert out[0][0].sharding.spec == P(None, "dp")
+
+    full = make_train_step(_loss_fn, opt, mesh=mesh)
+    acc = make_train_step(_loss_fn, opt, mesh=mesh, accum=4)
+    s_full = create_train_state(params, opt, mesh=mesh)
+    s_acc = create_train_state(params, opt, mesh=mesh)
+    (bx,), = list(prefetch_to_device(iter([(x,)]), mesh=mesh))
+    (by,), = list(prefetch_to_device(iter([(y,)]), mesh=mesh))
+    s_full, mf = full(s_full, (bx, by))
+    (ax,), = list(prefetch_to_device(iter([(x.reshape(4, 4, 8),)]), mesh=mesh, accum=4))
+    (ay,), = list(prefetch_to_device(iter([(y.reshape(4, 4, 4),)]), mesh=mesh, accum=4))
+    s_acc, ma = acc(s_acc, (ax, ay))
+    np.testing.assert_allclose(
+        np.asarray(s_acc.params["head.w.weight"]),
+        np.asarray(s_full.params["head.w.weight"]), atol=2e-6,
+    )
+    np.testing.assert_allclose(float(ma["loss"]), float(mf["loss"]), atol=1e-6)
+
+    with pytest.raises(Exception):
+        next(prefetch_to_device(iter(micro), mesh=mesh, accum=0))
+
+
 def test_finetune_depthany_head_smoke():
     """End-to-end: fine-tune a real family's head (depth-anything 'test'
     variant) against a synthetic depth target — the production fine-tune

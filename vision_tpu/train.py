@@ -389,7 +389,7 @@ def data_loader(
             yield stack([f.result() for f in pending.popleft()])
 
 
-def prefetch_to_device(batches, size: int = 2, mesh=None):
+def prefetch_to_device(batches, size: int = 2, mesh=None, accum: int = 1):
     """Wrap a host batch iterator with device prefetch.
 
     Keeps ``size`` batches in flight: ``jax.device_put`` is async, so the
@@ -397,16 +397,30 @@ def prefetch_to_device(batches, size: int = 2, mesh=None):
     the standard TPU input-pipeline shape (the training analog of the
     serving layer's prep-worker pool). With a mesh, every leaf lands
     dp-sharded on its leading axis (the layout ``make_train_step``
-    expects); pre-shard accum microbatch leaves yourself if you need the
-    ``(K, micro, ...)`` layout.
+    expects). Pass the SAME ``accum`` you gave ``make_train_step`` when
+    using gradient accumulation: batch leaves then carry a leading
+    ``(accum, micro, ...)`` microbatch axis and dp must shard axis 1 —
+    sharding the accum axis itself would hand each chip different
+    microbatch steps instead of different samples (and fail outright when
+    dp does not divide K).
     """
     import collections
 
-    if size < 1:
+    if size < 1 or accum < 1:
         from .core.errors import raise_error
 
-        raise_error("prefetch_to_device: size must be >= 1, got {}", size)
-    sharding = batch_sharding(mesh) if mesh is not None else None
+        raise_error(
+            "prefetch_to_device: size and accum must be >= 1, got {} / {}",
+            size, accum,
+        )
+    if mesh is None:
+        sharding = None
+    elif accum > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec(None, "dp"))
+    else:
+        sharding = batch_sharding(mesh)
 
     def put(b):
         if sharding is None:
