@@ -437,3 +437,53 @@ def test_finetune_birefnet(tmp_path):
         "--masks", str(bad), "-b", "cpu",
     ])
     assert rc != 0
+
+
+def test_finetune_checkpoint_resume(tmp_path):
+    """--ckpt preemption safety: periodic + final orbax saves, rerun
+    resumes from the newest step_* (optimizer state carries over), a
+    resume at/past --steps exports without training, and the EMA pair
+    checkpoints/restores as one tree."""
+    src = _tiny_gguf(tmp_path)
+    d = _img_dir(tmp_path)
+    ck = tmp_path / "ckpts"
+
+    s1 = finetune_esrgan(
+        src, list_images([str(d)]), tmp_path / "a.gguf",
+        steps=2, lr=1e-3, batch=2, patch=8, seed=0,
+        ckpt_dir=ck, ckpt_every=1,
+    )
+    assert s1["steps"] == 2 and (ck / "step_1").is_dir() and (ck / "step_2").is_dir()
+
+    lines = []
+    s2 = finetune_esrgan(
+        src, list_images([str(d)]), tmp_path / "b.gguf",
+        steps=5, lr=1e-3, batch=2, patch=8, seed=0,
+        ckpt_dir=ck, ckpt_every=2, log=lines.append,
+    )
+    assert any("resumed from" in l and "step 2" in l for l in lines)
+    assert s2["steps"] == 5 and (ck / "step_5").is_dir()
+
+    # resume at/past the requested steps: nothing trains, export still lands
+    s3 = finetune_esrgan(
+        src, list_images([str(d)]), tmp_path / "c.gguf",
+        steps=4, lr=1e-3, batch=2, patch=8, seed=0, ckpt_dir=ck,
+    )
+    assert s3["steps"] == 5 and s3["first_loss"] is None
+    assert (tmp_path / "c.gguf").exists()
+
+    # EMA rides the checkpoint as a (state, ema) pair (own dir: the tree
+    # structure differs from a bare-state checkpoint)
+    ck2 = tmp_path / "ckpts-ema"
+    finetune_esrgan(
+        src, list_images([str(d)]), tmp_path / "e1.gguf",
+        steps=2, lr=1e-3, batch=2, patch=8, seed=0, ema_decay=0.5,
+        ckpt_dir=ck2, ckpt_every=2,
+    )
+    lines = []
+    s5 = finetune_esrgan(
+        src, list_images([str(d)]), tmp_path / "e2.gguf",
+        steps=3, lr=1e-3, batch=2, patch=8, seed=0, ema_decay=0.5,
+        ckpt_dir=ck2, ckpt_every=1, log=lines.append,
+    )
+    assert any("resumed" in l for l in lines) and s5["steps"] == 3

@@ -221,6 +221,16 @@ def main(argv=None) -> int:
         help="finetune: track+export EMA weights at this decay (e.g. 0.999)",
     )
     parser.add_argument(
+        "--ckpt", default=None, metavar="DIR",
+        help="finetune/distill: checkpoint the training state here and "
+             "auto-resume a rerun from the newest step_* save",
+    )
+    parser.add_argument(
+        "--ckpt-every", type=int, default=50, metavar="N",
+        help="finetune/distill: checkpoint every N optimizer steps "
+             "(default 50; the final step always saves)",
+    )
+    parser.add_argument(
         "--train-filter", default=None, metavar="REGEX",
         help="finetune/distill: train only params whose dotted name matches "
              "(default: all float params)",
@@ -702,6 +712,7 @@ def main(argv=None) -> int:
                 kw = dict(
                     steps=args.steps, lr=args.lr, batch=batch,
                     trainable=args.train_filter, device=dev, mesh=mesh,
+                    ckpt_dir=args.ckpt, ckpt_every=args.ckpt_every,
                     log=print,
                 )
                 if family == "birefnet":
@@ -723,12 +734,16 @@ def main(argv=None) -> int:
                         steps=args.steps, lr=args.lr, batch=batch,
                         size=args.size or 252, trainable=args.train_filter,
                         lora_rank=args.lora, lora_out=args.lora_out,
-                        device=dev, mesh=mesh, log=print,
+                        device=dev, mesh=mesh, ckpt_dir=args.ckpt,
+                        ckpt_every=args.ckpt_every, log=print,
                     )
-            print(
-                f"loss {stats['first_loss']:.5f} -> {stats['last_loss']:.5f} "
-                f"over {stats['steps']} steps ({len(train_images)} images)"
-            )
+            if stats["first_loss"] is not None:
+                print(
+                    f"loss {stats['first_loss']:.5f} -> {stats['last_loss']:.5f} "
+                    f"over {stats['steps']} steps ({len(train_images)} images)"
+                )
+            else:  # resumed at/past --steps: nothing left to train
+                print(f"already trained to step {stats['steps']} (resumed); exported as-is")
             print(f"-> {stats['out']}")
             return 0
 

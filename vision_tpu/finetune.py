@@ -77,6 +77,37 @@ def _patch_load(patch: int, seed: int) -> Callable[[tuple], np.ndarray]:
     return load
 
 
+def _ckpt_resume(tree, ckpt_dir, log):
+    """Resume ``tree`` (a TrainState or a (state, ema) pair) from the
+    newest ``step_*`` checkpoint under ``ckpt_dir``. Returns
+    ``(tree, done)`` — ``done`` = optimizer steps already taken."""
+    if not ckpt_dir:
+        return tree, 0
+    from .train import TrainState, latest_checkpoint, restore_checkpoint
+
+    latest = latest_checkpoint(ckpt_dir)
+    if latest is None:
+        return tree, 0
+    tree = restore_checkpoint(latest, tree)
+    # NB: TrainState is itself a (named) tuple — test the type, not tuple-ness
+    state = tree if isinstance(tree, TrainState) else tree[0]
+    done = int(state.step)
+    if log is not None:
+        log(f"resumed from {latest} (step {done})")
+    return tree, done
+
+
+def _ckpt_save(tree, ckpt_dir, every, done, steps):
+    """Periodic + final checkpoint (durable before returning — a
+    preempted process resumes from its last save)."""
+    if ckpt_dir and (done % max(int(every), 1) == 0 or done >= steps):
+        from .train import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(os.fspath(ckpt_dir), f"step_{done}"), tree
+        )
+
+
 def finetune_esrgan(
     model,
     images: Sequence[str],
@@ -91,6 +122,8 @@ def finetune_esrgan(
     device=None,
     mesh=None,
     workers: int = 4,
+    ckpt_dir: str | os.PathLike | None = None,
+    ckpt_every: int = 50,
     log: Callable[[str], None] | None = None,
 ) -> dict:
     """Self-supervised SR fine-tune of an ESRGAN GGUF on a folder of images.
@@ -101,6 +134,12 @@ def finetune_esrgan(
     EMA weights (what Real-ESRGAN ships) and exports those. Writes the
     fine-tuned params to ``dst`` (f32, carries the source KVs) and returns
     ``{"out", "steps", "first_loss", "last_loss"}``.
+
+    ``ckpt_dir`` makes long runs preemption-safe: the (state, EMA) pair
+    checkpoints every ``ckpt_every`` steps (orbax, durable before the
+    next step) and a rerun with the same ``ckpt_dir`` resumes from the
+    newest ``step_*`` save. The data order restarts from ``seed`` on
+    resume (the optimizer/EMA state is what carries over).
     """
     import optax
 
@@ -149,8 +188,14 @@ def finetune_esrgan(
     )
     ema_step = jax.jit(ema_update, static_argnames=("decay",)) if ema_decay is not None else None
 
+    tree, done = _ckpt_resume(
+        (state, ema) if ema is not None else state, ckpt_dir, log
+    )
+    if ema is not None:
+        state, ema = tree
+    else:
+        state = tree
     first = last = None
-    done = 0
     rng = np.random.default_rng(seed)
     # a folder smaller than one batch still trains: sample with
     # replacement up to the batch size (the random crop differs per draw)
@@ -176,6 +221,10 @@ def finetune_esrgan(
             if first is None:
                 first = loss
             done += 1
+            _ckpt_save(
+                (state, ema) if ema is not None else state,
+                ckpt_dir, ckpt_every, done, steps,
+            )
             if log is not None and (done == 1 or done % 10 == 0 or done == steps):
                 log(f"step {done}/{steps}  loss {loss:.5f}")
             if done >= steps:
@@ -244,6 +293,8 @@ def distill_depthany(
     device=None,
     mesh=None,
     workers: int = 4,
+    ckpt_dir: str | os.PathLike | None = None,
+    ckpt_every: int = 50,
     log: Callable[[str], None] | None = None,
 ) -> dict:
     """Knowledge distillation for Depth-Anything: train a small student
@@ -267,7 +318,9 @@ def distill_depthany(
     program with the teacher params as arguments — closing over them in the
     train step would constant-fold hundreds of MB of weights into the
     student's program. Writes the student to ``dst`` (f32, student KVs) and
-    returns ``{"out", "steps", "first_loss", "last_loss"}``.
+    returns ``{"out", "steps", "first_loss", "last_loss"}``. ``ckpt_dir``
+    checkpoints the student state every ``ckpt_every`` steps and resumes
+    a rerun from the newest save (data order restarts from ``seed``).
     """
     import optax
 
@@ -354,8 +407,8 @@ def distill_depthany(
     state = create_train_state(s_params, opt, mesh=mesh, trainable=trainable)
     step = make_train_step(loss_fn, opt, mesh=mesh, trainable=trainable)
 
+    state, done = _ckpt_resume(state, ckpt_dir, log)
     first = last = None
-    done = 0
     rng = np.random.default_rng(seed)
     items = (
         list(images)
@@ -377,6 +430,7 @@ def distill_depthany(
             if first is None:
                 first = loss
             done += 1
+            _ckpt_save(state, ckpt_dir, ckpt_every, done, steps)
             if log is not None and (done == 1 or done % 10 == 0 or done == steps):
                 log(f"step {done}/{steps}  loss {loss:.5f}")
             if done >= steps:
@@ -436,6 +490,8 @@ def finetune_birefnet(
     device=None,
     mesh=None,
     workers: int = 4,
+    ckpt_dir: str | os.PathLike | None = None,
+    ckpt_every: int = 50,
     log: Callable[[str], None] | None = None,
 ) -> dict:
     """Supervised mask fine-tune of a BiRefNet GGUF on labeled
@@ -455,7 +511,9 @@ def finetune_birefnet(
     adapters (SWIN trunk linears + decoder lateral/attn 1x1 convs) and
     merges them into the export; ``lora_out`` additionally saves the
     adapter file. Writes the tuned model to ``dst`` (f32, source KVs) and
-    returns ``{"out", "steps", "first_loss", "last_loss"}``.
+    returns ``{"out", "steps", "first_loss", "last_loss"}``. ``ckpt_dir``
+    checkpoints the train state every ``ckpt_every`` steps and resumes a
+    rerun from the newest save (data order restarts from ``seed``).
     """
     import optax
 
@@ -523,8 +581,8 @@ def finetune_birefnet(
     state = create_train_state(params, opt, mesh=mesh, trainable=trainable)
     step = make_train_step(loss_fn, opt, mesh=mesh, trainable=trainable)
 
+    state, done = _ckpt_resume(state, ckpt_dir, log)
     first = last = None
-    done = 0
     rng = np.random.default_rng(seed)
     items = (
         list(pairs)
@@ -555,6 +613,7 @@ def finetune_birefnet(
             if first is None:
                 first = loss
             done += 1
+            _ckpt_save(state, ckpt_dir, ckpt_every, done, steps)
             if log is not None and (done == 1 or done % 10 == 0 or done == steps):
                 log(f"step {done}/{steps}  loss {loss:.5f}")
             if done >= steps:

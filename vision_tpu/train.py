@@ -498,12 +498,16 @@ def save_checkpoint(directory: str | os.PathLike, state: TrainState, *, force: b
     return path
 
 
-def restore_checkpoint(directory: str | os.PathLike, like: TrainState) -> TrainState:
-    """Restore a TrainState from ``directory``.
+def restore_checkpoint(directory: str | os.PathLike, like):
+    """Restore a checkpoint from ``directory``.
 
     ``like`` supplies the tree structure, dtypes, AND shardings — pass the
     freshly-built state (create_train_state on the same mesh) and the
     restored arrays land directly on the same placement, bit-exact.
+    ``like`` is usually a TrainState; any pytree of the same structure as
+    the saved one works (e.g. the ``(state, ema)`` pair the finetune
+    recipes checkpoint), reconstructed leaf-by-leaf into ``like``'s
+    structure.
     """
     path = os.path.abspath(os.fspath(directory))
 
@@ -515,7 +519,11 @@ def restore_checkpoint(directory: str | os.PathLike, like: TrainState) -> TrainS
 
     template = jax.tree_util.tree_map(abstract, like)
     restored = _ckptr().restore(path, template)
-    return TrainState(*restored)
+    if isinstance(like, TrainState):
+        return TrainState(*restored)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), jax.tree_util.tree_leaves(restored)
+    )
 
 
 def latest_checkpoint(root: str | os.PathLike) -> str | None:
