@@ -300,3 +300,53 @@ def test_lora_train_on_mesh_matches_single_device():
         np.asarray(single.params["enc.fc1.lora_b"]),
         atol=1e-6, rtol=1e-6,
     )
+
+
+def test_qlora_quantized_base():
+    """QLoRA: adapters attach to a block-quantized resident base without
+    densifying it. The base stays integer-resident AND frozen (even under
+    trainable=None — an optimizer can't step quantized levels), only the
+    adapters train, and merge dequantizes into a plain dense weight."""
+    import optax
+
+    from vision_tpu.core.quant import QuantResident, quantize_resident
+    from vision_tpu.ops.nn import linear
+    from vision_tpu.train import create_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    w = (rng.normal(size=(32, 64)) * 0.1).astype(np.float32)
+    base = {
+        "trunk.fc.weight": quantize_resident(w, dtype="float32"),
+        "trunk.fc.bias": np.zeros(32, np.float32),
+    }
+    p = add_lora(base, rank=4, targets=r"trunk\.fc", seed=1)
+    assert lora_modules(p) == ["trunk.fc"]
+    assert isinstance(p["trunk.fc.weight"], QuantResident)  # no densify
+
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    y = rng.normal(size=(8, 32)).astype(np.float32)
+
+    def loss_fn(pp, batch):
+        bx, by = batch
+        return jnp.mean((linear(Params(pp)["trunk"]["fc"], bx) - by) ** 2)
+
+    opt = optax.adam(1e-2)
+    # default trainable=None: the quant base is frozen by definition; the
+    # trainable set is exactly {bias, lora_a, lora_b}
+    state = create_train_state(p, opt, trainable=None)
+    assert sorted(state.opt_state[0].mu.keys()) == [
+        "trunk.fc.bias", "trunk.fc.lora_a", "trunk.fc.lora_b"]
+    step = make_train_step(loss_fn, opt, trainable=LORA_TRAINABLE)
+    state2 = create_train_state(p, opt, trainable=LORA_TRAINABLE)
+    l0 = None
+    for _ in range(5):
+        state2, m = step(state2, (jnp.asarray(x), jnp.asarray(y)))
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert float(m["loss"]) < l0  # the adapters learned
+    assert isinstance(state2.params["trunk.fc.weight"], QuantResident)
+
+    merged = merge_lora(state2.params)
+    md = np.asarray(merged["trunk.fc.weight"])
+    assert md.shape == (32, 64) and md.dtype == np.float32
+    assert not np.array_equal(md, w)  # the low-rank delta landed

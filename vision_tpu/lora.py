@@ -40,6 +40,11 @@ package's conv layers don't carry), and weights consumed through derived
 packed/stacked forms (ESRGAN's packed trunk, SAM3's vision scan stack) —
 ``add_lora`` raises on explicit targets with uncovered shapes, and
 docs/training.md carries the per-family coverage table.
+
+QLoRA: a block-quantized resident base (core/quant.QuantResident) takes
+adapters without densifying — the base stays integer-resident and frozen
+(train._is_float never selects it), models dequant it at trace time, and
+only the f32 adapters train. ``merge_lora`` densifies on merge.
 """
 
 from __future__ import annotations
@@ -132,14 +137,20 @@ def add_lora(
             continue
         if mod + _A in params:  # already adapted
             continue
-        dv = _dense(v)
-        shape = jnp.shape(dv)
-        # dtype check stays on host: jnp.asarray would commit every weight
-        # to the default device (a tunnel H2D per tensor on TPU) just to
-        # read its dtype
+        if isinstance(v, QuantResident):
+            # QLoRA: a quantized-resident base takes adapters without
+            # densifying — read the layout from the residency form (a
+            # dequant here would materialize every weight on device)
+            shape, floaty = v.shape, True
+        else:
+            shape = jnp.shape(v)
+            # dtype check stays on host: jnp.asarray would commit every
+            # weight to the default device (a tunnel H2D per tensor on
+            # TPU) just to read its dtype
+            floaty = jnp.issubdtype(v.dtype, jnp.floating)
         is_linear = len(shape) == 2
         is_conv1x1 = len(shape) == 4 and shape[2] == 1 and shape[3] == 1 and shape[1] > 1
-        if not (is_linear or is_conv1x1) or not jnp.issubdtype(dv.dtype, jnp.floating):
+        if not (is_linear or is_conv1x1) or not floaty:
             if pat is not None:
                 # an explicit target that can't take an adapter is a bug
                 # in the caller's regex (k>1 conv / depthwise / norm /

@@ -68,6 +68,14 @@ class TrainState(NamedTuple):
 
 
 def _is_float(v) -> bool:
+    from .core.quant import QuantResident
+
+    if isinstance(v, QuantResident):
+        # integer-residency base weights are frozen by definition: the
+        # optimizer can't step quantized levels. They stay in the param
+        # dict (models dequant them at trace time) — QLoRA: adapters
+        # train next to the frozen quantized base.
+        return False
     return jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
 
 
@@ -137,7 +145,12 @@ def create_train_state(
                 placed[k] = v
             params = placed
     else:
-        params = {k: jnp.asarray(v) for k, v in params.items()}
+        from .core.quant import QuantResident
+
+        params = {
+            k: v if isinstance(v, QuantResident) else jnp.asarray(v)
+            for k, v in params.items()
+        }
     train, _ = _split(params, _trainable_pred(trainable))
     if not train:
         from .core.errors import raise_error
