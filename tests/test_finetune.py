@@ -487,3 +487,53 @@ def test_finetune_checkpoint_resume(tmp_path):
         ckpt_dir=ck2, ckpt_every=1, log=lines.append,
     )
     assert any("resumed" in l for l in lines) and s5["steps"] == 3
+
+
+def test_distill_qlora(tmp_path):
+    """QLoRA distillation: the student's big tensors block-quantize in
+    memory, adapters train next to the frozen integer-resident base, and
+    the merged export is a plain dense file that loads normally."""
+    import torch
+
+    from test_depth_anything import TDepthAnything
+    from vision_tpu.convert.convert import convert_model
+    from vision_tpu.finetune import distill_depthany
+
+    def _gguf(name, seed):
+        torch.manual_seed(seed)
+        t = randomize(TDepthAnything())
+        ckpt = tmp_path / f"{name}.pth"
+        torch.save(t.state_dict(), ckpt)
+        return convert_model("depth-anything", ckpt, tmp_path / f"{name}.gguf")
+
+    teacher = _gguf("qt", 0)
+    student = _gguf("qs", 1)
+    d = _img_dir(tmp_path, size=(30, 30))
+    out = tmp_path / "qlora-distilled.gguf"
+    stats = distill_depthany(
+        str(teacher), str(student), list_images([str(d)]), out,
+        steps=2, lr=5e-2, batch=2, size=28, seed=0,
+        lora_rank=2, qlora=True,
+    )
+    assert np.isfinite(stats["last_loss"])
+    f = GGUFFile(str(out))
+    assert f.arch == "depthanything"
+    assert not any(".lora_" in n for n in f.tensors)  # merged
+    # the export densified every quantized-resident leaf: all tensors are
+    # plain floats and the file runs through the normal model path
+    from vision_tpu.api import load_model
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.image import image_load_array
+
+    model = load_model(str(out), backend_init(BackendType.cpu))
+    rng = np.random.default_rng(0)
+    img = image_load_array(rng.integers(0, 256, (30, 32, 3)).astype(np.uint8))
+    depth = model.compute(img)
+    assert depth.extent == img.extent
+
+    # qlora without lora_rank is a contract error
+    with pytest.raises(VispError, match="qlora"):
+        distill_depthany(
+            str(teacher), str(student), list_images([str(d)]), out,
+            steps=1, qlora=True,
+        )

@@ -221,6 +221,12 @@ def main(argv=None) -> int:
         help="finetune: track+export EMA weights at this decay (e.g. 0.999)",
     )
     parser.add_argument(
+        "--qlora", action="store_true",
+        help="distill/finetune(birefnet), with --lora: block-quantize the "
+             "frozen base in device memory (QLoRA) — fine-tune footprint "
+             "~= quantized base + rank-r adapters",
+    )
+    parser.add_argument(
         "--ckpt", default=None, metavar="DIR",
         help="finetune/distill: checkpoint the training state here and "
              "auto-resume a rerun from the newest step_* save",
@@ -719,7 +725,7 @@ def main(argv=None) -> int:
                     kw.update(
                         masks=args.masks, size=args.size or 256,
                         augment=not args.no_augment, lora_rank=args.lora,
-                        lora_out=args.lora_out,
+                        lora_out=args.lora_out, qlora=args.qlora,
                     )
                 else:  # esrgan (the dispatcher rejects other families)
                     kw.update(patch=args.patch, ema_decay=args.ema)
@@ -734,7 +740,7 @@ def main(argv=None) -> int:
                         steps=args.steps, lr=args.lr, batch=batch,
                         size=args.size or 252, trainable=args.train_filter,
                         lora_rank=args.lora, lora_out=args.lora_out,
-                        device=dev, mesh=mesh, ckpt_dir=args.ckpt,
+                        qlora=args.qlora, device=dev, mesh=mesh, ckpt_dir=args.ckpt,
                         ckpt_every=args.ckpt_every, log=print,
                     )
             if stats["first_loss"] is not None:

@@ -289,6 +289,7 @@ def distill_depthany(
     trainable=None,
     lora_rank: int | None = None,
     lora_out: str | os.PathLike | None = None,
+    qlora: bool = False,
     seed: int = 0,
     device=None,
     mesh=None,
@@ -356,6 +357,8 @@ def distill_depthany(
     # patch_embed/projection convs in whcn files) applies before placement
     t_np = fixup_weights(tfile, load_weights(tfile, device=None, as_numpy=True))
     s_np = fixup_weights(sfile, load_weights(sfile, device=None, as_numpy=True, float_dtype=jnp.float32))
+    if qlora and lora_rank is None:
+        raise_error("distill: qlora requires lora_rank (the base is frozen quantized)")
     if lora_rank is not None:
         from .lora import LORA_TRAINABLE, add_lora
 
@@ -363,9 +366,19 @@ def distill_depthany(
             raise_error("distill: pass either lora_rank or trainable, not both")
         if lora_rank < 1:
             raise_error("distill: lora_rank must be >= 1, got {}", lora_rank)
+        if qlora:
+            # QLoRA: block-quantize the student base in memory; adapters
+            # attach next to the integer-resident (frozen) weights
+            from .core.quant import quantize_store
+
+            s_np = quantize_store(s_np, dtype="float32")
         s_np = add_lora(s_np, rank=lora_rank, seed=seed)
         trainable = LORA_TRAINABLE
-    s_params = {k: jnp.asarray(v) for k, v in s_np.items()}
+    from .core.quant import QuantResident as _QR
+
+    s_params = {
+        k: v if isinstance(v, _QR) else jnp.asarray(v) for k, v in s_np.items()
+    }
     # frozen teacher runs at the device's inference dtype (bf16 on TPU):
     # place f32 host arrays, cast on device (NOTES.md: host bf16 is slow)
     t_dtype = device.preferred_float_type if device is not None else jnp.float32
@@ -486,6 +499,7 @@ def finetune_birefnet(
     trainable=None,
     lora_rank: int | None = None,
     lora_out: str | os.PathLike | None = None,
+    qlora: bool = False,
     seed: int = 0,
     device=None,
     mesh=None,
@@ -549,6 +563,8 @@ def finetune_birefnet(
     pairs = pair_masks(list(images), masks)
 
     s_np = fixup_weights(file, load_weights(file, device=None, as_numpy=True, float_dtype=jnp.float32))
+    if qlora and lora_rank is None:
+        raise_error("finetune: qlora requires lora_rank (the base is frozen quantized)")
     if lora_rank is not None:
         from .lora import LORA_TRAINABLE, add_lora
 
@@ -556,9 +572,17 @@ def finetune_birefnet(
             raise_error("finetune: pass either lora_rank or trainable, not both")
         if lora_rank < 1:
             raise_error("finetune: lora_rank must be >= 1, got {}", lora_rank)
+        if qlora:
+            from .core.quant import quantize_store
+
+            s_np = quantize_store(s_np, dtype="float32")
         s_np = add_lora(s_np, rank=lora_rank, seed=seed)
         trainable = LORA_TRAINABLE
-    params = {k: jnp.asarray(v) for k, v in s_np.items()}
+    from .core.quant import QuantResident as _QR
+
+    params = {
+        k: v if isinstance(v, _QR) else jnp.asarray(v) for k, v in s_np.items()
+    }
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
 

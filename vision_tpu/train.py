@@ -325,7 +325,14 @@ def export_gguf(
     w.add("general.file_type", REQUANTIZE_TYPES[float_type][0])
     w.add(f"{arch}.tensor_data_layout", "torch")
     target = np.float16 if float_type == "f16" else np.float32
+    from .core.quant import QuantResident
+
     for name, v in params.items():
+        if isinstance(v, QuantResident):
+            # a quantized-resident leaf (QLoRA base / VISP_KEEP_QUANT load)
+            # densifies for the f32/f16 file; requantize the output for
+            # block-quantized deployment
+            v = v.dequant()
         if isinstance(v, jax.Array):
             if v.dtype == jnp.bfloat16:
                 v = v.astype(jnp.float32)
