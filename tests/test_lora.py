@@ -350,3 +350,52 @@ def test_qlora_quantized_base():
     md = np.asarray(merged["trunk.fc.weight"])
     assert md.shape == (32, 64) and md.dtype == np.float32
     assert not np.array_equal(md, w)  # the low-rank delta landed
+
+
+def test_merge_adapter_deploy(tmp_path):
+    """Deploy-time adapter composition (api.merge_adapter / --adapter):
+    base GGUF + saved adapter file -> merged deployable file whose
+    outputs match the in-memory merge exactly and differ from the base."""
+    import torch
+
+    from test_depth_anything import TDepthAnything
+    from workbench import randomize
+    from vision_tpu.api import load_model, merge_adapter
+    from vision_tpu.convert.convert import convert_model
+    from vision_tpu.core.device import BackendType, backend_init
+    from vision_tpu.core.gguf import GGUFFile
+    from vision_tpu.core.weights import load_weights
+    from vision_tpu.image import image_load_array
+    from vision_tpu.lora import save_lora
+    from vision_tpu.models.depth_anything import fixup_weights
+    from vision_tpu.train import export_gguf
+
+    torch.manual_seed(0)
+    t = randomize(TDepthAnything())
+    torch.save(t.state_dict(), tmp_path / "b.pth")
+    base_path = convert_model("depth-anything", tmp_path / "b.pth", tmp_path / "base.gguf")
+
+    f = GGUFFile(str(base_path))
+    sem = fixup_weights(f, load_weights(f, as_numpy=True))
+    rng = np.random.default_rng(1)
+    attached = add_lora(sem, rank=2, seed=3)
+    for m in lora_modules(attached):
+        attached[m + ".lora_b"] = (
+            rng.normal(size=attached[m + ".lora_b"].shape) * 0.5
+        ).astype(np.float32)
+    save_lora(attached, tmp_path / "ad.gguf", arch=f.arch)
+    # reference: the in-memory merge exported directly
+    export_gguf(merge_lora(attached), tmp_path / "ref.gguf", source=f)
+
+    merged_path = merge_adapter(base_path, tmp_path / "ad.gguf", dst=tmp_path / "m.gguf")
+    dev = backend_init(BackendType.cpu)
+    img = image_load_array(rng.integers(0, 256, (30, 32, 3)).astype(np.uint8))
+    out_m = np.asarray(load_model(merged_path, dev).compute(img).data)
+    out_r = np.asarray(load_model(str(tmp_path / "ref.gguf"), dev).compute(img).data)
+    out_b = np.asarray(load_model(str(base_path), dev).compute(img).data)
+    np.testing.assert_allclose(out_m, out_r, atol=1e-5)
+    assert np.abs(out_m - out_b).max() > 1e-4  # the adapter changed the model
+
+    # load_model(adapter=) composes the same way (temp merged file)
+    out_a = np.asarray(load_model(base_path, dev, adapter=str(tmp_path / "ad.gguf")).compute(img).data)
+    np.testing.assert_allclose(out_a, out_m, atol=1e-5)

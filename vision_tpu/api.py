@@ -14,7 +14,7 @@ from .core.device import Device, backend_init
 from .core.errors import raise_error
 from .core.gguf import GGUFFile, model_load
 
-__all__ = ["ModelFamily", "model_detect_family", "load_model"]
+__all__ = ["ModelFamily", "merge_adapter", "model_detect_family", "load_model"]
 
 
 class ModelFamily(Enum):
@@ -50,11 +50,61 @@ def model_detect_family(file: GGUFFile | str) -> ModelFamily:
     return fam
 
 
-def load_model(filepath: str | GGUFFile, device: Device | None = None):
+def _family_fixup(family: ModelFamily):
+    """The family's converter-layout fixup pass (identity where none)."""
+    if family == ModelFamily.sam:
+        from .models.mobile_sam import fixup_weights
+
+        return fixup_weights
+    if family == ModelFamily.birefnet:
+        from .models.birefnet import fixup_weights
+
+        return fixup_weights
+    if family == ModelFamily.depth_anything:
+        from .models.depth_anything import fixup_weights
+
+        return fixup_weights
+    return lambda file, params: params
+
+
+def merge_adapter(filepath, adapter, dst: str | None = None) -> str:
+    """Merge a ``save_lora`` adapter file into a base GGUF.
+
+    Deploy-time composition for the LoRA workflow: ship the base model
+    once and per-task adapters as few-MB files, merge at load. The base
+    loads host-side in semantic (post-fixup) form — the layout adapters
+    attach against — the low-rank deltas fold in (``lora.merge_lora``),
+    and the result exports as a plain deployable GGUF at ``dst`` (a
+    temporary file when None) that every normal path serves. Returns the
+    merged file's path. CLI: ``--adapter`` on any model-loading verb.
+    """
+    from .core.weights import load_weights
+    from .lora import load_lora, merge_lora
+    from .train import export_gguf
+
+    file = model_load(filepath)
+    family = model_detect_family(file)
+    base = _family_fixup(family)(file, load_weights(file, device=None, as_numpy=True))
+    merged = merge_lora(load_lora(base, adapter))
+    if dst is None:
+        import tempfile
+
+        fd, dst = tempfile.mkstemp(suffix="-merged.gguf", prefix="vision_tpu-")
+        import os as _os
+
+        _os.close(fd)
+    return export_gguf(merged, dst, source=file)
+
+
+def load_model(filepath: str | GGUFFile, device: Device | None = None,
+               adapter: str | None = None):
     """Generic loader: detect the family and dispatch to the arch loader.
     The GGUF header is parsed ONCE — the open file flows through to the
-    family loader (model_load passes a GGUFFile straight through)."""
+    family loader (model_load passes a GGUFFile straight through).
+    ``adapter`` merges a LoRA adapter file in first (``merge_adapter``)."""
     device = device or backend_init()
+    if adapter is not None:
+        filepath = merge_adapter(filepath, adapter)
     filepath = model_load(filepath)
     family = model_detect_family(filepath)
     if family == ModelFamily.sam:

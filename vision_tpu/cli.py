@@ -221,6 +221,11 @@ def main(argv=None) -> int:
         help="finetune: track+export EMA weights at this decay (e.g. 0.999)",
     )
     parser.add_argument(
+        "--adapter", default=None, metavar="GGUF",
+        help="merge this LoRA adapter file (save_lora / --lora-out) into "
+             "-m at load — ship one base model + few-MB per-task adapters",
+    )
+    parser.add_argument(
         "--qlora", action="store_true",
         help="distill/finetune(birefnet), with --lora: block-quantize the "
              "frozen base in device memory (QLoRA) — fine-tune footprint "
@@ -547,6 +552,15 @@ def main(argv=None) -> int:
         if not args.model and args.command not in default_models:
             raise VispError("No model specified (-m)")
         model_path = find_model(args.model or default_models[args.command])
+        if args.adapter:
+            # merge the LoRA adapter file into a temp deployable GGUF up
+            # front; every downstream path (verbs, serve, bulk, video,
+            # quantize, export) consumes the merged model transparently
+            if not Path(args.adapter).is_file():
+                raise VispError(f"Adapter file not found: {args.adapter}")
+            from .api import merge_adapter
+
+            model_path = merge_adapter(model_path, args.adapter)
         extra_paths = [model_path]
         if args.command == "serve":
             # resolve EVERY served model path here too — --extra-model
