@@ -87,12 +87,15 @@ def merge_adapter(filepath, adapter, dst: str | None = None) -> str:
     base = _family_fixup(family)(file, load_weights(file, device=None, as_numpy=True))
     merged = merge_lora(load_lora(base, adapter))
     if dst is None:
+        import atexit
+        import os as _os
         import tempfile
 
         fd, dst = tempfile.mkstemp(suffix="-merged.gguf", prefix="vision_tpu-")
-        import os as _os
-
         _os.close(fd)
+        # loaders read all tensors during load, so the temp merged file
+        # only needs to outlive the process, not the model
+        atexit.register(lambda p=dst: _os.path.exists(p) and _os.unlink(p))
     return export_gguf(merged, dst, source=file)
 
 
