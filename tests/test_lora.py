@@ -399,3 +399,46 @@ def test_merge_adapter_deploy(tmp_path):
     # load_model(adapter=) composes the same way (temp merged file)
     out_a = np.asarray(load_model(base_path, dev, adapter=str(tmp_path / "ad.gguf")).compute(img).data)
     np.testing.assert_allclose(out_a, out_m, atol=1e-5)
+
+
+def test_qlora_checkpoint_roundtrip(tmp_path):
+    """QLoRA state survives orbax checkpoint/resume: QuantResident leaves
+    (registered pytree) round-trip and a restored step matches the
+    uninterrupted one bit-exactly."""
+    import optax
+
+    from vision_tpu.core.quant import QuantResident, quantize_resident
+    from vision_tpu.ops.nn import linear
+    from vision_tpu.train import (
+        create_train_state,
+        make_train_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    rng = np.random.default_rng(0)
+    w = (rng.normal(size=(32, 64)) * 0.1).astype(np.float32)
+    p = add_lora(
+        {"fc.weight": quantize_resident(w, dtype="float32"),
+         "fc.bias": np.zeros(32, np.float32)},
+        rank=4, targets="fc", seed=1,
+    )
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+
+    def loss_fn(pp, b):
+        return jnp.mean((linear(Params(pp)["fc"], b[0]) - b[1]) ** 2)
+
+    opt = optax.adam(1e-2)
+    state = create_train_state(p, opt, trainable=LORA_TRAINABLE)
+    step = make_train_step(loss_fn, opt, trainable=LORA_TRAINABLE)
+    state, _ = step(state, (x, y))
+    save_checkpoint(tmp_path / "step_1", state)
+    restored = restore_checkpoint(
+        tmp_path / "step_1", create_train_state(p, opt, trainable=LORA_TRAINABLE)
+    )
+    assert isinstance(restored.params["fc.weight"], QuantResident)
+    s2a, _ = step(state, (x, y))
+    s2b, _ = step(restored, (x, y))
+    np.testing.assert_array_equal(
+        np.asarray(s2a.params["fc.lora_b"]), np.asarray(s2b.params["fc.lora_b"]))
